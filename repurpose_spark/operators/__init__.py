@@ -1,0 +1,16 @@
+from repurpose_spark.operators.reorient import (
+    sequences_to_points,
+    points_to_sequences,
+)
+from repurpose_spark.operators.collocate import collocate
+from repurpose_spark.operators.rollup import rollup, rollup_from_partials
+from repurpose_spark.operators.gapfill import gap_fill
+
+__all__ = [
+    "sequences_to_points",
+    "points_to_sequences",
+    "collocate",
+    "rollup",
+    "rollup_from_partials",
+    "gap_fill",
+]

@@ -1,0 +1,60 @@
+"""Gap-fill: materialize a dense (key x tick) frame with NULL/fill holes.
+
+Reference analog: the ``Regular3dimImageStack`` dense cube is gap-free by
+construction — variables are initialized to a fill value and observations
+scattered in by position (stack.py:222-226, :355-357).  Relationally the
+dense cube is ``sequence()``+``explode`` of the tick axis per key, LEFT
+JOINed with the observed rows (SURVEY.md R3); 2-D addressing never
+materializes.
+
+Scale notes: the dense axis side is generated (no scan); the join is an
+equi-join on (key, tick) that Catalyst plans as a shuffled hash join —
+both sides hash-partition on the same key, and if the obs side is already
+partitioned by cell the exchange is one-sided.  Fill values are applied
+with ``coalesce`` (P8, ts2img.py:402-405).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gap_fill(
+    tier: DataFrame,
+    unit: str,
+    key_cols: list = ("cell_id", "doc_id"),
+    tick_col: str = "tick",
+    start=None,
+    end=None,
+    fill_values: dict | None = None,
+) -> DataFrame:
+    """Densify ``tier`` so every key has a row at every tick.
+
+    start/end: optional global bounds (timestamp/str); default = per-run
+    global min/max of the tick column (computed as a 1-row broadcast, not
+    a collect-loop).
+    """
+    key_cols = list(key_cols)
+    step = F.expr(f"interval 1 {unit}")
+
+    if start is not None and end is not None:
+        bounds = tier.sparkSession.range(1).select(
+            F.lit(start).cast("timestamp").alias("lo"),
+            F.lit(end).cast("timestamp").alias("hi"),
+        )
+    else:
+        bounds = tier.agg(
+            F.min(tick_col).alias("lo"), F.max(tick_col).alias("hi")
+        )
+
+    keys = tier.select(*key_cols).distinct()
+    axis = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), step)).alias(tick_col)
+    )
+    dense = keys.crossJoin(F.broadcast(axis))
+
+    filled = dense.join(tier, key_cols + [tick_col], "left")
+    for c, v in (fill_values or {}).items():
+        filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return filled

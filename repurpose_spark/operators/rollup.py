@@ -1,0 +1,67 @@
+"""Continuous aggregates: raw → hourly → daily retention tiers (A4).
+
+The reference leaves temporal downsampling to a user ``preprocess`` hook
+(``df.resample('1D').mean()``, ts2img.py:284-303 and
+tests/test_ts2img.py:170-177); here it is first-class.  Two scale rules:
+
+1. **partial+final**: each coarser tier is computed from the next finer
+   tier's *partials* (sum/count/min/max), never from raw again — daily
+   reads hourly, which is ~3600x smaller than raw points.  avg is derived
+   at read time as sum/count, so re-aggregation stays exact.
+2. the groupBy keys start with ``cell_id`` so the tier tables inherit the
+   cell partitioning and downstream per-cell consumers shuffle nothing.
+
+All aggregates are built-in JVM expressions (hash agg + map-side combine
+via Catalyst); no UDFs anywhere on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERGEABLE = ("n_points", "sum_v", "min_v", "max_v")
+
+
+def rollup(
+    points: DataFrame,
+    unit: str,
+    key_cols: list = ("cell_id", "doc_id"),
+    ts_col: str = "ts",
+    value_col: str = "token",
+) -> DataFrame:
+    """Finest rollup from raw points: one row per (keys, date_trunc(unit, ts))."""
+    key_cols = list(key_cols)
+    return (
+        points.groupBy(*key_cols, F.date_trunc(unit, F.col(ts_col)).alias("tick"))
+        .agg(
+            F.count(value_col).alias("n_points"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+
+
+def rollup_from_partials(
+    tier: DataFrame,
+    unit: str,
+    key_cols: list = ("cell_id", "doc_id"),
+    tick_col: str = "tick",
+) -> DataFrame:
+    """Coarser tier from a finer tier's mergeable partials (exact re-agg)."""
+    key_cols = list(key_cols)
+    return (
+        tier.groupBy(*key_cols, F.date_trunc(unit, F.col(tick_col)).alias("tick"))
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def with_avg(tier: DataFrame) -> DataFrame:
+    """Derive mean at read time — exact under re-aggregation."""
+    return tier.withColumn("avg_v", F.col("sum_v") / F.col("n_points"))

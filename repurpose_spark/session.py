@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The conf mirrors what we would submit on a real 1000-executor cluster via
+``spark-submit --py-files`` (AQE on, skew-join on, Arrow on); locally the
+master defaults to ``local[N]``.  Shuffle partitions default to 2x cores
+locally but should be sized to ~128MB-per-partition at cluster scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "repurpose_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Parameters mirror spark-submit conf; on a cluster, master/cores come
+    from the submitter and only the sql conf below matters.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        # local heuristic: 2x parallelism; at cluster scale this is set by
+        # the submitter to total-cores * 2..3 (AQE coalesces down anyway).
+        n = cpus if master.startswith("local") else 200
+        shuffle_partitions = 2 * n
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-plan, partition coalescing, skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas UDF / toPandas boundaries.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Parquet: zstd everywhere (the engine's analog of the reference's
+        # zlib-6 chunk compression, ts2img.py:413-419).
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # timestamps without timezone surprises
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

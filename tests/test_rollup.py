@@ -1,0 +1,63 @@
+"""Tier rollups vs the numpy oracle: raw→hourly exact match, daily from
+hourly partials == daily from raw (partial+final exactness), gap-fill."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from repurpose_spark.config import EngineConfig
+from repurpose_spark.operators.gapfill import gap_fill
+from repurpose_spark.operators.reorient import sequences_to_points
+from repurpose_spark.operators.rollup import rollup, rollup_from_partials
+from repurpose_spark.oracle.numpy_oracle import oracle_points, oracle_rollup
+from repurpose_spark.sources.synthetic import synth_sequences, synth_sequences_pandas
+
+CFG = EngineConfig(n_cells=16)
+KEYS = ["doc_id"]
+
+
+def _pd_sorted(df, cols):
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_hourly_matches_oracle(spark):
+    n = 40
+    pts = sequences_to_points(synth_sequences(spark, n), CFG)
+    got = rollup(pts, "hour", key_cols=KEYS).toPandas()
+    exp = oracle_rollup(
+        oracle_points(synth_sequences_pandas(n), CFG.dt_seconds, CFG.epoch),
+        "hour",
+        key_cols=KEYS,
+    )
+    cols = ["doc_id", "tick", "n_points", "sum_v", "min_v", "max_v"]
+    g, e = _pd_sorted(got, cols), _pd_sorted(exp, cols)
+    pd.testing.assert_frame_equal(
+        g.astype({"sum_v": "int64"}), e.astype({"sum_v": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_daily_from_partials_equals_daily_from_raw(spark):
+    pts = sequences_to_points(synth_sequences(spark, 60), CFG)
+    hourly = rollup(pts, "hour", key_cols=KEYS)
+    daily_partial = rollup_from_partials(hourly, "day", key_cols=KEYS)
+    daily_raw = rollup(pts, "day", key_cols=KEYS)
+    assert daily_partial.exceptAll(daily_raw).count() == 0
+    assert daily_raw.exceptAll(daily_partial).count() == 0
+
+
+def test_gap_fill_dense(spark):
+    # two docs with different lengths → short doc has hourly gaps to fill
+    pts = sequences_to_points(synth_sequences(spark, 5), CFG)
+    hourly = rollup(pts, "hour", key_cols=KEYS)
+    dense = gap_fill(hourly, "hour", key_cols=KEYS, fill_values={"n_points": 0})
+    n_keys = hourly.select(*KEYS).distinct().count()
+    n_ticks = hourly.select("tick").distinct().count()
+    lo, hi = hourly.agg(F.min("tick"), F.max("tick")).collect()[0]
+    axis_len = int((hi - lo).total_seconds() // 3600) + 1
+    assert n_ticks <= axis_len
+    assert dense.count() == n_keys * axis_len
+    assert dense.where(F.col("n_points").isNull()).count() == 0
+    # observed rows unchanged
+    obs_back = dense.where(F.col("sum_v").isNotNull()).select(hourly.columns)
+    assert obs_back.exceptAll(hourly).count() == 0
+    assert hourly.exceptAll(obs_back).count() == 0
