@@ -1,0 +1,139 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", plus engine-metric extras (tokens/sec through the full
+raw→hourly→daily tier pipeline — the BASELINE.json headline)}.
+
+The flagship pipeline benches the engine itself on the deterministic
+synthetic sequences table (N docs via $SPARK_GRAFT_BENCH_DOCS, default
+50k ≈ 8M token points): explode → cell shuffle → hourly → daily →
+gorilla-pack, all counted end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from repurpose_spark.config import EngineConfig  # noqa: E402
+from repurpose_spark.operators.encode import encode_series  # noqa: E402
+from repurpose_spark.operators.reorient import sequences_to_points  # noqa: E402
+from repurpose_spark.operators.rollup import (  # noqa: E402
+    rollup_from_partials,
+    rollup_points,
+)
+from repurpose_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+
+HEADLINE = [
+    "ev_hourly_rollup",
+    "ev_daily_from_hourly",
+    "ev_gapfill_hourly",
+    "ev_asof_6h",
+    "ev_first_per_slot",
+    "tpch_q1",
+    "revenue_by_nation",
+    "semi_join_parts",
+    "doc_token_counts",
+    "doc_minhash_pairs",
+    "emb_topk",
+]
+
+
+def run_tier_pipeline(spark, n_docs: int) -> dict:
+    """Flagship engine metric: rolled-up tokens/sec across tiers."""
+    from repurpose_spark.sources.synthetic import synth_sequences
+
+    cfg = EngineConfig(n_cells=max(CPUS * 4, 64))
+    t0 = time.time()
+    seqs = synth_sequences(spark, n_docs, skew=True)
+    n_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]  # scan, no explode
+    pts = sequences_to_points(seqs, cfg, with_ts=False)
+    # hourly is the only tier computed from raw points; it is cached (it is
+    # ~50x smaller) and daily/packed re-aggregate the partials — the
+    # partial+final architecture, so the explode+shuffle happens once.
+    # integer-bucket rollup: timestamps materialize post-agg, not per token
+    hourly = rollup_points(
+        pts, 3600, dt_seconds=cfg.dt_seconds, epoch=cfg.epoch
+    ).cache()
+    n_hourly = hourly.count()
+    daily = rollup_from_partials(hourly, "day")
+    packed = encode_series(
+        hourly.withColumn("avg_v", F.col("sum_v") / F.col("n_points")),
+        int_cols=["sum_v", "n_points"],
+        float_cols=["avg_v"],
+    )
+    n_daily = daily.count()
+    n_packed = packed.count()
+    dt = time.time() - t0
+    hourly.unpersist()
+    return {
+        "pipeline_sec": round(dt, 3),
+        "n_tokens": n_tokens,
+        "n_hourly": n_hourly,
+        "n_daily": n_daily,
+        "n_packed": n_packed,
+        "tokens_per_sec": round(n_tokens / dt, 1),
+    }
+
+
+def main():
+    spark = get_spark(
+        app_name="repurpose_spark_bench", master=f"local[{CPUS}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    times = {}
+    total = 0.0
+
+    # JIT/codegen warm-up on a miniature pipeline (untimed): local-mode
+    # cold-start compilation otherwise dominates the first measurement
+    run_tier_pipeline(spark, 1000)
+
+    flag = run_tier_pipeline(spark, N_DOCS)
+    times["tier_pipeline"] = flag["pipeline_sec"]
+    total += flag["pipeline_sec"]
+
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "total_sec_headline",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "bench_docs": N_DOCS,
+        "tokens_per_sec": flag["tokens_per_sec"],
+        "tier_rows": {
+            "tokens": flag["n_tokens"],
+            "hourly": flag["n_hourly"],
+            "daily": flag["n_daily"],
+            "packed": flag["n_packed"],
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

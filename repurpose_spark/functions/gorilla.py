@@ -1,0 +1,217 @@
+"""Gorilla-style compression codecs (Facebook Gorilla, VLDB'15).
+
+The engine's analog of the reference's storage-side packing —
+``scale_factor``/``add_offset`` int encoding + zlib-6 chunks
+(ts2img.py:333-340, :413-419, stack.py:233-238) — applied to per-cell
+token/timestamp/value streams as ``binary`` columns:
+
+* **delta-of-delta** for integer/timestamp streams: zigzag(DoD) packed in
+  128-value blocks at the block's max bit width,
+* **XOR floats**: xor of consecutive float64 bit patterns, packed per
+  block at the block's common (leading, meaningful-width) window.
+
+Both are implemented with numpy bit ops only (no per-row Python inside
+the numeric path) and wrapped as Arrow-batched pandas UDFs, per the
+BASELINE.json input_hint.  Fixed little-endian layout → byte-identical
+output across runs/partitions.
+
+Layout (little-endian):
+  magic 'RSG1' | codec u8 | n u64 | head values | nblocks u32 |
+  per-block params | concatenated packed payloads
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, LongType
+
+MAGIC = b"RSG1"
+CODEC_DOD = 1
+CODEC_XOR = 2
+BLOCK = 128
+
+
+# ---------------------------------------------------------------- bit pack
+def _pack_block(vals: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values at fixed bit width (MSB-first within value)."""
+    if width == 0:
+        return b""
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack_block(buf: bytes, n: int, width: int) -> np.ndarray:
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n * width)
+    weights = (np.uint64(1) << np.arange(width - 1, -1, -1, dtype=np.uint64))
+    return (bits.reshape(n, width).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    u = v.astype(np.int64)
+    return ((u << 1) ^ (u >> 63)).view(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.view(np.uint64) if u.dtype != np.uint64 else u
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -(u & np.uint64(1)).astype(
+        np.int64
+    )
+
+
+def _bit_width(vals: np.ndarray) -> int:
+    m = int(vals.max()) if len(vals) else 0
+    return m.bit_length()
+
+
+# ---------------------------------------------------------- delta-of-delta
+def dod_encode(arr: np.ndarray) -> bytes:
+    """Encode an int64 stream: head (v0, d0) raw + zigzag(DoD) blocks."""
+    a = np.asarray(arr, dtype=np.int64)
+    n = len(a)
+    out = [MAGIC, struct.pack("<BQ", CODEC_DOD, n)]
+    if n == 0:
+        return b"".join(out)
+    out.append(struct.pack("<q", int(a[0])))
+    if n == 1:
+        return b"".join(out)
+    deltas = np.diff(a)
+    out.append(struct.pack("<q", int(deltas[0])))
+    dod = np.diff(deltas)
+    z = _zigzag(dod)
+    nblocks = (len(z) + BLOCK - 1) // BLOCK
+    out.append(struct.pack("<I", nblocks))
+    widths, payloads = [], []
+    for b in range(nblocks):
+        blk = z[b * BLOCK : (b + 1) * BLOCK]
+        w = _bit_width(blk)
+        widths.append(w)
+        payloads.append(_pack_block(blk, w))
+    out.append(bytes(widths))
+    out.extend(payloads)
+    return b"".join(out)
+
+
+def dod_decode(buf: bytes) -> np.ndarray:
+    assert buf[:4] == MAGIC, "bad magic"
+    codec, n = struct.unpack_from("<BQ", buf, 4)
+    assert codec == CODEC_DOD, "not a DoD stream"
+    off = 13
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    (v0,) = struct.unpack_from("<q", buf, off)
+    off += 8
+    if n == 1:
+        return np.array([v0], dtype=np.int64)
+    (d0,) = struct.unpack_from("<q", buf, off)
+    off += 8
+    (nblocks,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    widths = list(buf[off : off + nblocks])
+    off += nblocks
+    m = n - 2  # number of DoD values
+    zs = []
+    for b in range(nblocks):
+        cnt = min(BLOCK, m - b * BLOCK)
+        nbytes = (cnt * widths[b] + 7) // 8
+        zs.append(_unpack_block(buf[off : off + nbytes], cnt, widths[b]))
+        off += nbytes
+    dod = _unzigzag(np.concatenate(zs) if zs else np.empty(0, dtype=np.uint64))
+    deltas = np.concatenate(([d0], d0 + np.cumsum(dod)))
+    return np.concatenate(([v0], v0 + np.cumsum(deltas))).astype(np.int64)
+
+
+# ----------------------------------------------------------------- XOR f64
+def xor_encode(arr: np.ndarray) -> bytes:
+    """Gorilla XOR for float64: block-adaptive (leading, width) window."""
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.float64))
+    n = len(a)
+    out = [MAGIC, struct.pack("<BQ", CODEC_XOR, n)]
+    if n == 0:
+        return b"".join(out)
+    bits = a.view(np.uint64)
+    out.append(struct.pack("<Q", int(bits[0])))
+    if n == 1:
+        return b"".join(out)
+    x = bits[1:] ^ bits[:-1]
+    nblocks = (len(x) + BLOCK - 1) // BLOCK
+    out.append(struct.pack("<I", nblocks))
+    params, payloads = [], []
+    for b in range(nblocks):
+        blk = x[b * BLOCK : (b + 1) * BLOCK]
+        nz = blk[blk != 0]
+        if len(nz) == 0:
+            lead, width = 64, 0
+        else:
+            # common window across the block: min leading / min trailing
+            lz = 64 - int(np.max([int(v).bit_length() for v in nz]))
+            tz = min(int(v & -v).bit_length() - 1 for v in map(int, nz))
+            lead, width = lz, 64 - lz - tz
+        params.append(struct.pack("<BB", lead, width))
+        if width:
+            shifted = blk >> np.uint64(64 - lead - width)
+            payloads.append(_pack_block(shifted, width))
+    out.extend(params)
+    out.extend(payloads)
+    return b"".join(out)
+
+
+def xor_decode(buf: bytes) -> np.ndarray:
+    assert buf[:4] == MAGIC, "bad magic"
+    codec, n = struct.unpack_from("<BQ", buf, 4)
+    assert codec == CODEC_XOR, "not an XOR stream"
+    off = 13
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    (b0,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    if n == 1:
+        return np.array([b0], dtype=np.uint64).view(np.float64)
+    (nblocks,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    params = [struct.unpack_from("<BB", buf, off + 2 * i) for i in range(nblocks)]
+    off += 2 * nblocks
+    m = n - 1
+    xs = []
+    for b, (lead, width) in enumerate(params):
+        cnt = min(BLOCK, m - b * BLOCK)
+        nbytes = (cnt * width + 7) // 8
+        vals = _unpack_block(buf[off : off + nbytes], cnt, width)
+        off += nbytes
+        xs.append(vals << np.uint64(64 - lead - width) if width else vals)
+    x = np.concatenate(xs)
+    bits = np.empty(n, dtype=np.uint64)
+    bits[0] = b0
+    np.bitwise_xor.accumulate(np.concatenate(([np.uint64(b0)], x)), out=bits)
+    return bits.view(np.float64)
+
+
+# ------------------------------------------------------------- Spark UDFs
+@F.pandas_udf(BinaryType())
+def encode_int_stream(s: pd.Series) -> pd.Series:
+    """array<long/int> column → DoD-compressed binary (Arrow-batched)."""
+    return s.map(lambda a: dod_encode(np.asarray(a, dtype=np.int64)))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def decode_int_stream(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: dod_decode(bytes(b)))
+
+
+@F.pandas_udf(BinaryType())
+def encode_float_stream(s: pd.Series) -> pd.Series:
+    """array<double> column → Gorilla-XOR binary (Arrow-batched)."""
+    return s.map(lambda a: xor_encode(np.asarray(a, dtype=np.float64)))
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def decode_float_stream(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: xor_decode(bytes(b)))

@@ -1,0 +1,181 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All pure JVM built-ins (split/regexp/md5/transform) — whole-stage codegen,
+no Python in the hot path.  Each has an exact ANSI-SQL twin used by the
+driver's DuckDB oracle (md5/substr/regexp semantics agree across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def ws_token_count(text: str | Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """BPE-ish token estimate: word chunks + standalone punctuation.
+
+    Splits on the boundary between word chars and non-word, non-space
+    chars — a cheap, deterministic proxy for subword tokenizers."""
+    t = _c(text)
+    return F.size(
+        F.filter(
+            F.split(t, r"(?<=\W)|(?=\W)"),
+            lambda s: F.trim(s) != "",
+        )
+    )
+
+
+def punct_ratio(text: str | Column) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(t) - F.length(stripped)) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+
+
+def upper_ratio(text: str | Column) -> Column:
+    t = _c(text)
+    no_upper = F.regexp_replace(t, r"[A-Z]", "")
+    return (F.length(t) - F.length(no_upper)) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+
+
+def mean_word_len(text: str | Column) -> Column:
+    t = F.trim(_c(text))
+    words = F.filter(F.split(t, r"\s+"), lambda s: F.length(s) > 0)
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+        )
+        / F.size(words)
+    )
+
+
+STOPWORDS = (
+    "the a an and or of to in is it that for on with as was were be this".split()
+)
+
+
+def stopword_ratio(text: str | Column) -> Column:
+    """Fraction of whitespace tokens that are english stopwords —
+    the classic Gopher/C4-style quality signal."""
+    t = F.trim(F.lower(_c(text)))
+    words = F.filter(F.split(t, r"\s+"), lambda s: F.length(s) > 0)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(words)
+    )
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punct-heavy,
+    some stopwords, sane word length."""
+    t = _c(text)
+    length_ok = F.least(F.length(t) / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_ok
+        + 0.3 * (1 - F.least(punct_ratio(t) * 4, F.lit(1.0)))
+        + 0.3 * F.least(stopword_ratio(t) * 3, F.lit(1.0)),
+        4,
+    )
+
+
+def lang_id(text: str | Column) -> Column:
+    """Tiny n-gram-heuristic language ID over {en,de,fr,es,other}.
+
+    Counts signature-word hits per language; ties broken by fixed
+    language order.  Deterministic and SQL-twin-able; a real pipeline
+    would swap in fastText via mapInPandas (see multimodal stubs)."""
+    t = F.concat(F.lit(" "), F.lower(_c(text)), F.lit(" "))
+    sigs = {
+        "en": [" the ", " and ", " is ", " of "],
+        "de": [" der ", " die ", " und ", " ist "],
+        "fr": [" le ", " la ", " et ", " est "],
+        "es": [" el ", " los ", " y ", " es "],
+    }
+
+    def hits(ws):
+        out = F.lit(0)
+        for w in ws:
+            out = out + F.when(F.contains(t, F.lit(w)), 1).otherwise(0)
+        return out
+
+    scored = F.array(
+        *[
+            F.struct(hits(ws).alias("h"), F.lit(lang).alias("l"))
+            for lang, ws in sigs.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["h"] > 0, best["l"]).otherwise(F.lit("other"))
+
+
+def fingerprint64(text: str | Column) -> Column:
+    """64-bit document fingerprint (xxhash64 of normalized text) —
+    the cheap exact-dup key."""
+    t = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.xxhash64(t)
+
+
+def minhash_signature(text: str | Column, k: int = 8, shingle: int = 8) -> Column:
+    """MinHash signature: k independent hashes, each = min over character
+    shingles of md5(seed || shingle).  Pure JVM (transform + array_min);
+    md5-based so the DuckDB oracle reproduces it exactly."""
+    t = _c(text)
+    n = F.greatest(F.length(t) - (shingle - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    sigs = [
+        F.array_min(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.concat(F.lit(str(seed)), t.substr(i, F.lit(shingle)))
+                ),
+            )
+        ).alias(f"sig{seed}")
+        for seed in range(k)
+    ]
+    return F.array(*sigs)
+
+
+def simhash64(text: str | Column) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    Each token votes its xxhash64 bit pattern; the fingerprint keeps the
+    sign of the per-bit vote sum.  Pure JVM: transform over a 64-entry bit
+    index array with aggregate over tokens."""
+    t = F.trim(F.lower(_c(text)))
+    words = F.filter(F.split(t, r"\s+"), lambda s: F.length(s) > 0)
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # static python loop over the 64 bit positions (shift amounts must be
+    # literals); each vote is one JVM aggregate over the token-hash array
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        # NB: pyspark invokes the lambda eagerly, so closing over the loop
+        # variable is safe (and a default arg would become a lambda var)
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1  # noqa: B023
+            ).otherwise(-1),
+        )
+        fp = fp.bitwiseOR(
+            F.shiftleft(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b)
+        )
+    return fp

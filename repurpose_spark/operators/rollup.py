@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from repurpose_spark.config import EPOCH_STR
+
 MERGEABLE = ("n_points", "sum_v", "min_v", "max_v")
 
 
@@ -41,6 +43,59 @@ def rollup(
             F.max(value_col).alias("max_v"),
         )
     )
+
+
+def rollup_points(
+    points: DataFrame,
+    unit_seconds: int,
+    key_cols: list = ("cell_id", "doc_id"),
+    pos_col: str = "pos",
+    value_col: str = "token",
+    dt_seconds: int = 60,
+    epoch: str = EPOCH_STR,
+) -> DataFrame:
+    """Rollup for the derived positional time axis (ts = epoch + pos*dt).
+
+    Groups on the integer bucket ``floor(pos*dt / unit)`` and converts to a
+    tick timestamp only after aggregation (160k groups instead of 8M rows
+    through timestamp codegen) — identical output to
+    ``rollup(points_with_ts, unit)`` whenever ``epoch`` is aligned to the
+    unit boundary (asserted in tests).  ~4x cheaper per token than
+    per-row ``date_trunc``.
+    """
+    key_cols = list(key_cols)
+    epoch_sec = _epoch_seconds(epoch)
+    if epoch_sec % unit_seconds != 0:
+        raise ValueError("epoch must be aligned to the rollup unit")
+    bucket = F.floor(
+        (F.col(pos_col).cast("long") * dt_seconds) / unit_seconds
+    ).alias("__b")
+    return (
+        points.groupBy(*key_cols, bucket)
+        .agg(
+            F.count(value_col).alias("n_points"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+        .select(
+            *key_cols,
+            F.timestamp_seconds(
+                F.lit(epoch_sec) + F.col("__b") * unit_seconds
+            ).alias("tick"),
+            "n_points",
+            "sum_v",
+            "min_v",
+            "max_v",
+        )
+    )
+
+
+def _epoch_seconds(epoch: str) -> int:
+    import calendar
+    from datetime import datetime
+
+    return calendar.timegm(datetime.fromisoformat(epoch).timetuple())
 
 
 def rollup_from_partials(

@@ -56,7 +56,7 @@ def _obs(doc, hours, vals=None):
 TICKS_6H = pd.date_range("2020-01-01", periods=9, freq="6h")
 
 
-@pytest.mark.parametrize("strategy", ["array", "binned"])
+@pytest.mark.parametrize("strategy", ["array", "binned", "arithmetic"])
 def test_reference_edge_offsets(spark, strategy):
     # the exact offset set from tests/test_image.py:130
     offsets = [0.0, 1.0, 3.5, 0.125, 5.9999]
@@ -64,7 +64,7 @@ def test_reference_edge_offsets(spark, strategy):
     _cmp(spark, _obs("d0", hours), TICKS_6H, strategy)
 
 
-@pytest.mark.parametrize("strategy", ["array", "binned"])
+@pytest.mark.parametrize("strategy", ["array", "binned", "arithmetic"])
 def test_exact_tick_fills_two_slots(spark, strategy):
     # obs exactly on a tick also backfills the previous empty tick (case H)
     got = _cmp(spark, _obs("d0", [6.0, 7.0]), TICKS_6H, strategy)
@@ -72,26 +72,26 @@ def test_exact_tick_fills_two_slots(spark, strategy):
     assert set(got["timedelta_seconds"]) == {0.0, 6 * 3600.0}
 
 
-@pytest.mark.parametrize("strategy", ["array", "binned"])
+@pytest.mark.parametrize("strategy", ["array", "binned", "arithmetic"])
 def test_first_per_slot_discard(spark, strategy):
     got = _cmp(spark, _obs("d0", [1.0, 2.0, 3.0]), TICKS_6H, strategy)
     assert len(got) == 1 and got["v"][0] == 0
 
 
-@pytest.mark.parametrize("strategy", ["array", "binned"])
+@pytest.mark.parametrize("strategy", ["array", "binned", "arithmetic"])
 def test_tolerance_inclusive_and_beyond(spark, strategy):
     _cmp(spark, _obs("d0", [12.0 + 6.0]), TICKS_6H, strategy)      # == tol
     _cmp(spark, _obs("d0", [70.0]), TICKS_6H, strategy)            # beyond axis
 
 
-@pytest.mark.parametrize("strategy", ["array", "binned"])
+@pytest.mark.parametrize("strategy", ["array", "binned"])  # irregular: no arithmetic path
 def test_irregular_axis(spark, strategy):
     ticks = [pd.Timestamp("2020-01-01") + pd.Timedelta(hours=h) for h in [0, 1, 12, 13, 36]]
     obs = _obs("d0", [0.5, 1.0, 5.0, 12.7, 20.0, 36.0, 40.0])
     _cmp(spark, obs, ticks, strategy)
 
 
-@pytest.mark.parametrize("strategy", ["array", "binned"])
+@pytest.mark.parametrize("strategy", ["array", "binned", "arithmetic"])
 def test_multi_series_random(spark, strategy):
     rng = np.random.default_rng(42)
     frames = []
@@ -102,7 +102,7 @@ def test_multi_series_random(spark, strategy):
     _cmp(spark, obs, TICKS_6H, strategy)
 
 
-@pytest.mark.parametrize("strategy", ["array", "binned"])
+@pytest.mark.parametrize("strategy", ["array", "binned", "arithmetic"])
 def test_explicit_tolerance(spark, strategy):
     obs = _obs("d0", [0.5, 7.0, 13.5])
     _cmp(spark, obs, TICKS_6H, strategy, tolerance_seconds=3600)
