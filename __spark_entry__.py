@@ -130,6 +130,33 @@ def q_seq_collocate_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-salting path: two-phase hourly rollup keyed by source on
+    the *skewed* synthetic table (giant docs), bit-identical to the plain
+    groupBy (operators/skew.py)."""
+    from repurpose_spark.operators.skew import (
+        detect_hot_keys,
+        rollup_points_salted,
+    )
+
+    pts = sequences_to_points(
+        synth_sequences(spark, N_SYNTH, skew=True), CFG, with_ts=False
+    )
+    hot = detect_hot_keys(pts, ["source"], threshold=0.2)
+    out = rollup_points_salted(
+        pts, 3600, key_cols=["source"], fine_col="doc_id", buckets=8,
+        hot_keys=hot, dt_seconds=CFG.dt_seconds, epoch=CFG.epoch,
+    )
+    return out.select(
+        "source",
+        "tick",
+        "n_points",
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+    )
+
+
 def q_seq_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack hourly tiers per series (DoD ts + DoD ints + XOR floats),
     decode back — exact inverse (bit-exactness asserted in pytest).
@@ -449,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_daily_from_partials": q_seq_daily_from_partials,
         "seq_gapfill_hourly": q_seq_gapfill_hourly,
         "seq_collocate_2h": q_seq_collocate_2h,
+        "seq_salted_rollup": q_seq_salted_rollup,
         "seq_gorilla_roundtrip": q_seq_gorilla_roundtrip,
         "ev_hourly_rollup": q_ev_hourly_rollup,
         "ev_daily_from_hourly": q_ev_daily_from_hourly,
@@ -487,8 +515,32 @@ pts AS (
 """
 
 
+_SEQ_SKEW_CTE = f"""
+WITH d AS (
+  SELECT i,
+         (64 + (i % 193) + CASE WHEN i % 101 = 0 THEN 16384 ELSE 0 END)
+           AS n_tok
+  FROM range({N_SYNTH}) t(i)
+),
+pts AS (
+  SELECT i, n_tok, u.j AS j, ((i*31 + u.j*7) % 50257) AS token
+  FROM d, unnest(generate_series(0, n_tok - 1)) AS u(j)
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "seq_salted_rollup": _SEQ_SKEW_CTE
+        + """
+SELECT ['web','books','code','wiki'][(i % 4) + 1] AS source,
+       TIMESTAMP '2020-01-01' + ((j*60) // 3600) * INTERVAL 1 HOUR AS tick,
+       COUNT(*) AS n_points,
+       CAST(SUM(token) AS BIGINT) AS sum_v,
+       CAST(MIN(token) AS BIGINT) AS min_v,
+       CAST(MAX(token) AS BIGINT) AS max_v
+FROM pts GROUP BY (i % 4), (j*60) // 3600
+""",
         "seq_reorient_roundtrip": _SEQ_CTE
         + """
 SELECT printf('doc%08d', i) AS doc_id,

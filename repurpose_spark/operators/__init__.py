@@ -5,8 +5,14 @@ from repurpose_spark.operators.reorient import (
 from repurpose_spark.operators.collocate import collocate
 from repurpose_spark.operators.rollup import rollup, rollup_from_partials
 from repurpose_spark.operators.gapfill import gap_fill
+from repurpose_spark.operators.skew import (
+    detect_hot_keys,
+    rollup_points_salted,
+)
 
 __all__ = [
+    "detect_hot_keys",
+    "rollup_points_salted",
     "sequences_to_points",
     "points_to_sequences",
     "collocate",

@@ -12,8 +12,13 @@ Generated **distributedly** with ``spark.range`` + built-in array functions
 (transform over sequence) — no driver-side materialization, no Python UDF —
 so the same code generates 10^3 or 10^12 rows; only ``n`` changes.
 
-``skew`` mode reassigns ~30% of rows to one doc_id prefix that hashes to a
-single hot cell, to exercise the salting path (SURVEY.md §7.1 step 6).
+``skew`` mode makes every 101st doc *giant* (n_tok += 16384, ~100x the
+median).  Under hash bucketing (cell_id = xxhash64(doc_id) % n_cells) a
+hot cell arises exactly this way — one enormous series, not many small
+ones — and a doc_id-level salt cannot split it; the salting path must use
+a within-series fine column (``pos``), which is what
+operators/skew.py::salt_for(fine_col='pos') exercises (SURVEY.md §7.1
+step 6).
 """
 
 from __future__ import annotations
@@ -36,6 +41,9 @@ def synth_sequences(
     df = spark.range(0, n, 1, numPartitions=numPartitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
     n_tok = (F.lit(64) + (i % 193)).cast("int")
+    if skew:
+        # every 101st doc is giant → a few hot cells via single huge series
+        n_tok = F.when(i % 101 == 0, n_tok + 16384).otherwise(n_tok).cast("int")
     tokens = F.transform(
         F.sequence(F.lit(0), n_tok - 1),
         lambda j: ((i * 31 + j.cast("long") * 7) % VOCAB).cast("int"),
@@ -44,13 +52,7 @@ def synth_sequences(
         F.array(F.lit("web"), F.lit("books"), F.lit("code"), F.lit("wiki")),
         (i % 4).cast("int") + 1,
     )
-    if skew:
-        # ~30% of docs share a single hot key prefix → one heavy cell
-        doc_id = F.when(
-            i % 10 < 3, F.concat(F.lit("hotdoc"), F.format_string("%08d", i))
-        ).otherwise(F.format_string("doc%08d", i))
-    else:
-        doc_id = F.format_string("doc%08d", i)
+    doc_id = F.format_string("doc%08d", i)
     return df.select(
         doc_id.alias("doc_id"),
         tokens.alias("tokens"),
