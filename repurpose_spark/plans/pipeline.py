@@ -1,0 +1,182 @@
+"""Resumable tier pipeline: raw → hourly → daily (+ packed), checkpointed.
+
+The reference's resumability unit is the ``imgbuffer`` bulk loop — each
+chunk of timestamps is read, shuffled by cell, and *appended* to per-cell
+netCDF files (img2ts.py:652, :801, mode='a' :470); a killed job can be
+rerun over the remaining date range by hand.  Here the unit is a **batch**
+(a deterministic hash-slice of doc_ids) and resume is automatic:
+
+* every batch writes its hourly tier into its own ``batch_id`` partition
+  with dynamic-partition overwrite, so re-running an incomplete batch is
+  **idempotent** (the half-written partition is replaced, never doubled);
+* a per-``(batch_id, cell_id)`` ledger row — series count + point count —
+  is committed only after the batch's data commit.  The ledger is both the
+  checkpoint (resume skips batches whose cells are all ledgered) and the
+  lineage/metrics record mandated by BASELINE.json ("per-cell checkpoints
+  with lineage and row-count metrics written alongside each snapshot");
+  with an Iceberg backend the same rows ride in snapshot summary
+  properties.
+* coarser tiers (daily, packed) are derived from the hourly partials only
+  after all batches are complete — the partial+final architecture, so raw
+  points are exploded and shuffled exactly once per batch.
+
+At cluster scale a batch bounds the working set exactly like imgbuffer
+bounds memory ("chosen so that the memory of your machine is utilized",
+img2ts.py:117-124): 10^12 sequences / n_batches per job, each an
+independent append, restartable at batch granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from repurpose_spark.config import DEFAULT, EngineConfig
+from repurpose_spark.operators.encode import encode_series
+from repurpose_spark.operators.reorient import sequences_to_points
+from repurpose_spark.operators.rollup import (
+    rollup_from_partials,
+    rollup_points,
+    with_avg,
+)
+from repurpose_spark.sources.tables import Warehouse
+
+LEDGER = "_ledger"
+
+
+class TierPipeline:
+    """raw→hourly→daily(+packed) over a sequences table, resumable."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Warehouse,
+        cfg: EngineConfig = DEFAULT,
+        job_id: str = "tiers",
+    ):
+        self.spark = spark
+        self.wh = warehouse
+        self.cfg = cfg
+        self.job_id = job_id
+
+    # -- ledger --------------------------------------------------------------
+    def _ledger_table(self) -> str:
+        return f"{self.job_id}{LEDGER}"
+
+    def completed_batches(self) -> set:
+        recs = self.wh.snapshots(self._ledger_table())
+        return {r["batch_id"] for r in recs if r.get("status") == "done"}
+
+    def ledger_rows(self) -> list:
+        return self.wh.snapshots(self._ledger_table())
+
+    def _commit_batch(self, batch_id: int, per_cell: list) -> None:
+        # one lineage row per cell (the per-cell checkpoint), then the
+        # batch-done marker; the marker is what resume keys on, so a crash
+        # mid-ledger re-runs the batch (idempotent via partition overwrite)
+        for r in per_cell:
+            self.wh._commit(
+                self._ledger_table(),
+                "append",
+                {
+                    "batch_id": batch_id,
+                    "cell_id": r["cell_id"],
+                    "n_series": r["n_series"],
+                    "n_points": r["n_points"],
+                    "status": "cell",
+                },
+            )
+        self.wh._commit(
+            self._ledger_table(), "append",
+            {"batch_id": batch_id, "status": "done"},
+        )
+
+    # -- tiers ---------------------------------------------------------------
+    def hourly_table(self) -> str:
+        return f"{self.job_id}_hourly"
+
+    def daily_table(self) -> str:
+        return f"{self.job_id}_daily"
+
+    def packed_table(self) -> str:
+        return f"{self.job_id}_packed"
+
+    def run(
+        self,
+        seqs: DataFrame,
+        n_batches: int = 4,
+        fail_after_batch: int | None = None,
+        pack: bool = True,
+    ) -> dict:
+        """Process all batches (skipping ledgered ones), then finalize.
+
+        ``fail_after_batch`` aborts after N batch commits — test hook for
+        the crash/resume contract.
+        """
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        done = self.completed_batches()
+        n_run = 0
+        for b in range(n_batches):
+            if b in done:
+                continue
+            batch = seqs.where(
+                F.pmod(F.xxhash64("doc_id", F.lit("batch")), F.lit(n_batches))
+                == b
+            )
+            pts = sequences_to_points(batch, self.cfg, with_ts=False)
+            hourly = rollup_points(
+                pts,
+                3600,
+                key_cols=["cell_id", "doc_id"],
+                dt_seconds=self.cfg.dt_seconds,
+                epoch=self.cfg.epoch,
+            ).withColumn("batch_id", F.lit(b))
+            # idempotent commit: replace exactly this batch's partition
+            (
+                hourly.repartition("cell_id")
+                .write.mode("overwrite")
+                .partitionBy("batch_id", "cell_id")
+                .parquet(self.wh.path(self.hourly_table()))
+            )
+            per_cell = (
+                self.spark.read.parquet(self.wh.path(self.hourly_table()))
+                .where(F.col("batch_id") == b)
+                .groupBy("cell_id")
+                .agg(
+                    F.count_distinct("doc_id").alias("n_series"),
+                    F.sum("n_points").alias("n_points"),
+                )
+                .collect()
+            )
+            self._commit_batch(b, per_cell)
+            n_run += 1
+            if fail_after_batch is not None and n_run >= fail_after_batch:
+                raise RuntimeError(f"injected crash after batch {b}")
+        return self.finalize(pack=pack)
+
+    def finalize(self, pack: bool = True) -> dict:
+        """Daily (and packed) tiers from the hourly partials; overwrite —
+        deriving tiers is itself idempotent."""
+        hourly = self.wh.read(self.hourly_table()).drop("batch_id")
+        daily = rollup_from_partials(hourly, "day")
+        n_daily = daily.count()
+        self.wh.write(
+            daily, self.daily_table(), partition_by=["cell_id"],
+            metrics={"n_rows": n_daily, "tier": "daily"},
+        )
+        out = {"n_daily": n_daily}
+        if pack:
+            packed = encode_series(
+                with_avg(hourly),
+                int_cols=["sum_v", "n_points"],
+                float_cols=["avg_v"],
+            )
+            n_packed = packed.count()
+            self.wh.write(
+                packed, self.packed_table(),
+                metrics={"n_rows": n_packed, "tier": "packed"},
+            )
+            out["n_packed"] = n_packed
+        return out

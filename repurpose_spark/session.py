@@ -24,6 +24,17 @@ def get_spark(
     Parameters mirror spark-submit conf; on a cluster, master/cores come
     from the submitter and only the sql conf below matters.
     """
+    # make the engine importable in spawned python workers regardless of the
+    # driver's cwd — the local-mode analog of `spark-submit --py-files`
+    # (workers inherit PYTHONPATH from the JVM, which inherits it from here;
+    # on a real cluster the launcher ships a zip via --py-files instead)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

@@ -1,0 +1,101 @@
+"""Checkpoint/resume contract (SURVEY.md §7.1 step 7, BASELINE.json):
+a crashed tier job resumed from its per-cell ledger produces exactly the
+single-shot result; ledger carries per-cell row-count lineage; retention
+expiry drops only what the horizon says."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from repurpose_spark.config import EngineConfig
+from repurpose_spark.plans.pipeline import TierPipeline
+from repurpose_spark.plans.retention import expire_tier
+from repurpose_spark.sources.synthetic import synth_sequences
+from repurpose_spark.sources.tables import Warehouse
+
+CFG = EngineConfig(n_cells=8)
+N_DOCS = 200
+
+
+def _sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+TIER_COLS = ["cell_id", "doc_id", "tick", "n_points", "sum_v", "min_v", "max_v"]
+
+
+@pytest.fixture()
+def seqs(spark):
+    return synth_sequences(spark, N_DOCS)
+
+
+def test_single_shot(spark, seqs, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t1")
+    out = pipe.run(seqs, n_batches=3)
+    assert out["n_daily"] > 0 and out["n_packed"] == N_DOCS
+    hourly = wh.read(pipe.hourly_table())
+    # every doc present exactly once per (doc, tick)
+    assert hourly.groupBy("doc_id", "tick").count().where("count > 1").count() == 0
+    assert hourly.select("doc_id").distinct().count() == N_DOCS
+    # ledger has per-cell lineage rows + done markers for all 3 batches
+    rows = pipe.ledger_rows()
+    assert {r["batch_id"] for r in rows if r["status"] == "done"} == {0, 1, 2}
+    cell_rows = [r for r in rows if r["status"] == "cell"]
+    assert sum(r["n_points"] for r in cell_rows) == hourly.agg(
+        F.sum("n_points")
+    ).collect()[0][0]
+
+
+def test_crash_resume_equals_single_shot(spark, seqs, tmp_path):
+    wh_a = Warehouse(spark, str(tmp_path / "a"))
+    TierPipeline(spark, wh_a, CFG, job_id="t").run(seqs, n_batches=3)
+
+    wh_b = Warehouse(spark, str(tmp_path / "b"))
+    pipe_b = TierPipeline(spark, wh_b, CFG, job_id="t")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe_b.run(seqs, n_batches=3, fail_after_batch=1)
+    assert pipe_b.completed_batches() == {0}
+    # resume: batch 0 must be skipped (ledger), 1..2 processed
+    pipe_b.run(seqs, n_batches=3)
+    assert pipe_b.completed_batches() == {0, 1, 2}
+
+    a = wh_a.read("t_hourly").drop("batch_id")
+    b = wh_b.read("t_hourly").drop("batch_id")
+    assert _sorted(a, TIER_COLS) == _sorted(b, TIER_COLS)
+    ad = wh_a.read("t_daily")
+    bd = wh_b.read("t_daily")
+    assert _sorted(ad, TIER_COLS) == _sorted(bd, TIER_COLS)
+
+
+def test_rerun_incomplete_batch_is_idempotent(spark, seqs, tmp_path):
+    """Data written but ledger not committed (crash between the two) must
+    not double rows on resume — dynamic partition overwrite replaces it."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.run(seqs, n_batches=2)
+    n_before = wh.read(pipe.hourly_table()).count()
+    # simulate: erase the ledger (data remains) → both batches re-run
+    import os
+
+    os.remove(wh._meta(pipe._ledger_table()))
+    assert pipe.completed_batches() == set()
+    pipe.run(seqs, n_batches=2)
+    assert wh.read(pipe.hourly_table()).count() == n_before
+
+
+def test_retention_expiry(spark, seqs, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.run(seqs, n_batches=2, pack=False)
+    hourly = wh.read(pipe.hourly_table())
+    horizon = "2020-01-01 02:00:00"
+    n_old = hourly.where(F.col("tick") < horizon).count()
+    n_total = hourly.count()
+    assert 0 < n_old < n_total
+    m = expire_tier(wh, pipe.hourly_table(), horizon)
+    assert m["n_dropped"] == n_old and m["n_kept"] == n_total - n_old
+    left = wh.read(pipe.hourly_table())
+    assert left.count() == n_total - n_old
+    assert left.where(F.col("tick") < horizon).count() == 0
+    # lineage sidecar recorded the expiry
+    assert any(s.get("op") == "expire" for s in wh.snapshots(pipe.hourly_table()))
