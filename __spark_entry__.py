@@ -170,6 +170,52 @@ def q_seq_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_series(packed, int_cols=["sum_v"], float_cols=["avg_v"])
 
 
+def _resample_fixture(spark):
+    """Closed-form grids (reference test style): 10x10 integer targets,
+    20x20 half-step sources with value (s*13) % 101."""
+    from repurpose_spark.operators.resample import build_neighbor_pairs
+
+    targets = [(t, float(t % 10), float(t // 10)) for t in range(100)]
+    sources = [(s, (s % 20) * 0.5, (s // 20) * 0.5) for s in range(400)]
+    pairs = build_neighbor_pairs(spark, targets, sources, k=4, max_dist=0.75)
+    src = spark.range(400).select(
+        F.col("id").alias("key"),
+        ((F.col("id") * 13) % 101).cast("double").alias("v"),
+    )
+    return pairs, src
+
+
+def q_knn_resample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A2: Hamming-weighted 4-NN resample onto the target grid.
+    Weights rounded->decimal so sums are exact in both engines."""
+    from repurpose_spark.operators.resample import hamming_weight
+
+    pairs, src = _resample_fixture(spark)
+    w = F.round(hamming_weight(F.col("dist"), 0.75), 9).cast("decimal(12,9)")
+    j = src.join(F.broadcast(pairs), src.key == pairs.source_key)
+    return j.groupBy("target_key").agg(
+        F.count("*").alias("n_neighbours"),
+        F.sum(
+            (F.col("dist") == 0).cast("int") * F.col("v").cast("long")
+        ).alias("v_exact"),
+        F.sum(w * F.col("v").cast("decimal(12,2)")).cast(
+            "decimal(28,11)"
+        ).alias("sum_wv"),
+        F.sum(w).cast("decimal(20,9)").alias("sum_w"),
+    )
+
+
+def q_knn_resample_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: nearest-neighbour resample with distance gate (P5)."""
+    from repurpose_spark.operators.resample import resample_nn
+
+    pairs, src = _resample_fixture(spark)
+    out = resample_nn(src, pairs, ["v"], key_col="key", max_dist=0.25)
+    return out.select(
+        "target_key", "dist", F.col("v").cast("long").alias("v")
+    )
+
+
 # --------------------------------------------------------------------------
 # events: time-series operator surface on driver data
 # --------------------------------------------------------------------------
@@ -478,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_collocate_2h": q_seq_collocate_2h,
         "seq_salted_rollup": q_seq_salted_rollup,
         "seq_gorilla_roundtrip": q_seq_gorilla_roundtrip,
+        "knn_resample_weighted": q_knn_resample_weighted,
+        "knn_resample_nn": q_knn_resample_nn,
         "ev_hourly_rollup": q_ev_hourly_rollup,
         "ev_daily_from_hourly": q_ev_daily_from_hourly,
         "ev_gapfill_hourly": q_ev_gapfill_hourly,
@@ -608,6 +656,63 @@ SELECT printf('doc%08d', c.i) AS doc_id,
        CAST(o.token AS BIGINT) AS v
 FROM cand c JOIN obs o ON o.i = c.i AND o.s = c.cand_s
 WHERE c.next_s IS NULL OR c.cand_s <= c.next_s
+""",
+        "knn_resample_weighted": """
+WITH t AS (
+  SELECT i AS target_key, CAST(i % 10 AS DOUBLE) AS x,
+         CAST(i // 10 AS DOUBLE) AS y
+  FROM range(100) r(i)
+),
+s AS (
+  SELECT i AS source_key, (i % 20) * 0.5 AS x, (i // 20) * 0.5 AS y,
+         CAST((i * 13) % 101 AS DOUBLE) AS v
+  FROM range(400) r(i)
+),
+pairs AS (
+  SELECT t.target_key, s.source_key, s.v,
+         sqrt((s.x - t.x)*(s.x - t.x) + (s.y - t.y)*(s.y - t.y)) AS dist,
+         row_number() OVER (
+           PARTITION BY t.target_key
+           ORDER BY sqrt((s.x-t.x)*(s.x-t.x)+(s.y-t.y)*(s.y-t.y)),
+                    s.source_key) AS rk
+  FROM t JOIN s
+    ON sqrt((s.x - t.x)*(s.x - t.x) + (s.y - t.y)*(s.y - t.y)) <= 0.75
+),
+k AS (
+  SELECT *, CAST(round(0.54 + 0.46 * cos(pi() * dist / 0.75), 9)
+                 AS DECIMAL(12,9)) AS w
+  FROM pairs WHERE rk <= 4
+)
+SELECT target_key,
+       COUNT(*) AS n_neighbours,
+       SUM(CASE WHEN dist = 0 THEN CAST(v AS BIGINT) ELSE 0 END) AS v_exact,
+       CAST(SUM(w * CAST(v AS DECIMAL(12,2))) AS DECIMAL(28,11)) AS sum_wv,
+       CAST(SUM(w) AS DECIMAL(20,9)) AS sum_w
+FROM k GROUP BY target_key
+""",
+        "knn_resample_nn": """
+WITH t AS (
+  SELECT i AS target_key, CAST(i % 10 AS DOUBLE) AS x,
+         CAST(i // 10 AS DOUBLE) AS y
+  FROM range(100) r(i)
+),
+s AS (
+  SELECT i AS source_key, (i % 20) * 0.5 AS x, (i // 20) * 0.5 AS y,
+         (i * 13) % 101 AS v
+  FROM range(400) r(i)
+),
+pairs AS (
+  SELECT t.target_key, s.source_key, s.v,
+         sqrt((s.x - t.x)*(s.x - t.x) + (s.y - t.y)*(s.y - t.y)) AS dist,
+         row_number() OVER (
+           PARTITION BY t.target_key
+           ORDER BY sqrt((s.x-t.x)*(s.x-t.x)+(s.y-t.y)*(s.y-t.y)),
+                    s.source_key) AS rk
+  FROM t JOIN s
+    ON sqrt((s.x - t.x)*(s.x - t.x) + (s.y - t.y)*(s.y - t.y)) <= 0.75
+)
+SELECT target_key, dist, CAST(v AS BIGINT) AS v
+FROM pairs WHERE rk = 1 AND dist <= 0.25
 """,
         "ev_hourly_rollup": """
 SELECT event_type,

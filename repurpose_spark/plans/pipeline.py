@@ -132,7 +132,7 @@ class TierPipeline:
                 key_cols=["cell_id", "doc_id"],
                 dt_seconds=self.cfg.dt_seconds,
                 epoch=self.cfg.epoch,
-            ).withColumn("batch_id", F.lit(b))
+            ).withColumn("batch_id", F.lit(b)).cache()
             # idempotent commit: replace exactly this batch's partition
             (
                 hourly.repartition("cell_id")
@@ -140,16 +140,17 @@ class TierPipeline:
                 .partitionBy("batch_id", "cell_id")
                 .parquet(self.wh.path(self.hourly_table()))
             )
+            # per-cell lineage from the cached tier (tiny: ~1/unit_dt of
+            # raw), not a parquet re-read — one extra small job per batch
             per_cell = (
-                self.spark.read.parquet(self.wh.path(self.hourly_table()))
-                .where(F.col("batch_id") == b)
-                .groupBy("cell_id")
+                hourly.groupBy("cell_id")
                 .agg(
                     F.count_distinct("doc_id").alias("n_series"),
                     F.sum("n_points").alias("n_points"),
                 )
                 .collect()
             )
+            hourly.unpersist()
             self._commit_batch(b, per_cell)
             n_run += 1
             if fail_after_batch is not None and n_run >= fail_after_batch:
@@ -161,10 +162,13 @@ class TierPipeline:
         deriving tiers is itself idempotent."""
         hourly = self.wh.read(self.hourly_table()).drop("batch_id")
         daily = rollup_from_partials(hourly, "day")
-        n_daily = daily.count()
-        self.wh.write(
-            daily, self.daily_table(), partition_by=["cell_id"],
-            metrics={"n_rows": n_daily, "tier": "daily"},
+        # write once, count from parquet footers (metadata-only) — never
+        # compute a tier twice just for its metrics row
+        self.wh.write(daily, self.daily_table(), partition_by=["cell_id"])
+        n_daily = self.wh.read(self.daily_table()).count()
+        self.wh._commit(
+            self.daily_table(), "metrics",
+            {"n_rows": n_daily, "tier": "daily"},
         )
         out = {"n_daily": n_daily}
         if pack:
@@ -173,10 +177,11 @@ class TierPipeline:
                 int_cols=["sum_v", "n_points"],
                 float_cols=["avg_v"],
             )
-            n_packed = packed.count()
-            self.wh.write(
-                packed, self.packed_table(),
-                metrics={"n_rows": n_packed, "tier": "packed"},
+            self.wh.write(packed, self.packed_table())
+            n_packed = self.wh.read(self.packed_table()).count()
+            self.wh._commit(
+                self.packed_table(), "metrics",
+                {"n_rows": n_packed, "tier": "packed"},
             )
             out["n_packed"] = n_packed
         return out

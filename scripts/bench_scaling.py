@@ -1,0 +1,146 @@
+"""Scaling-efficiency evidence for the BASELINE.json north rule.
+
+No real cluster exists in this sandbox, so N-vs-4N executors is evidenced
+by running the identical job at two parallelism levels on the same input
+(driver instruction).  Three measurements, each at local[2] / local[8] /
+local[32]:
+
+1. ``pipeline``  — the full durable tier pipeline (TierPipeline.run:
+   explode → salt-safe hourly rollup → parquet commit per batch → daily →
+   gorilla pack), tokens/sec end-to-end.
+2. ``compute``   — the same logical tier computation with a noop sink
+   (no durable writes): isolates the distributed compute that actually
+   scales with executors on a real cluster, from the parquet-twin's
+   driver-serial file commits (Iceberg commits metadata; object-store
+   writes scale per-executor).
+3. ``hardware``  — a Spark-free multiprocessing sha256 probe: the ceiling
+   this oversubscribed VM can physically deliver (32 advertised vCPUs do
+   NOT deliver 4x the throughput of 8 — measured, not assumed).
+
+Efficiency(N→4N) = throughput(4N) / (4 * throughput(N)).
+
+Usage: python scripts/bench_scaling.py [--docs 500000] [--out BENCH_SCALING.json]
+Each Spark level runs in a subprocess (fresh JVM per master).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+COMPUTE_JOB = """
+import sys, time; sys.path.insert(0, {repo!r})
+from repurpose_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(master="local[{cpus}]", shuffle_partitions=2*{cpus})
+spark.sparkContext.setLogLevel("ERROR")
+from repurpose_spark.config import EngineConfig
+from repurpose_spark.sources.synthetic import synth_sequences
+from repurpose_spark.operators.reorient import sequences_to_points
+from repurpose_spark.operators.rollup import rollup_points, rollup_from_partials, with_avg
+from repurpose_spark.operators.encode import encode_series
+cfg = EngineConfig(n_cells=64)
+# warm-up (JIT + python workers), untimed
+w = rollup_points(sequences_to_points(synth_sequences(spark, 2000), cfg, with_ts=False), 3600)
+encode_series(with_avg(w), int_cols=["sum_v","n_points"], float_cols=["avg_v"]).write.format("noop").mode("overwrite").save()
+seqs = synth_sequences(spark, {docs}, skew=True, numPartitions=64)
+n_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]
+best = None
+for trial in range({trials}):
+    t0 = time.time()
+    pts = sequences_to_points(seqs, cfg, with_ts=False)
+    hourly = rollup_points(pts, 3600, dt_seconds=cfg.dt_seconds, epoch=cfg.epoch).cache()
+    hourly.count()
+    rollup_from_partials(hourly, "day").write.format("noop").mode("overwrite").save()
+    encode_series(with_avg(hourly), int_cols=["sum_v","n_points"], float_cols=["avg_v"]).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    hourly.unpersist()
+    best = dt if best is None or dt < best else best
+print(__import__("json").dumps({{"wall_sec": round(best,3), "n_tokens": int(n_tokens), "tokens_per_sec": round(n_tokens/best,1)}}))
+"""
+
+
+def run_compute(cpus: int, docs: int, trials: int) -> dict:
+    code = COMPUTE_JOB.format(repo=REPO, cpus=cpus, docs=docs, trials=trials)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1200,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_pipeline(cpus: int, docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_tiers.py"),
+         "--docs", str(docs), "--cpus", str(cpus), "--batches", "2",
+         "--cells", "64", "--parts", "64", "--json"],
+        capture_output=True, text=True, timeout=1200,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _burn(n: int) -> int:
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def run_hardware(workers: int, total_ops: int = 12_800_000) -> dict:
+    per = total_ops // workers
+    t0 = time.time()
+    with mp.Pool(workers) as p:
+        p.map(_burn, [per] * workers)
+    dt = time.time() - t0
+    return {"wall_sec": round(dt, 3), "ops_per_sec": round(total_ops / dt, 1)}
+
+
+def eff(lo: dict, hi: dict, key: str, factor: int = 4) -> float:
+    return round(hi[key] / (factor * lo[key]), 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=500000)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
+    args = ap.parse_args()
+
+    res: dict = {"docs": args.docs, "levels": [2, 8, 32]}
+    for c in (2, 8, 32):
+        res[f"hardware_{c}"] = run_hardware(c)
+    for c in (2, 8, 32):
+        res[f"compute_{c}"] = run_compute(c, args.docs, args.trials)
+        print(f"compute local[{c}]: {res[f'compute_{c}']}", flush=True)
+    for c in (2, 8, 32):
+        res[f"pipeline_{c}"] = run_pipeline(c, args.docs)
+        print(f"pipeline local[{c}]: {res[f'pipeline_{c}']}", flush=True)
+
+    res["efficiency"] = {
+        "hardware_2_to_8": eff(res["hardware_2"], res["hardware_8"], "ops_per_sec"),
+        "hardware_8_to_32": eff(res["hardware_8"], res["hardware_32"], "ops_per_sec"),
+        "compute_2_to_8": eff(res["compute_2"], res["compute_8"], "tokens_per_sec"),
+        "compute_8_to_32": eff(res["compute_8"], res["compute_32"], "tokens_per_sec"),
+        "pipeline_2_to_8": eff(res["pipeline_2"], res["pipeline_8"], "tokens_per_sec"),
+        "pipeline_8_to_32": eff(res["pipeline_8"], res["pipeline_32"], "tokens_per_sec"),
+        "compute_2_to_8_vs_hw_ceiling": round(
+            eff(res["compute_2"], res["compute_8"], "tokens_per_sec")
+            / eff(res["hardware_2"], res["hardware_8"], "ops_per_sec"), 3),
+    }
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res["efficiency"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,14 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--warehouse", default=None,
                     help="warehouse root (default: fresh temp dir)")
+    ap.add_argument("--cells", type=int, default=64,
+                    help="cell bucket count; keep FIXED when comparing "
+                         "parallelism levels (file/commit layout must be "
+                         "identical for a fair scaling measurement)")
+    ap.add_argument("--parts", type=int, default=64,
+                    help="input split count; FIXED across parallelism "
+                         "levels so task granularity (and skew wave "
+                         "balance) is identical")
     ap.add_argument("--no-pack", action="store_true")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
@@ -66,15 +74,25 @@ def main() -> None:
 
     wh_root = args.warehouse or tempfile.mkdtemp(prefix="tiers_wh_")
     cleanup = args.warehouse is None
-    cfg = EngineConfig(n_cells=max(args.cpus * 4, 64))
+    cfg = EngineConfig(n_cells=args.cells)
     wh = Warehouse(spark, wh_root)
     pipe = TierPipeline(spark, wh, cfg, job_id="tiers")
 
     if args.input:
         seqs = spark.read.parquet(args.input)
     else:
-        seqs = synth_sequences(spark, args.docs, skew=args.skew)
+        seqs = synth_sequences(spark, args.docs, skew=args.skew, numPartitions=args.parts)
     n_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]
+
+    # untimed warm-up on a miniature input: JVM JIT + python-worker spawn
+    # are one-time constants a long-running job amortizes to zero; without
+    # this they dominate small-scale wall clock and poison the scaling
+    # comparison
+    warm_wh = Warehouse(spark, tempfile.mkdtemp(prefix="tiers_warm_"))
+    TierPipeline(spark, warm_wh, cfg, job_id="warm").run(
+        synth_sequences(spark, 1000), n_batches=1, pack=not args.no_pack
+    )
+    shutil.rmtree(warm_wh.root, ignore_errors=True)
 
     t0 = time.time()
     out = pipe.run(seqs, n_batches=args.batches, pack=not args.no_pack)
