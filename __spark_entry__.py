@@ -170,6 +170,80 @@ def q_seq_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_series(packed, int_cols=["sum_v"], float_cols=["avg_v"])
 
 
+def q_seq_ortho_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OrthoMultiTs dense layout (img2ts.py:68-76): shared tick axis per
+    group ('source' as the cell so the oracle can reproduce membership),
+    per-series aligned value arrays; emits alignment facts."""
+    from repurpose_spark.operators.ortho import ortho_layout
+
+    pts = sequences_to_points(synth_sequences(spark, N_SYNTH), CFG, with_ts=False)
+    from repurpose_spark.operators.rollup import rollup_points
+
+    hourly = rollup_points(
+        pts, 3600, key_cols=["source", "doc_id"],
+        dt_seconds=CFG.dt_seconds, epoch=CFG.epoch,
+    )
+    o = ortho_layout(
+        hourly, key_cols=["source", "doc_id"], cell_col="source"
+    )
+    return o.select(
+        "source",
+        "doc_id",
+        F.size("ticks").alias("n_ticks"),
+        F.size(F.filter("values", lambda v: v.isNotNull())).alias("n_obs"),
+        F.aggregate(
+            F.filter("values", lambda v: v.isNotNull()),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ).alias("sum_values"),
+    )
+
+
+def q_ev_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: projection + rename dict + per-variable dtype cast
+    (variable_rename img2ts.py:677-695, ts_dtypes img2ts.py:684-691)."""
+    ev = _t(spark, sf_dir, "events")
+    renames = {"event_id": "eid", "event_type": "etype"}
+    casts = {"value": "decimal(18,2)", "user_id": "int"}
+    out = ev.select("event_id", "event_type", "user_id", "value")
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    for c, t in casts.items():
+        out = out.withColumn(c, F.col(c).cast(t))
+    return out
+
+
+def q_ev_drop_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 drop_empty (ts2img.py:388-400): drop hourly slices whose values
+    are all missing; emit surviving slices with row counts."""
+    ev = _t(spark, sf_dir, "events")
+    by_tick = ev.groupBy(F.date_trunc("hour", "ts").alias("tick")).agg(
+        F.count("*").alias("n_rows"),
+        F.count(
+            F.when(
+                F.col("value").isNotNull() & ~F.isnan("value"), F.lit(1)
+            )
+        ).alias("n_valid"),
+    )
+    return by_tick.where(F.col("n_valid") > 0).select(
+        "tick", "n_rows", "n_valid"
+    )
+
+
+def q_ev_exact_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 exact temporal join (stack.py:339-340 intersect1d): hourly ticks
+    present for BOTH 'click' and 'purchase' streams, inner-joined."""
+    ev = _t(spark, sf_dir, "events")
+    def axis(et):
+        return (
+            ev.where(F.col("event_type") == et)
+            .groupBy(F.date_trunc("hour", "ts").alias("tick"))
+            .agg(F.count("*").alias(f"n_{et}"))
+        )
+    a, b = axis("click"), axis("purchase")
+    return a.join(b, "tick", "inner")
+
+
 def _resample_fixture(spark):
     """Closed-form grids (reference test style): 10x10 integer targets,
     20x20 half-step sources with value (s*13) % 101."""
@@ -484,6 +558,78 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_simhash(d, max_hamming=16)
 
 
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID (signature-word votes)."""
+    from repurpose_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher/C4-style quality score (length/punct/stopword)."""
+    from repurpose_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("q"))
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: word runs + punctuation chars."""
+    from repurpose_spark.functions.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_ish_token_count("text").cast("long").alias("n_bpe")
+    )
+
+
+def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets +
+    exact verify.  Approximate candidates → rows-only driver check."""
+    from repurpose_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.2, n_planes=6)
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer, nprobe-pruned exact re-rank.
+    Approximate → rows-only driver check."""
+    from repurpose_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.orderBy("vec_id").select("embedding").first()[0]
+    cent = ivf_centroids(e, n_clusters=8, sample=512)
+    return ivf_topk(e, [float(x) for x in qv], cent, k=10, nprobe=2)
+
+
+def q_mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode fake-codec binaries via mapInPandas; closed-form
+    payload means so DuckDB can regenerate the expected stats in SQL."""
+    from repurpose_spark.operators.multimodal import decode_media, synth_media
+
+    media = synth_media(spark, 200, kind="image")
+    out = decode_media(media)
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: video frame sampling (multi-row mapInPandas)."""
+    from repurpose_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 200, kind="video")
+    out = sample_frames(media, every=2)
+    return out.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
 def q_emb_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qv = (
@@ -524,6 +670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_collocate_2h": q_seq_collocate_2h,
         "seq_salted_rollup": q_seq_salted_rollup,
         "seq_gorilla_roundtrip": q_seq_gorilla_roundtrip,
+        "seq_ortho_layout": q_seq_ortho_layout,
+        "ev_project_cast": q_ev_project_cast,
+        "ev_drop_empty": q_ev_drop_empty,
+        "ev_exact_time_join": q_ev_exact_time_join,
         "knn_resample_weighted": q_knn_resample_weighted,
         "knn_resample_nn": q_knn_resample_nn,
         "ev_hourly_rollup": q_ev_hourly_rollup,
@@ -544,9 +694,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality_score": q_doc_quality_score,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "emb_cosine_scores": q_emb_cosine_scores,
         "emb_topk": q_emb_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "mm_decode_stats": q_mm_decode_stats,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -656,6 +813,51 @@ SELECT printf('doc%08d', c.i) AS doc_id,
        CAST(o.token AS BIGINT) AS v
 FROM cand c JOIN obs o ON o.i = c.i AND o.s = c.cand_s
 WHERE c.next_s IS NULL OR c.cand_s <= c.next_s
+""",
+        "seq_ortho_layout": _SEQ_CTE
+        + """
+, hourly AS (
+  SELECT ['web','books','code','wiki'][(i % 4) + 1] AS source,
+         i, (j*60) // 3600 AS h, SUM(token) AS sum_v
+  FROM pts GROUP BY 1, 2, 3
+),
+axis AS (
+  SELECT source, COUNT(DISTINCT h) AS n_ticks FROM hourly GROUP BY source
+)
+SELECT h.source,
+       printf('doc%08d', h.i) AS doc_id,
+       CAST(a.n_ticks AS INT) AS n_ticks,
+       CAST(COUNT(*) AS INT) AS n_obs,
+       CAST(SUM(h.sum_v) AS BIGINT) AS sum_values
+FROM hourly h JOIN axis a ON a.source = h.source
+GROUP BY h.source, h.i, a.n_ticks
+""",
+        "ev_project_cast": """
+SELECT event_id AS eid, event_type AS etype,
+       CAST(user_id AS INT) AS user_id,
+       CAST(value AS DECIMAL(18,2)) AS value
+FROM events
+""",
+        "ev_drop_empty": """
+WITH t AS (
+  SELECT date_trunc('hour', ts) AS tick,
+         COUNT(*) AS n_rows,
+         COUNT(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                    THEN 1 END) AS n_valid
+  FROM events GROUP BY 1
+)
+SELECT tick, n_rows, n_valid FROM t WHERE n_valid > 0
+""",
+        "ev_exact_time_join": """
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS tick, COUNT(*) AS n_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+b AS (
+  SELECT date_trunc('hour', ts) AS tick, COUNT(*) AS n_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT a.tick, a.n_click, b.n_purchase FROM a JOIN b ON a.tick = b.tick
 """,
         "knn_resample_weighted": """
 WITH t AS (
@@ -872,6 +1074,109 @@ SELECT doc_id,
        list_min([md5('2' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig2,
        list_min([md5('3' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig3
 FROM documents
+""",
+        "doc_lang_id": """
+WITH h AS (
+  SELECT doc_id,
+         ' ' || lower(text) || ' ' AS t
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         (CASE WHEN contains(t, ' the ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' and ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' is ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' of ') THEN 1 ELSE 0 END) AS h_en,
+         (CASE WHEN contains(t, ' der ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' die ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' und ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' ist ') THEN 1 ELSE 0 END) AS h_de,
+         (CASE WHEN contains(t, ' le ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' et ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' est ') THEN 1 ELSE 0 END) AS h_fr,
+         (CASE WHEN contains(t, ' el ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' los ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' y ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' es ') THEN 1 ELSE 0 END) AS h_es
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'other'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM sc
+""",
+        "doc_quality_score": r"""
+WITH f AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS toks,
+         (length(text) -
+          length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+           / greatest(length(text), 1)::DOUBLE AS punct
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         least(length(text) / 200.0, 1.0) AS length_ok,
+         punct,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it',
+                      'that','for','on','with','as','was','were','be','this'],
+                     x))) / len(toks)::DOUBLE END AS sw
+  FROM f
+)
+SELECT doc_id,
+       round(0.4 * length_ok
+             + 0.3 * (1 - least(punct * 4, 1.0))
+             + 0.3 * least(sw * 3, 1.0), 4) AS q
+FROM s
+""",
+        "doc_bpe_tokens": r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_extract_all(text, '\w+'),
+                            x -> length(x) > 0))
+            + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT)
+         AS n_bpe
+FROM documents
+""",
+        "mm_decode_stats": """
+WITH d AS (
+  SELECT i, 16 + i % 8 AS w, 16 + (i * 3) % 8 AS h
+  FROM range(200) r(i)
+)
+SELECT printf('doc%08d', i) AS doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(9 + w * h * 3 AS BIGINT) AS n_bytes,
+       round((SELECT avg((i + 7 * j.x) % 251)
+              FROM unnest(generate_series(0, w * h * 3 - 1)) j(x)), 6)
+         AS mean_intensity
+FROM d
+""",
+        "mm_frame_sample": """
+WITH d AS (
+  SELECT i, 16 + i % 8 AS w, 16 + (i * 3) % 8 AS h, 2 + i % 4 AS nf
+  FROM range(200) r(i)
+),
+fr AS (
+  SELECT d.*, f.x AS frame_idx
+  FROM d, unnest(generate_series(0, nf - 1)) f(x)
+  WHERE f.x % 2 = 0
+)
+SELECT printf('doc%08d', i) AS doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       round((SELECT avg(((i + frame_idx) + 7 * j.x) % 251)
+              FROM unnest(generate_series(0, w * h * 3 - 1)) j(x)), 6)
+         AS mean_intensity
+FROM fr
 """,
         "emb_cosine_scores": """
 WITH q AS (

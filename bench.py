@@ -48,7 +48,11 @@ HEADLINE = [
     "semi_join_parts",
     "doc_token_counts",
     "doc_minhash_pairs",
+    "doc_quality_score",
+    "knn_resample_weighted",
     "emb_topk",
+    "emb_near_dup_pairs",
+    "mm_decode_stats",
 ]
 
 

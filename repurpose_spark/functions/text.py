@@ -24,17 +24,19 @@ def ws_token_count(text: str | Column) -> Column:
 
 
 def bpe_ish_token_count(text: str | Column) -> Column:
-    """BPE-ish token estimate: word chunks + standalone punctuation.
-
-    Splits on the boundary between word chars and non-word, non-space
-    chars — a cheap, deterministic proxy for subword tokenizers."""
+    """BPE-ish token estimate: word-char runs + each non-word, non-space
+    char as its own token — a cheap, deterministic proxy for subword
+    tokenizers.  Formulated with plain character classes (no lookarounds)
+    so the DuckDB/RE2 oracle computes the identical count."""
     t = _c(text)
-    return F.size(
+    word_runs = F.size(
         F.filter(
-            F.split(t, r"(?<=\W)|(?=\W)"),
-            lambda s: F.trim(s) != "",
+            F.regexp_extract_all(t, F.lit(r"\w+"), 0),
+            lambda s: F.length(s) > 0,
         )
     )
+    punct_chars = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    return word_runs + punct_chars
 
 
 def punct_ratio(text: str | Column) -> Column:

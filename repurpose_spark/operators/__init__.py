@@ -9,10 +9,18 @@ from repurpose_spark.operators.skew import (
     detect_hot_keys,
     rollup_points_salted,
 )
+from repurpose_spark.operators.resample import (
+    build_neighbor_pairs,
+    resample_nn,
+    resample_weighted,
+)
 
 __all__ = [
     "detect_hot_keys",
     "rollup_points_salted",
+    "build_neighbor_pairs",
+    "resample_nn",
+    "resample_weighted",
     "sequences_to_points",
     "points_to_sequences",
     "collocate",

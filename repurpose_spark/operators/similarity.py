@@ -75,6 +75,116 @@ def lsh_signature(vec_col: str, dim: int, n_planes: int = 16, seed: int = 7):
     return sig
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 5,
+    seed: int = 7,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a bounded driver-side sample.
+
+    Deterministic (seeded init, fixed iteration count, index-order ties).
+    The sample is tiny next to the table — the classic IVF recipe (train
+    on a sample, assign distributed)."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = x[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    return cent
+
+
+def ivf_assign(vec_col: str, centroids: np.ndarray):
+    """Cluster id = argmin squared distance to the broadcast centroids —
+    pure JVM: array<struct(dist, cid)> → array_min → cid (ties: lowest
+    cid, struct comparison order)."""
+    cols = []
+    for cid, c in enumerate(centroids):
+        cv = F.array(*[F.lit(float(v)) for v in c])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), cv,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*cols))["cid"]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the nprobe clusters nearest the query, exact re-rank
+    inside them.  At cluster scale the table is written partitioned by
+    cluster id, so this is a partition-pruned scan of nprobe/n_clusters of
+    the data; here the assignment filter is inline."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d, kind="stable")[:nprobe]]
+    filtered = emb.withColumn(
+        "__cid", ivf_assign(vec_col, centroids)
+    ).where(F.col("__cid").isin(probe))
+    return brute_force_topk(filtered.drop("__cid"), query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket equi-join
+    for candidates (no all-pairs shuffle), exact cosine verify.
+
+    Same shape as dedup_minhash_lsh: candidates only where full signature
+    matches; recall tunable via n_planes (fewer planes = bigger buckets)."""
+    if not dim:
+        dim = len(emb.select(vec_col).first()[0])
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature(vec_col, dim, n_planes, seed).alias("sig"),
+    )
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+            ).alias("cosine"),
+        )
+    )
+    return cand.where(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list,

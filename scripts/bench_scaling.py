@@ -112,6 +112,9 @@ def eff(lo: dict, hi: dict, key: str, factor: int = 4) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=500000)
+    ap.add_argument("--pipeline-docs", type=int, default=None,
+                    help="doc count for the durable-pipeline levels "
+                         "(default: same as --docs)")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
@@ -122,8 +125,10 @@ def main() -> None:
     for c in (2, 8, 32):
         res[f"compute_{c}"] = run_compute(c, args.docs, args.trials)
         print(f"compute local[{c}]: {res[f'compute_{c}']}", flush=True)
+    pdocs = args.pipeline_docs or args.docs
+    res["pipeline_docs"] = pdocs
     for c in (2, 8, 32):
-        res[f"pipeline_{c}"] = run_pipeline(c, args.docs)
+        res[f"pipeline_{c}"] = run_pipeline(c, pdocs)
         print(f"pipeline local[{c}]: {res[f'pipeline_{c}']}", flush=True)
 
     res["efficiency"] = {

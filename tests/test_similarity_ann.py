@@ -1,0 +1,74 @@
+"""IVF ANN + embedding near-dup: determinism and recall vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from repurpose_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    """3 well-separated clusters + a few exact-duplicate vectors."""
+    rng = np.random.default_rng(42)
+    centers = np.array(
+        [[10.0] * DIM, [-10.0] * DIM, [10.0, -10.0] * (DIM // 2)]
+    )
+    rows = []
+    for i in range(120):
+        c = centers[i % 3]
+        v = c + rng.normal(0, 0.5, DIM)
+        rows.append((i, [float(x) for x in v]))
+    # near-dup pairs: 200/201 and 202/203 identical
+    rows.append((200, rows[0][1]))
+    rows.append((201, rows[0][1]))
+    rows.append((202, rows[1][1]))
+    rows.append((203, rows[1][1]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def test_ivf_assign_partitions_clusters(spark, emb):
+    cent = ivf_centroids(emb, n_clusters=3, iters=8)
+    assigned = emb.withColumn("cid", ivf_assign("embedding", cent))
+    # every (vec_id % 3) class maps to exactly one cluster id
+    m = (
+        assigned.where(F.col("vec_id") < 120)
+        .groupBy((F.col("vec_id") % 3).alias("cls"))
+        .agg(F.count_distinct("cid").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in m)
+
+
+def test_ivf_topk_matches_brute_force(spark, emb):
+    cent = ivf_centroids(emb, n_clusters=3, iters=8)
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(emb, q, cent, k=5, nprobe=1).collect()
+    ]
+    # the query's own cluster holds all true top-5 (well-separated data)
+    assert approx == exact
+
+
+def test_near_dup_pairs_find_planted_dups(spark, emb):
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.999999, n_planes=6
+        ).collect()
+    }
+    assert (200, 201) in pairs and pairs[(200, 201)] == 1.0
+    assert (202, 203) in pairs and pairs[(202, 203)] == 1.0
+    assert (0, 200) in pairs  # duplicate of row 0 itself
