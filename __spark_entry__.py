@@ -399,6 +399,46 @@ def q_ev_first_per_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tier in one pass: GROUPING SETS ((type,hour),(type,day)) —
+    the one-job form of the raw→hourly→daily tier family (SURVEY §2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                    THEN 'hour' ELSE 'day' END AS tier,
+               COALESCE(date_trunc('hour', ts), date_trunc('day', ts)) AS tick,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sum_v
+        FROM __ev
+        GROUP BY GROUPING SETS (
+          (event_type, date_trunc('hour', ts)),
+          (event_type, date_trunc('day', ts))
+        )
+        """
+    )
+
+
+def q_ev_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec: 3-hour trailing mean over the hourly tier."""
+    from pyspark.sql import Window
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("tick")
+        .rowsBetween(-2, 0)
+    )
+    return h.select(
+        "event_type",
+        "tick",
+        "n_events",
+        F.avg("n_events").over(w).cast("decimal(18,4)").alias("ma3"),
+    )
+
+
 def q_ev_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: scrub nulls/NaN/sentinels before aggregation
     (img2ts.py:607-609 sentinel list)."""
@@ -682,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_6h": q_ev_asof_6h,
         "ev_max_gap": q_ev_max_gap,
         "ev_first_per_slot": q_ev_first_per_slot,
+        "ev_grouping_sets": q_ev_grouping_sets,
+        "ev_moving_avg": q_ev_moving_avg,
         "ev_validity_filter": q_ev_validity_filter,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
@@ -993,6 +1035,30 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, tick, event_id, v FROM r WHERE rn = 1
+""",
+        "ev_grouping_sets": """
+SELECT event_type,
+       CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+            THEN 'hour' ELSE 'day' END AS tier,
+       COALESCE(date_trunc('hour', ts), date_trunc('day', ts)) AS tick,
+       COUNT(*) AS n,
+       SUM(CAST(value AS DECIMAL(18,2))) AS sum_v
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type, date_trunc('hour', ts)),
+  (event_type, date_trunc('day', ts))
+)
+""",
+        "ev_moving_avg": """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, tick, n_events,
+       CAST(avg(n_events) OVER (
+         PARTITION BY event_type ORDER BY tick
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS ma3
+FROM h
 """,
         "ev_validity_filter": """
 SELECT event_type, COUNT(*) AS n,

@@ -113,9 +113,6 @@ class TierPipeline:
         ``fail_after_batch`` aborts after N batch commits — test hook for
         the crash/resume contract.
         """
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
         done = self.completed_batches()
         n_run = 0
         for b in range(n_batches):
@@ -132,13 +129,18 @@ class TierPipeline:
                 key_cols=["cell_id", "doc_id"],
                 dt_seconds=self.cfg.dt_seconds,
                 epoch=self.cfg.epoch,
-            ).withColumn("batch_id", F.lit(b)).cache()
-            # idempotent commit: replace exactly this batch's partition
+            ).cache()
+            # idempotent commit: each batch owns its own hive-style
+            # partition directory and overwrites it wholesale — no
+            # dynamic-overwrite staging or full-table listing (the
+            # parquet-twin analog of an Iceberg per-snapshot data dir)
             (
                 hourly.repartition("cell_id")
                 .write.mode("overwrite")
-                .partitionBy("batch_id", "cell_id")
-                .parquet(self.wh.path(self.hourly_table()))
+                .partitionBy("cell_id")
+                .parquet(
+                    f"{self.wh.path(self.hourly_table())}/batch_id={b}"
+                )
             )
             # per-cell lineage from the cached tier (tiny: ~1/unit_dt of
             # raw), not a parquet re-read — one extra small job per batch

@@ -60,6 +60,12 @@ def get_spark(
         # timestamps without timezone surprises
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # v2 committer: task outputs move to the final dir at task commit,
+        # so job commit is O(1) instead of a serial rename of every file
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
