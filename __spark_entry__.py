@@ -170,6 +170,28 @@ def q_seq_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_series(packed, int_cols=["sum_v"], float_cols=["avg_v"])
 
 
+def q_seq_preprocess_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 preprocess hook: user fn per series via applyInPandas
+    (ts2img.py:284-303 semantics) — here mean-centering each series."""
+    from repurpose_spark.operators.hooks import apply_per_series
+
+    pts = sequences_to_points(synth_sequences(spark, N_SYNTH), CFG, with_ts=False)
+
+    def center(pdf):
+        return pdf.assign(centered=pdf.token - pdf.token.mean())[
+            ["doc_id", "pos", "centered"]
+        ]
+
+    out = apply_per_series(
+        pts.select("doc_id", "pos", "token"),
+        [center],
+        "doc_id string, pos int, centered double",
+        key_cols=["doc_id"],
+        sort_within="pos",
+    )
+    return out.select("doc_id", "pos", F.round("centered", 6).alias("centered"))
+
+
 def q_seq_ortho_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OrthoMultiTs dense layout (img2ts.py:68-76): shared tick axis per
     group ('source' as the cell so the oracle can reproduce membership),
@@ -710,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_collocate_2h": q_seq_collocate_2h,
         "seq_salted_rollup": q_seq_salted_rollup,
         "seq_gorilla_roundtrip": q_seq_gorilla_roundtrip,
+        "seq_preprocess_hook": q_seq_preprocess_hook,
         "seq_ortho_layout": q_seq_ortho_layout,
         "ev_project_cast": q_ev_project_cast,
         "ev_drop_empty": q_ev_drop_empty,
@@ -855,6 +878,13 @@ SELECT printf('doc%08d', c.i) AS doc_id,
        CAST(o.token AS BIGINT) AS v
 FROM cand c JOIN obs o ON o.i = c.i AND o.s = c.cand_s
 WHERE c.next_s IS NULL OR c.cand_s <= c.next_s
+""",
+        "seq_preprocess_hook": _SEQ_CTE
+        + """
+SELECT printf('doc%08d', i) AS doc_id,
+       CAST(j AS INT) AS pos,
+       round(token - avg(token) OVER (PARTITION BY i), 6) AS centered
+FROM pts
 """,
         "seq_ortho_layout": _SEQ_CTE
         + """

@@ -166,6 +166,13 @@ def collocate(
     + value columns + ``timedelta_seconds``.
     """
     key_cols = list(key_cols)
+    # P6 protected-name check (ts2img.py:54-58,:159): output column names
+    # the operator itself emits must not collide with input variables
+    reserved = {TIMEDELTA_COL, "tick"} & set(obs.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved output names: {reserved}"
+        )
     ticks_sec = _ticks_to_seconds(ticks)
     tol = tolerance_seconds if tolerance_seconds is not None else max_gap_seconds(ticks_sec)
     ticks_us = [t * 1_000_000 for t in ticks_sec]
