@@ -692,6 +692,31 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on a deterministic candidate set (adjacent
+    doc pairs) — the LSH verification kernel, oracle-checked."""
+    from repurpose_spark.operators.dedup import ngram_jaccard, shingles
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select("doc_id", shingles("text", n=6).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        & (F.col("a.doc_id") % 2 == 0),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sh").alias("sh_a"),
+        F.col("b.sh").alias("sh_b"),
+    )
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.round(ngram_jaccard(pairs), 6).alias("jaccard"),
+    )
+
+
 def q_emb_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qv = (
@@ -759,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality_score,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1170,6 +1196,20 @@ SELECT doc_id,
        list_min([md5('2' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig2,
        list_min([md5('3' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig3
 FROM documents
+""",
+        "doc_ngram_jaccard": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([text[i:i+5]
+                        for i in generate_series(1, greatest(length(text)-5, 1))])
+           AS s
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE /
+             greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id AND a.doc_id % 2 = 0
 """,
         "doc_lang_id": """
 WITH h AS (
