@@ -93,6 +93,34 @@ def run_tier_pipeline(spark, n_docs: int) -> dict:
     }
 
 
+def run_durable_pipeline(spark, n_docs: int) -> dict:
+    """The BASELINE.json headline in its durable form: TierPipeline.run
+    end-to-end (batched parquet commits, ledger, daily+packed tiers)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from repurpose_spark.plans.pipeline import TierPipeline
+    from repurpose_spark.sources.synthetic import synth_sequences
+    from repurpose_spark.sources.tables import Warehouse
+
+    cfg = EngineConfig(n_cells=64)
+    root = tempfile.mkdtemp(prefix="bench_wh_")
+    seqs = synth_sequences(spark, n_docs, skew=True, numPartitions=64)
+    n_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]
+    t0 = time.time()
+    TierPipeline(spark, Warehouse(spark, root), cfg, job_id="bench").run(
+        seqs, n_batches=2
+    )
+    dt = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "durable_sec": round(dt, 3),
+        "durable_tokens_per_sec": round(n_tokens / dt, 1),
+    }
+
+
 def main():
     spark = get_spark(
         app_name="repurpose_spark_bench", master=f"local[{CPUS}]"
@@ -111,6 +139,10 @@ def main():
     times["tier_pipeline"] = flag["pipeline_sec"]
     total += flag["pipeline_sec"]
 
+    durable = run_durable_pipeline(spark, N_DOCS)
+    times["tier_pipeline_durable"] = durable["durable_sec"]
+    total += durable["durable_sec"]
+
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
@@ -128,6 +160,7 @@ def main():
         "cpus": CPUS,
         "bench_docs": N_DOCS,
         "tokens_per_sec": flag["tokens_per_sec"],
+        "durable_tokens_per_sec": durable["durable_tokens_per_sec"],
         "tier_rows": {
             "tokens": flag["n_tokens"],
             "hourly": flag["n_hourly"],

@@ -159,6 +159,25 @@ class TierPipeline:
                 raise RuntimeError(f"injected crash after batch {b}")
         return self.finalize(pack=pack)
 
+    def apply_retention(self, horizons: dict) -> dict:
+        """Expire each tier past its horizon: {'hourly': tick, 'daily':
+        tick} — the TimescaleDB-style policy the tier design implies
+        (coarser tiers retain what finer tiers drop).  Returns per-tier
+        kept/dropped metrics; every expiry is a lineage row."""
+        from repurpose_spark.plans.retention import expire_tier
+
+        out = {}
+        table_of = {
+            "hourly": self.hourly_table(),
+            "daily": self.daily_table(),
+        }
+        for tier_name, horizon in horizons.items():
+            table = table_of[tier_name]
+            if not self.wh.exists(table):
+                continue
+            out[tier_name] = expire_tier(self.wh, table, horizon)
+        return out
+
     def finalize(self, pack: bool = True) -> dict:
         """Daily (and packed) tiers from the hourly partials; overwrite —
         deriving tiers is itself idempotent."""

@@ -99,3 +99,18 @@ def test_retention_expiry(spark, seqs, tmp_path):
     assert left.where(F.col("tick") < horizon).count() == 0
     # lineage sidecar recorded the expiry
     assert any(s.get("op") == "expire" for s in wh.snapshots(pipe.hourly_table()))
+
+
+def test_apply_retention_policy(spark, seqs, tmp_path):
+    """Tier-wise retention: hourly expires past its horizon while daily
+    keeps everything (the coarser tier retains what the finer drops)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.run(seqs, n_batches=2, pack=False)
+    n_daily = wh.read(pipe.daily_table()).count()
+    out = pipe.apply_retention({"hourly": "2020-01-01 02:00:00"})
+    assert out["hourly"]["n_dropped"] > 0
+    left = wh.read(pipe.hourly_table())
+    assert left.where(F.col("tick") < "2020-01-01 02:00:00").count() == 0
+    # daily untouched (no horizon given)
+    assert wh.read(pipe.daily_table()).count() == n_daily
