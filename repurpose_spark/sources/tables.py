@@ -35,11 +35,26 @@ class Warehouse:
     (the analog of Iceberg snapshot metadata and of the reference's
     ``000_log`` dirs, img2ts.py:754)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, catalog: str | None = None
+    ):
+        """``catalog``: an Iceberg catalog name to store tables under
+        (requires the iceberg-spark-runtime jar and catalog conf on the
+        session, e.g.
+        ``--conf spark.sql.catalog.wh=org.apache.iceberg.spark.SparkCatalog``
+        ``--conf spark.sql.catalog.wh.type=hadoop``
+        ``--conf spark.sql.catalog.wh.warehouse=<root>``).
+        When absent or the jar is missing, the Parquet twin is used —
+        same layout and partition spec, tested in this repo; the Iceberg
+        branch is exercised only on clusters that ship the jar."""
         self.spark = spark
         self.root = root
-        self.use_iceberg = _iceberg_available(spark)
+        self.catalog = catalog
+        self.use_iceberg = bool(catalog) and _iceberg_available(spark)
         os.makedirs(root, exist_ok=True)
+
+    def _ident(self, table: str) -> str:
+        return f"{self.catalog}.{table}"
 
     # -- paths -------------------------------------------------------------
     def path(self, table: str) -> str:
@@ -60,6 +75,23 @@ class Warehouse:
         partition_by: list | None = None,
         metrics: dict | None = None,
     ) -> None:
+        if self.use_iceberg:
+            # Iceberg path (cluster-only; not exercisable in this sandbox
+            # — no runtime jar): optimistic-commit snapshots replace the
+            # sidecar, metrics ride in snapshot summary properties
+            wt = df.writeTo(self._ident(table))
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+            for k, v in (metrics or {}).items():
+                wt = wt.option(f"snapshot-property.{k}", str(v))
+            if mode == "append":
+                wt.append()
+            else:
+                wt.createOrReplace()
+            self._commit(table, mode, metrics or {})
+            return
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -72,6 +104,8 @@ class Warehouse:
                    metrics=metrics)
 
     def read(self, table: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self._ident(table))
         return self.spark.read.parquet(self.path(table))
 
     def drop(self, table: str) -> None:

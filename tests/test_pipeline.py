@@ -114,3 +114,15 @@ def test_apply_retention_policy(spark, seqs, tmp_path):
     assert left.where(F.col("tick") < "2020-01-01 02:00:00").count() == 0
     # daily untouched (no horizon given)
     assert wh.read(pipe.daily_table()).count() == n_daily
+
+
+def test_empty_batches_are_handled(spark, tmp_path):
+    """Doc-hash slices with no rows (the missing-day analog,
+    tests/test_img2ts.py:367-401) must commit cleanly and resume."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    out = pipe.run(synth_sequences(spark, 5), n_batches=16)
+    assert out["n_packed"] == 5
+    assert pipe.completed_batches() == set(range(16))
+    hourly = wh.read(pipe.hourly_table())
+    assert hourly.select("doc_id").distinct().count() == 5
