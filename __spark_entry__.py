@@ -692,6 +692,23 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (Rabin windows + anchor
+    subset): per doc, window count, content-defined anchor count
+    (h % 32 == 0) and min/max window hash."""
+    from repurpose_spark.functions.text import rolling_hashes
+
+    d = _t(spark, sf_dir, "documents")
+    hs = rolling_hashes("text", window=8)
+    return d.select(
+        "doc_id",
+        F.size(hs).alias("n_windows"),
+        F.size(F.filter(hs, lambda h: h % 32 == 0)).alias("n_anchors"),
+        F.array_min(hs).alias("min_h"),
+        F.array_max(hs).alias("max_h"),
+    )
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on a deterministic candidate set (adjacent
     doc pairs) — the LSH verification kernel, oracle-checked."""
@@ -784,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality_score,
@@ -1196,6 +1214,22 @@ SELECT doc_id,
        list_min([md5('2' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig2,
        list_min([md5('3' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig3
 FROM documents
+""",
+        "doc_rolling_fingerprint": """
+WITH hs AS (
+  SELECT doc_id,
+         [list_reduce([CAST(ascii(text[i+j:i+j]) AS BIGINT)
+                       for j in generate_series(0, 7)],
+                      (a, b) -> (a * 257 + b) % 1000000007)
+          for i in generate_series(1, greatest(length(text) - 7, 1))] AS h
+  FROM documents
+)
+SELECT doc_id,
+       len(h) AS n_windows,
+       len(list_filter(h, x -> x % 32 = 0)) AS n_anchors,
+       list_min(h) AS min_h,
+       list_max(h) AS max_h
+FROM hs
 """,
         "doc_ngram_jaccard": """
 WITH sh AS (

@@ -154,6 +154,30 @@ def minhash_signature(text: str | Column, k: int = 8, shingle: int = 8) -> Colum
     return F.array(*sigs)
 
 
+def rolling_hashes(
+    text: str | Column, window: int = 8, base: int = 257,
+    mod: int = 1_000_000_007,
+) -> Column:
+    """Rabin-style rolling window hashes: for every window start i,
+    fold h = (h·base + charcode) mod M over the window's characters.
+
+    Pure JVM (nested transform/aggregate, whole-stage codegen); exact
+    BIGINT arithmetic so the DuckDB twin (list_reduce) reproduces every
+    hash.  The anchor subset (h % k == 0) gives content-defined
+    fingerprints robust to insertions — the classic CDC/winnowing shape."""
+    t = _c(text)
+    n = F.greatest(F.length(t) - (window - 1), F.lit(1))
+    win = F.sequence(F.lit(0), F.lit(window - 1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(
+            F.transform(win, lambda j: F.ascii(t.substr(i + j, F.lit(1)))),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * base + c.cast("long")) % mod,
+        ),
+    )
+
+
 def simhash64(text: str | Column) -> Column:
     """64-bit SimHash over whitespace tokens.
 
