@@ -60,6 +60,62 @@ def build_neighbor_pairs(
     )
 
 
+def build_neighbor_pairs_distributed(
+    targets: DataFrame,
+    sources: DataFrame,
+    k: int = 4,
+    max_dist: float = 1.0,
+) -> DataFrame:
+    """Fully distributed k-NN pairs — the scale path for grids too large
+    to brute-force on the driver.
+
+    Classic grid-bucket range join: bucket side length = ``max_dist``, so
+    every source within range of a target lies in the target's 3×3 bucket
+    neighborhood.  Targets publish 9 bucket keys (explode), sources one;
+    the equi-join on bucket is a plain shuffled/broadcast hash join with
+    O(1) fan-out per row, then rank-per-target with a window.  Each
+    (target, source) pair matches exactly once (a source has one bucket).
+
+    Input schemas: (key long/int, x double, y double).  Output is
+    identical to :func:`build_neighbor_pairs` (same tie-break) —
+    equality is test-enforced."""
+    bx = F.floor(F.col("x") / max_dist)
+    by = F.floor(F.col("y") / max_dist)
+    s = sources.select(
+        F.col("key").alias("source_key"),
+        F.col("x").alias("sx"),
+        F.col("y").alias("sy"),
+        F.struct(bx.alias("bx"), by.alias("by")).alias("__b"),
+    )
+    neigh = F.array(
+        *[
+            F.struct((bx + dx).alias("bx"), (by + dy).alias("by"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    t = targets.select(
+        F.col("key").alias("target_key"),
+        F.col("x").alias("tx"),
+        F.col("y").alias("ty"),
+        F.explode(neigh).alias("__b"),
+    )
+    dx = F.col("sx") - F.col("tx")
+    dy = F.col("sy") - F.col("ty")
+    d = F.sqrt(dx * dx + dy * dy)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("target_key").orderBy("dist", "source_key")
+    return (
+        t.join(s, "__b")
+        .withColumn("dist", d)
+        .where(F.col("dist") <= max_dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("target_key", "source_key", "dist", "rank")
+    )
+
+
 def hamming_weight(dist_col, radius: float):
     """Hamming-window distance weight (resample.py:249-268):
     w(d) = 0.54 + 0.46*cos(pi * d / radius)."""

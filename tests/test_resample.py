@@ -99,3 +99,21 @@ def test_rank_and_tiebreak_deterministic(spark, pairs):
     assert [d for _, d, _ in rows[1:]] == [0.5, 0.5, 0.5]
     ring_keys = [k for _, _, k in rows[1:]]
     assert ring_keys == sorted(ring_keys)
+
+
+def test_distributed_pairs_equal_driver_pairs(spark):
+    """The grid-bucketed distributed builder must produce the identical
+    pairs relation (keys, dists, ranks) as the driver-side brute force."""
+    from repurpose_spark.operators.resample import (
+        build_neighbor_pairs_distributed,
+    )
+
+    targets, sources = _grids()
+    drv = build_neighbor_pairs(spark, targets, sources, k=4, max_dist=0.75)
+    t_df = spark.createDataFrame(targets, "key long, x double, y double")
+    s_df = spark.createDataFrame(sources, "key long, x double, y double")
+    dist = build_neighbor_pairs_distributed(t_df, s_df, k=4, max_dist=0.75)
+    cols = ["target_key", "source_key", "dist", "rank"]
+    a = sorted(map(tuple, drv.select(*cols).collect()))
+    b = sorted(map(tuple, dist.select(*cols).collect()))
+    assert a == b

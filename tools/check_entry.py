@@ -37,7 +37,10 @@ def _norm(v):
 
 def _rows_to_set(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # None-safe total order (e.g. outer-join/grouping-set NULLs)
+    def key(t):
+        return tuple((v is None, v) for v in t)
+    out = sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=key)
     return out
 
 
