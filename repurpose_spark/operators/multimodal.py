@@ -36,6 +36,7 @@ DECODE_SCHEMA = (
     "doc_id string, width int, height int, channels int, "
     "n_bytes long, mean_intensity double"
 )
+DECODE_SCHEMA_SAFE = DECODE_SCHEMA + ", error string"
 RESIZE_SCHEMA = (
     "doc_id string, out_w int, out_h int, pooled binary"
 )
@@ -117,25 +118,41 @@ def synth_media(
 
 
 # --------------------------------------------------------------- operators
-def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Decode + per-item stats via mapInPandas (Arrow batches)."""
+def decode_media(
+    df: DataFrame, media_col: str = "media", ignore_errors: bool = False
+) -> DataFrame:
+    """Decode + per-item stats via mapInPandas (Arrow batches).
+
+    ``ignore_errors`` is the reference's log-and-continue semantics
+    (process.py:174-199; img2ts.py:214-216): a corrupt item becomes a
+    status row (``error`` column set, stats NULL) instead of failing the
+    whole Spark task — real pipelines always carry undecodable media."""
+    cols = [
+        "doc_id", "width", "height", "channels", "n_bytes",
+        "mean_intensity",
+    ]
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, buf in zip(pdf["doc_id"], pdf[media_col]):
-                w, h, c, arr = _decode_raster(bytes(buf))
-                out.append(
-                    (doc_id, w, h, c, len(buf), float(arr.mean()))
-                )
+                try:
+                    w, h, c, arr = _decode_raster(bytes(buf))
+                    row = (doc_id, w, h, c, len(buf), float(arr.mean()))
+                except Exception as ex:  # noqa: BLE001
+                    if not ignore_errors:
+                        raise
+                    row = (doc_id, None, None, None, len(buf), None)
+                    out.append((*row, f"{type(ex).__name__}: {ex}"[:200]))
+                    continue
+                out.append((*row, None) if ignore_errors else row)
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id", "width", "height", "channels",
-                    "n_bytes", "mean_intensity",
-                ],
+                out, columns=cols + (["error"] if ignore_errors else [])
             )
 
-    return df.mapInPandas(fn, DECODE_SCHEMA)
+    return df.mapInPandas(
+        fn, DECODE_SCHEMA_SAFE if ignore_errors else DECODE_SCHEMA
+    )
 
 
 def resize_pooled(

@@ -72,3 +72,28 @@ def test_sample_frames_multirow(spark):
     n = r["width"] * r["height"] * 3
     expect = float(((0 + 7 * np.arange(n)) % 251).mean())
     assert r["mean_intensity"] == pytest.approx(expect)
+
+
+def test_ignore_errors_status_rows(spark):
+    """Corrupt blobs become status rows (reference ignore_errors,
+    process.py:174-199) — good rows unaffected, task never fails."""
+    import pandas as pd
+
+    good = synth_media(spark, 4, kind="image")
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ["baddoc"], "media": [b"\x89PNG not fake"],
+             "kind": ["image"]}
+        )
+    )
+    mixed = good.unionByName(bad)
+    out = decode_media(mixed, ignore_errors=True).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 5
+    assert by_id["baddoc"]["error"].startswith("NotImplementedError")
+    assert by_id["baddoc"]["width"] is None
+    assert by_id["doc00000001"]["error"] is None
+    assert by_id["doc00000001"]["width"] == 17
+    # strict mode still raises
+    with pytest.raises(Exception, match="NotImplementedError|FAKE|raster"):
+        decode_media(mixed, ignore_errors=False).collect()
