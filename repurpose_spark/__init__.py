@@ -20,3 +20,16 @@ partial aggregation and AQE; Python appears only in Arrow-vectorized UDFs.
 """
 
 __version__ = "0.1.0"
+
+from repurpose_spark.api import Img2Ts, Ts2Img, resample_to_grid  # noqa: E402
+from repurpose_spark.config import EngineConfig  # noqa: E402
+from repurpose_spark.session import get_spark  # noqa: E402
+
+__all__ = [
+    "Img2Ts",
+    "Ts2Img",
+    "resample_to_grid",
+    "EngineConfig",
+    "get_spark",
+    "__version__",
+]
