@@ -692,6 +692,24 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The individual Gopher/C4-style signals behind the composite:
+    stopword ratio, uppercase ratio, mean word length."""
+    from repurpose_spark.functions.text import (
+        mean_word_len,
+        stopword_ratio,
+        upper_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(upper_ratio("text"), 6).alias("upper_ratio"),
+        F.round(mean_word_len("text"), 6).alias("mean_word_len"),
+    )
+
+
 def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (Rabin windows + anchor
     subset): per doc, window count, content-defined anchor count
@@ -801,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_quality_signals": q_doc_quality_signals,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_lang_id": q_doc_lang_id,
@@ -1214,6 +1233,28 @@ SELECT doc_id,
        list_min([md5('2' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig2,
        list_min([md5('3' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig3
 FROM documents
+""",
+        "doc_quality_signals": r"""
+WITH f AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS toks,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE len(list_filter(toks, x -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it',
+                     'that','for','on','with','as','was','were','be','this'],
+                    x))) / len(toks)::DOUBLE END, 6) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+             / greatest(length(text), 1)::DOUBLE, 6) AS upper_ratio,
+       round(CASE WHEN len(words) = 0 THEN 0.0
+             ELSE list_sum(list_transform(words, w -> length(w)))
+                  / len(words)::DOUBLE END, 6) AS mean_word_len
+FROM f
 """,
         "doc_rolling_fingerprint": """
 WITH hs AS (

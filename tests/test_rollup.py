@@ -61,3 +61,22 @@ def test_gap_fill_dense(spark):
     obs_back = dense.where(F.col("sum_v").isNotNull()).select(hourly.columns)
     assert obs_back.exceptAll(hourly).count() == 0
     assert hourly.exceptAll(obs_back).count() == 0
+
+
+def test_gap_fill_explicit_bounds(spark):
+    """start/end bounds extend the dense axis beyond the observed range."""
+    from pyspark.sql import functions as F
+
+    from repurpose_spark.operators.gapfill import gap_fill
+
+    tier = spark.createDataFrame(
+        [("a", "2020-01-01 01:00:00", 5), ("a", "2020-01-01 03:00:00", 7)],
+        "doc_id string, tick string, n_points long",
+    ).withColumn("tick", F.col("tick").cast("timestamp"))
+    dense = gap_fill(
+        tier, "hour", key_cols=["doc_id"],
+        start="2020-01-01 00:00:00", end="2020-01-01 05:00:00",
+        fill_values={"n_points": 0},
+    )
+    rows = {r["tick"].hour: r["n_points"] for r in dense.collect()}
+    assert rows == {0: 0, 1: 5, 2: 0, 3: 7, 4: 0, 5: 0}
