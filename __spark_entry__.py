@@ -160,14 +160,24 @@ def q_seq_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_seq_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack hourly tiers per series (DoD ts + DoD ints + XOR floats),
     decode back — exact inverse (bit-exactness asserted in pytest).
-    Non-SQL-expressible (binary codec) → rows-only driver check."""
+    The decoded output IS the hourly tier + avg, which the _SEQ_CTE oracle
+    regenerates in SQL — so the driver certifies the codec round-trip
+    end-to-end (ref semantics: ts2img.py:413-419)."""
     pts = sequences_to_points(synth_sequences(spark, N_SYNTH), CFG)
     hourly = rollup(pts, "hour").withColumn(
         "avg_v", F.col("sum_v") / F.col("n_points")
     )
     tier = hourly.select("cell_id", "doc_id", "tick", "sum_v", "avg_v")
     packed = encode_series(tier, int_cols=["sum_v"], float_cols=["avg_v"])
-    return decode_series(packed, int_cols=["sum_v"], float_cols=["avg_v"])
+    out = decode_series(packed, int_cols=["sum_v"], float_cols=["avg_v"])
+    # cell_id = pmod(xxhash64(doc_id), n) has no SQL twin — drop it from
+    # the wire format (it stays the encode/partition key)
+    return out.select(
+        "doc_id",
+        "tick",
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("avg_v").cast("double").alias("avg_v"),
+    )
 
 
 def q_seq_preprocess_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,7 +242,8 @@ def q_ev_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumnRenamed(old, new)
     for c, t in casts.items():
         out = out.withColumn(c, F.col(c).cast(t))
-    return out
+    # hash-stable final type: decimal internally, double on the wire
+    return out.withColumn("value", F.col("value").cast("double"))
 
 
 def q_ev_drop_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,10 +305,11 @@ def q_knn_resample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("dist") == 0).cast("int") * F.col("v").cast("long")
         ).alias("v_exact"),
-        F.sum(w * F.col("v").cast("decimal(12,2)")).cast(
-            "decimal(28,11)"
-        ).alias("sum_wv"),
-        F.sum(w).cast("decimal(20,9)").alias("sum_w"),
+        F.sum(w * F.col("v").cast("decimal(12,2)"))
+        .cast("decimal(28,11)")
+        .cast("double")
+        .alias("sum_wv"),
+        F.sum(w).cast("decimal(20,9)").cast("double").alias("sum_w"),
     )
 
 
@@ -332,7 +344,9 @@ def _ev_hourly(spark, sf_dir):
 
 
 def q_ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ev_hourly(spark, sf_dir)
+    return _ev_hourly(spark, sf_dir).withColumn(
+        "sum_v", F.col("sum_v").cast("double")
+    )
 
 
 def q_ev_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +356,7 @@ def q_ev_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.groupBy("event_type", F.date_trunc("day", "tick").alias("tick"))
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("sum_v").cast("decimal(18,2)").alias("sum_v"),
+            F.sum("sum_v").cast("decimal(18,2)").cast("double").alias("sum_v"),
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
         )
@@ -381,7 +395,7 @@ def q_ev_asof_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "tick",
         (F.unix_micros("obs_ts") - F.unix_micros("tick")).alias("delta_us"),
-        F.col("v").cast("decimal(18,2)").alias("v"),
+        F.col("v").cast("decimal(18,2)").cast("double").alias("v"),
     )
 
 
@@ -416,7 +430,7 @@ def q_ev_first_per_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_trunc("hour", "ts").alias("tick"),
             "event_id",
-            F.col("value").cast("decimal(18,2)").alias("v"),
+            F.col("value").cast("decimal(18,2)").cast("double").alias("v"),
         )
     )
 
@@ -433,7 +447,7 @@ def q_ev_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 'hour' ELSE 'day' END AS tier,
                COALESCE(date_trunc('hour', ts), date_trunc('day', ts)) AS tick,
                COUNT(*) AS n,
-               SUM(CAST(value AS DECIMAL(18,2))) AS sum_v
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         FROM __ev
         GROUP BY GROUPING SETS (
           (event_type, date_trunc('hour', ts)),
@@ -457,7 +471,7 @@ def q_ev_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "tick",
         "n_events",
-        F.avg("n_events").over(w).cast("decimal(18,4)").alias("ma3"),
+        F.avg("n_events").over(w).cast("decimal(18,4)").cast("double").alias("ma3"),
     )
 
 
@@ -473,7 +487,7 @@ def q_ev_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return clean.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_v"),
     )
 
 
@@ -488,13 +502,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast(
                     "decimal(28,4)"
                 )
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -516,7 +530,10 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
     )
 
 
@@ -532,7 +549,7 @@ def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sub.groupBy("l_suppkey").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
 
 
@@ -553,7 +570,7 @@ def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "rk",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
         )
     )
 
@@ -608,10 +625,14 @@ def q_doc_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline (bucket join + Jaccard verify).
-    Rows-only driver check (pair generation not cleanly SQL-hashable)."""
+    """Full MinHash-LSH near-dup pipeline (band bucket join + exact
+    Jaccard verify).  md5 hash family + step=1 shingles so the DuckDB
+    oracle reproduces candidates and verification byte-for-byte
+    (the xxhash64 family is the cheap scale path, pytest-covered)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup_minhash_lsh(d, threshold=0.3)
+    return dedup_minhash_lsh(
+        d, k=4, bands=4, shingle_n=8, threshold=0.3, step=1, use_md5=True
+    )
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,6 +883,29 @@ pts AS (
 """
 
 
+# LSH hyperplanes are pure functions of (dim, n_planes, seed) — embed them
+# as SQL literals so DuckDB recomputes signatures/buckets identically and
+# the driver certifies the bucket-join + verify ALGORITHM exactly (repr()
+# round-trips doubles bit-for-bit).
+def _planes_sql(dim: int, n_planes: int, seed: int = 7) -> list[str]:
+    from repurpose_spark.operators.similarity import _hyperplanes
+
+    return [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        for p in _hyperplanes(dim, n_planes, seed)
+    ]
+
+
+def _sig_sql(e: str, dim: int, n_planes: int) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN list_dot_product({e}, {p}) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(_planes_sql(dim, n_planes))
+    ) + ")"
+
+
+_EMB_DIM = 64  # driver embeddings table dimension (TESTDATA.md)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "seq_salted_rollup": _SEQ_SKEW_CTE
@@ -942,6 +986,14 @@ SELECT printf('doc%08d', c.i) AS doc_id,
 FROM cand c JOIN obs o ON o.i = c.i AND o.s = c.cand_s
 WHERE c.next_s IS NULL OR c.cand_s <= c.next_s
 """,
+        "seq_gorilla_roundtrip": _SEQ_CTE
+        + """
+SELECT printf('doc%08d', i) AS doc_id,
+       TIMESTAMP '2020-01-01' + ((j*60) // 3600) * INTERVAL 1 HOUR AS tick,
+       CAST(SUM(token) AS BIGINT) AS sum_v,
+       CAST(SUM(token) AS DOUBLE) / COUNT(*) AS avg_v
+FROM pts GROUP BY i, (j*60) // 3600
+""",
         "seq_preprocess_hook": _SEQ_CTE
         + """
 SELECT printf('doc%08d', i) AS doc_id,
@@ -970,7 +1022,7 @@ GROUP BY h.source, h.i, a.n_ticks
         "ev_project_cast": """
 SELECT event_id AS eid, event_type AS etype,
        CAST(user_id AS INT) AS user_id,
-       CAST(value AS DECIMAL(18,2)) AS value
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
 FROM events
 """,
         "ev_drop_empty": """
@@ -1022,9 +1074,9 @@ k AS (
 )
 SELECT target_key,
        COUNT(*) AS n_neighbours,
-       SUM(CASE WHEN dist = 0 THEN CAST(v AS BIGINT) ELSE 0 END) AS v_exact,
-       CAST(SUM(w * CAST(v AS DECIMAL(12,2))) AS DECIMAL(28,11)) AS sum_wv,
-       CAST(SUM(w) AS DECIMAL(20,9)) AS sum_w
+       CAST(SUM(CASE WHEN dist = 0 THEN CAST(v AS BIGINT) ELSE 0 END) AS BIGINT) AS v_exact,
+       CAST(CAST(SUM(w * CAST(v AS DECIMAL(12,2))) AS DECIMAL(28,11)) AS DOUBLE) AS sum_wv,
+       CAST(CAST(SUM(w) AS DECIMAL(20,9)) AS DOUBLE) AS sum_w
 FROM k GROUP BY target_key
 """,
         "knn_resample_nn": """
@@ -1055,7 +1107,7 @@ FROM pairs WHERE rk = 1 AND dist <= 0.25
 SELECT event_type,
        date_trunc('hour', ts) AS tick,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_v,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
        MIN(value) AS min_v,
        MAX(value) AS max_v
 FROM events GROUP BY 1, 2
@@ -1064,7 +1116,7 @@ FROM events GROUP BY 1, 2
 SELECT event_type,
        CAST(date_trunc('day', ts) AS TIMESTAMP) AS tick,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
        MIN(value) AS min_v,
        MAX(value) AS max_v
 FROM events GROUP BY 1, 2
@@ -1106,7 +1158,7 @@ cand AS (
 )
 SELECT c.user_id, c.tick,
        epoch_us(c.cand_ts) - epoch_us(c.tick) AS delta_us,
-       CAST(o.v AS DECIMAL(18,2)) AS v
+       CAST(CAST(o.v AS DECIMAL(18,2)) AS DOUBLE) AS v
 FROM cand c JOIN obs o ON o.user_id = c.user_id AND o.ts = c.cand_ts
 WHERE c.next_tick IS NULL OR c.cand_ts <= c.next_tick
 """,
@@ -1121,7 +1173,7 @@ SELECT user_id, MAX(g) AS max_gap_us FROM g GROUP BY user_id
         "ev_first_per_slot": """
 WITH r AS (
   SELECT user_id, date_trunc('hour', ts) AS tick, event_id,
-         CAST(value AS DECIMAL(18,2)) AS v,
+         CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
          row_number() OVER (
            PARTITION BY user_id, date_trunc('hour', ts)
            ORDER BY ts, event_id) AS rn
@@ -1135,7 +1187,7 @@ SELECT event_type,
             THEN 'hour' ELSE 'day' END AS tier,
        COALESCE(date_trunc('hour', ts), date_trunc('day', ts)) AS tick,
        COUNT(*) AS n,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_v
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
 FROM events
 GROUP BY GROUPING SETS (
   (event_type, date_trunc('hour', ts)),
@@ -1148,14 +1200,14 @@ WITH h AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, tick, n_events,
-       CAST(avg(n_events) OVER (
+       CAST(CAST(avg(n_events) OVER (
          PARTITION BY event_type ORDER BY tick
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS ma3
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS ma3
 FROM h
 """,
         "ev_validity_filter": """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(value AS DECIMAL(18,2))) AS sum_v
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
 FROM events
 WHERE ts IS NOT NULL AND value IS NOT NULL
   AND NOT isnan(value) AND value != -9999.0
@@ -1163,11 +1215,11 @@ GROUP BY event_type
 """,
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                AS DECIMAL(28,4))) AS sum_disc_price,
+                AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1175,9 +1227,9 @@ GROUP BY l_returnflag, l_linestatus
 """,
         "revenue_by_nation": """
 SELECT n_name,
-       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                AS DECIMAL(28,4))) AS revenue,
+                AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1187,7 +1239,7 @@ GROUP BY n_name
 """,
         "semi_join_parts": """
 SELECT l_suppkey, COUNT(*) AS n,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 25)
 GROUP BY l_suppkey
@@ -1195,7 +1247,7 @@ GROUP BY l_suppkey
         "topk_orders_per_segment": """
 WITH r AS (
   SELECT c_mktsegment, o_orderkey,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
          row_number() OVER (
            PARTITION BY c_mktsegment
            ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -1217,7 +1269,8 @@ SELECT doc_id,
 FROM documents
 """,
         "doc_lang_stats": """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang, source
 """,
         "doc_exact_dup_groups": """
@@ -1233,6 +1286,39 @@ SELECT doc_id,
        list_min([md5('2' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig2,
        list_min([md5('3' || text[i:i+7]) for i in generate_series(1, greatest(length(text)-7, 1))]) AS sig3
 FROM documents
+""",
+        "doc_minhash_pairs": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([text[i:i+7]
+                        for i in generate_series(1, greatest(length(text)-7, 1))])
+           AS s
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(s, x -> md5('0' || x))) AS sig0,
+         list_min(list_transform(s, x -> md5('1' || x))) AS sig1,
+         list_min(list_transform(s, x -> md5('2' || x))) AS sig2,
+         list_min(list_transform(s, x -> md5('3' || x))) AS sig3
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1
+        OR a.sig2 = b.sig2 OR a.sig3 = b.sig3)
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(x.s, y.s))::DOUBLE /
+         greatest(len(list_distinct(list_concat(x.s, y.s))), 1) AS j
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM v WHERE j >= 0.3
 """,
         "doc_quality_signals": r"""
 WITH f AS (
@@ -1413,5 +1499,30 @@ s AS (
   FROM embeddings, q
 )
 SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        "emb_near_dup_pairs": f"""
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+g AS (SELECT vec_id, e, {_sig_sql('e', _EMB_DIM, 6)} AS sig FROM s),
+c AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) *
+          sqrt(list_dot_product(b.e, b.e))) AS cos
+  FROM g a JOIN g b ON a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 4) AS cosine FROM c WHERE cos >= 0.2
+""",
+        "emb_lsh_topk": f"""
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+g AS (SELECT vec_id, e, {_sig_sql('e', _EMB_DIM, 6)} AS sig FROM s),
+q AS (SELECT e AS qe, sig AS qsig FROM g ORDER BY vec_id LIMIT 1),
+f AS (
+  SELECT vec_id,
+         round(list_dot_product(e, qe) /
+               (sqrt(list_dot_product(e, e)) *
+                sqrt(list_dot_product(qe, qe))), 4) AS cosine
+  FROM g, q WHERE sig = qsig
+)
+SELECT vec_id, cosine FROM f ORDER BY cosine DESC, vec_id LIMIT 10
 """,
     }

@@ -182,26 +182,37 @@ def simhash64(text: str | Column) -> Column:
     """64-bit SimHash over whitespace tokens.
 
     Each token votes its xxhash64 bit pattern; the fingerprint keeps the
-    sign of the per-bit vote sum.  Pure JVM: transform over a 64-entry bit
-    index array with aggregate over tokens."""
+    sign of the per-bit vote sum.  Single pass over the token-hash array:
+    ONE JVM aggregate folds each hash into a 64-wide vote-count array
+    (zip_with), then the counts collapse to a fingerprint by summing the
+    disjoint bit values — O(n_tokens · 64) work in one expression instead
+    of the naive 64 independent aggregate passes."""
     t = F.trim(F.lower(_c(text)))
     words = F.filter(F.split(t, r"\s+"), lambda s: F.length(s) > 0)
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # static python loop over the 64 bit positions (shift amounts must be
-    # literals); each vote is one JVM aggregate over the token-hash array
-    fp = F.lit(0).cast("long")
-    for b in range(64):
-        # NB: pyspark invokes the lambda eagerly, so closing over the loop
-        # variable is safe (and a default arg would become a lambda var)
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1  # noqa: B023
-            ).otherwise(-1),
-        )
-        fp = fp.bitwiseOR(
-            F.shiftleft(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b)
-        )
-    return fp
+    # bit b's mask is 2^b (bit 63: two's-complement -(2^63)); testing
+    # h & mask != 0 avoids per-bit shifts, which need literal shift amounts
+    bit_vals = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(63)]
+        + [F.lit(-(1 << 63)).cast("long")]
+    )
+    zeros = F.array(*[F.lit(0) for _ in range(64)])
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_vals,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            bit_vals,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -82,47 +82,61 @@ def dedup_minhash_lsh(
     bands: int = 4,
     shingle_n: int = 8,
     threshold: float = 0.6,
+    step: int = 2,
+    use_md5: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH, Jaccard-verified.
 
     k signatures split into ``bands`` bands of k/bands rows; docs agreeing
     on any whole band become candidates (equi-join on the band hash);
     candidates are verified with exact shingle Jaccard.  Returns
-    (doc_a, doc_b, jaccard)."""
+    (doc_a, doc_b, jaccard).
+
+    Shuffle discipline: the band explode and the candidate self-join carry
+    ONLY (id, band, bucket) — never the shingle arrays.  Shingles are
+    re-derived from the (projected, pushed-down) scan and joined back by id
+    once per side for the verification kernel, so shuffle bytes stay
+    O(candidates · avg_shingles), not O(docs · bands · avg_shingles).
+
+    ``use_md5=True`` switches the hash family to md5(seed || shingle) —
+    byte-identical to :func:`functions.text.minhash_signature`, so an ANSI
+    SQL oracle can reproduce candidates AND verification exactly
+    (the default xxhash64 family is the cheap scale path)."""
     rows = k // bands
-    # one shingle pass, then k cheap xxhash64 mins over the shared array
-    # (md5 k-pass variant lives in functions.text.minhash_signature for the
-    # SQL-oracle parity query; this scale path is ~10x cheaper)
     base = docs.select(
         F.col(id_col).alias("id"),
-        shingles(text_col, shingle_n, step=2).alias("sh"),
+        shingles(text_col, shingle_n, step=step).alias("sh"),
     )
-    sigs = base.withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform("sh", lambda s: F.xxhash64(F.lit(seed), s))
+    if use_md5:
+        sig_elems = [
+            F.array_min(
+                F.transform(
+                    "sh",
+                    lambda s: F.md5(F.concat(F.lit(str(seed)), s)),
                 )
-                for seed in range(k)
-            ]
-        ),
-    )
-    banded = sigs.select(
-        "id",
-        "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                    )
-                    for b in range(bands)
-                ]
             )
-        ).alias("band", "bucket"),
+            for seed in range(k)
+        ]
+        band_keys = [
+            F.concat_ws("|", *sig_elems[b * rows : (b + 1) * rows])
+            for b in range(bands)
+        ]
+    else:
+        sig_elems = [
+            F.array_min(
+                F.transform("sh", lambda s: F.xxhash64(F.lit(seed), s))
+            )
+            for seed in range(k)
+        ]
+        band_keys = [
+            F.xxhash64(*sig_elems[b * rows : (b + 1) * rows]).cast("string")
+            for b in range(bands)
+        ]
+    banded = base.select(
+        "id",
+        F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
     )
-    cands = (
+    cand_ids = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -133,10 +147,15 @@ def dedup_minhash_lsh(
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cands = cand_ids.join(
+        base.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        base.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
     )
     return (
         cands.withColumn("jaccard", ngram_jaccard(cands))

@@ -82,13 +82,24 @@ def ivf_centroids(
     sample: int = 2048,
     iters: int = 5,
     seed: int = 7,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """IVF coarse quantizer: k-means on a bounded driver-side sample.
 
     Deterministic (seeded init, fixed iteration count, index-order ties).
+    The sample is the ``sample`` lowest-``id_col`` rows — an ordered limit
+    plans as per-partition TakeOrdered + merge (no full sort) and, unlike a
+    bare ``limit()`` on a distributed DataFrame, is a pure function of the
+    data, so centroids don't drift across partitionings or Spark versions.
     The sample is tiny next to the table — the classic IVF recipe (train
     on a sample, assign distributed)."""
-    rows = emb.select(vec_col).limit(sample).collect()
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]

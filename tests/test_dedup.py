@@ -1,0 +1,123 @@
+"""Dedup operators: MinHash-LSH (both hash families), SimHash single-pass
+parity, exact-dup grouping.
+
+Reference behavior analog: repurpose deduplicates observations per slot
+(img2ts.py drop-duplicate semantics); these are the training-data-scale
+generalizations (SURVEY.md training-data extension surface).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from repurpose_spark.functions.text import simhash64
+from repurpose_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_simhash,
+    exact_dup_groups,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the loud hunters"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("green", "dark")),  # near dup of 0
+        (3, "completely different text about spark sql engines and joins"),
+        (4, "yet another unrelated document mentioning parquet files only"),
+        (5, base.replace("quick", "swift").replace("lazy", "idle")),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()}
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, docs):
+    got = _pairs(dedup_minhash_lsh(docs, k=8, bands=8, threshold=0.3, step=1))
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got and 0.3 <= got[(0, 2)] < 1.0
+    # unrelated docs never pass verification
+    assert all(a not in (3, 4) and b not in (3, 4) for a, b in got)
+
+
+def test_minhash_md5_family_matches_xxhash_on_verified_pairs(spark, docs):
+    """The hash family changes candidate generation, never verification:
+    any pair surfaced by both families carries the identical exact
+    Jaccard."""
+    xx = _pairs(dedup_minhash_lsh(docs, k=8, bands=4, threshold=0.2, step=1))
+    md = _pairs(
+        dedup_minhash_lsh(
+            docs, k=4, bands=4, threshold=0.2, step=1, use_md5=True
+        )
+    )
+    assert (0, 1) in xx and (0, 1) in md
+    for p in set(xx) & set(md):
+        assert xx[p] == md[p]
+
+
+def test_minhash_band_join_ships_ids_only(spark, docs):
+    """Scale guard: the band-bucket self-join must not carry shingle
+    arrays — only the two id-verify joins may exchange `sh`."""
+    plan = dedup_minhash_lsh(docs, threshold=0.3)._jdf.queryExecution().toString()
+    exchanges = [
+        blk for blk in plan.split("Exchange") if "hashpartitioning" in blk
+    ]
+    shingle_exchanges = [b for b in exchanges if "sh#" in b.split("\n")[0]]
+    # id-verify joins re-shuffle base(id, sh) at most twice; the banded
+    # self-join (bucket keys) never does
+    assert len(shingle_exchanges) <= 2
+
+
+def test_simhash_single_pass_matches_per_bit_reference(spark, docs):
+    """The one-aggregate vote-array formulation must reproduce the naive
+    per-bit (64 aggregate passes) fingerprint bit-for-bit."""
+
+    def reference(text_col):
+        t = F.trim(F.lower(F.col(text_col)))
+        words = F.filter(F.split(t, r"\s+"), lambda s: F.length(s) > 0)
+        hashes = F.transform(words, lambda w: F.xxhash64(w))
+        fp = F.lit(0).cast("long")
+        for b in range(64):
+            vote = F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1  # noqa: B023
+                ).otherwise(-1),
+            )
+            fp = fp.bitwiseOR(
+                F.shiftleft(
+                    F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                    b,
+                )
+            )
+        return fp
+
+    rows = docs.select(
+        "doc_id",
+        simhash64("text").alias("fast"),
+        reference("text").alias("ref"),
+    ).collect()
+    assert rows and all(r["fast"] == r["ref"] for r in rows)
+
+
+def test_simhash_pairs_find_exact_dups(spark, docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash(docs, max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 0
+
+
+def test_exact_dup_groups(spark, docs):
+    g = {r["doc_id"]: r for r in exact_dup_groups(docs).collect()}
+    assert g[0]["canonical_id"] == 0 and g[1]["canonical_id"] == 0
+    assert g[0]["group_size"] == 2
+    assert g[3]["group_size"] == 1

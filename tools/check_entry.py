@@ -25,7 +25,9 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, decimal.Decimal):
-        return f"{v}"
+        # type-tagged: the driver's value hash is type-sensitive, so a
+        # Decimal on one side vs a float on the other must FAIL here too
+        return f"decimal:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -95,7 +97,20 @@ def main():
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             n_fail += 1
             continue
-        print(f"PASS {name}: {len(srows)} rows")
+        # driver-hash risk audit: the driver's value hash is encoding
+        # sensitive — DECIMAL/HUGEINT on either side tends to hash-mismatch
+        # even when fetchall() values compare equal (HUGEINT → plain int).
+        risky = [
+            f"duckdb:{c}={t}"
+            for c, t in zip(dcols, [str(t) for t in res.types])
+            if "DECIMAL" in str(t).upper() or "HUGEINT" in str(t).upper()
+        ] + [
+            f"spark:{f.name}={f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if f.dataType.simpleString().startswith("decimal")
+        ]
+        flag = f"  [TYPE-RISK {risky}]" if risky else ""
+        print(f"PASS {name}: {len(srows)} rows{flag}")
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
