@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from repurpose_spark.config import DEFAULT, EngineConfig
 from repurpose_spark.operators.gapfill import gap_fill
-from repurpose_spark.operators.hooks import apply_per_series
+from repurpose_spark.operators.hooks import apply_batch_hooks, apply_per_series
 from repurpose_spark.operators.slices import export_slices
 from repurpose_spark.plans.pipeline import TierPipeline
 from repurpose_spark.sources.tables import Warehouse
@@ -60,7 +60,8 @@ class Ts2Img:
 
     Reference signature analog (ts2img.py:161-183): ts source, target
     axis/unit, fill values, preprocess hooks (applied per series before
-    the densify, ts2img.py:284-303)."""
+    the densify, ts2img.py:284-303) and postprocess hooks (applied to the
+    finished dense batch after conversion, ts2img.py:304-320)."""
 
     def __init__(
         self,
@@ -71,6 +72,7 @@ class Ts2Img:
         fill_values: dict | None = None,
         preprocess: list | None = None,
         preprocess_schema: str | None = None,
+        postprocess: list | None = None,
     ):
         self.tier_df = tier_df
         self.outputpath = outputpath
@@ -79,6 +81,7 @@ class Ts2Img:
         self.fill_values = fill_values
         self.preprocess = preprocess or []
         self.preprocess_schema = preprocess_schema
+        self.postprocess = postprocess or []
 
     def calc(self, single_file_per_slice: bool = False) -> str:
         df = self.tier_df
@@ -93,6 +96,7 @@ class Ts2Img:
             df, self.unit, key_cols=self.key_cols,
             fill_values=self.fill_values,
         )
+        dense = apply_batch_hooks(dense, self.postprocess)
         export_slices(
             dense, self.outputpath,
             single_file_per_slice=single_file_per_slice,

@@ -46,3 +46,25 @@ def apply_per_series(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(runner, schema)
+
+
+def apply_batch_hooks(df: DataFrame, hooks: list | None) -> DataFrame:
+    """F2 postprocess surface (ts2img.py:304-320: ``postprocess`` funcs
+    applied to the finished image batch after conversion).
+
+    Unlike the per-series F1 hooks, these operate on the whole finished
+    product: each hook is fn(DataFrame) -> DataFrame, chained — so hooks
+    written with pyspark.sql expressions stay plan-level (Catalyst sees
+    through them; no Python in the hot path).  Hooks needing pandas can
+    still call apply_per_series themselves."""
+    out = df
+    for h in hooks or []:
+        if not isinstance(h, Callable):
+            raise TypeError(f"postprocess hook {h!r} is not callable")
+        res = h(out)
+        if not isinstance(res, DataFrame):
+            raise TypeError(
+                f"postprocess hook {h!r} must return a DataFrame"
+            )
+        out = res
+    return out

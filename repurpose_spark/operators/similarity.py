@@ -142,9 +142,10 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF ANN: probe the nprobe clusters nearest the query, exact re-rank
-    inside them.  At cluster scale the table is written partitioned by
-    cluster id, so this is a partition-pruned scan of nprobe/n_clusters of
-    the data; here the assignment filter is inline."""
+    inside them.  This form assigns clusters inline (one full scan); the
+    scale path is :func:`materialize_ann_index` (cid-partitioned table) +
+    :func:`ivf_topk_indexed`, a pruned scan of nprobe/n_clusters of the
+    data."""
     qv = np.asarray(query_vec, dtype=np.float64)
     d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in np.argsort(d, kind="stable")[:nprobe]]
@@ -196,6 +197,86 @@ def embedding_near_dup_pairs(
     )
 
 
+def materialize_ann_index(
+    emb: DataFrame,
+    path: str,
+    dim: int = 0,
+    n_planes: int = 12,
+    centroids: np.ndarray | None = None,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> None:
+    """Persist the ANN scale path: the table rewritten PARTITIONED BY its
+    coarse keys — hyperplane-LSH bucket ``sig`` and (when centroids are
+    given) IVF cluster ``cid``.
+
+    This is what turns the inline bucket *filter* of lsh_topk/ivf_topk
+    into a partition-PRUNED scan: a query against the index reads
+    ~1/2^n_planes (LSH) or nprobe/n_clusters (IVF) of the files, verified
+    via PartitionFilters in the scan node (tests/test_similarity_ann.py).
+    One-time cost, amortized across every subsequent query — the classic
+    build-the-index trade."""
+    if not dim:
+        dim = len(emb.select(vec_col).first()[0])
+    df = emb.withColumn("sig", lsh_signature(vec_col, dim, n_planes, seed))
+    parts = ["sig"]
+    if centroids is not None:
+        df = df.withColumn("cid", ivf_assign(vec_col, centroids))
+        parts = ["cid", "sig"]
+    df.write.mode("overwrite").partitionBy(*parts).parquet(path)
+
+
+def _query_sig(query_vec: list, n_planes: int, seed: int = 7) -> int:
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for b in range(n_planes):
+        if float(planes[b] @ qv) >= 0:
+            qsig |= 1 << b
+    return qsig
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """lsh_topk against a materialized index: the ``sig = qsig`` predicate
+    lands in PartitionFilters, so only the query's bucket directory is
+    read."""
+    qsig = _query_sig(query_vec, n_planes, seed)
+    df = spark.read.parquet(index_path).where(F.col("sig") == qsig)
+    return brute_force_topk(
+        df.select(id_col, vec_col), query_vec, k, id_col, vec_col
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk against a materialized index: the ``cid IN probe``
+    predicate prunes to nprobe/n_clusters of the partitions."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d, kind="stable")[:nprobe]]
+    df = spark.read.parquet(index_path).where(F.col("cid").isin(probe))
+    return brute_force_topk(
+        df.select(id_col, vec_col), query_vec, k, id_col, vec_col
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list,
@@ -208,9 +289,10 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: scan only rows whose LSH bucket matches the query's.
 
-    At cluster scale the signature is precomputed and the table is
-    partitioned by it, turning the query into a partition-pruned scan;
-    here the bucket filter is applied inline."""
+    This form computes the bucket filter inline (one full scan); the
+    scale path is :func:`materialize_ann_index` +
+    :func:`lsh_topk_indexed`, where the same predicate partition-prunes
+    the read."""
     dim = dim or len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     qv = np.asarray(query_vec, dtype=np.float64)

@@ -53,11 +53,18 @@ class TierPipeline:
         warehouse: Warehouse,
         cfg: EngineConfig = DEFAULT,
         job_id: str = "tiers",
+        postprocess: list | None = None,
     ):
+        """``postprocess``: F2 hooks — fn(DataFrame) -> DataFrame applied
+        to each derived tier before it is written (the reference applies
+        its postprocess list to the finished stacked batch,
+        ts2img.py:304-320); plan-level transforms, see
+        operators.hooks.apply_batch_hooks."""
         self.spark = spark
         self.wh = warehouse
         self.cfg = cfg
         self.job_id = job_id
+        self.postprocess = postprocess or []
 
     # -- ledger --------------------------------------------------------------
     def _ledger_table(self) -> str:
@@ -68,28 +75,41 @@ class TierPipeline:
         return {r["batch_id"] for r in recs if r.get("status") == "done"}
 
     def ledger_rows(self) -> list:
-        return self.wh.snapshots(self._ledger_table())
+        """Ledger with per-batch idempotency: if a batch was re-run (crash
+        after its cell rows but before — or without — a 'done' marker), only
+        the LAST attempt's cell rows count, so lineage metrics (e.g.
+        sum(n_points) == hourly tier rows) hold across resumes."""
+        recs = self.wh.snapshots(self._ledger_table())
+        last_cell = {}
+        order = []
+        for r in recs:
+            if r.get("status") == "cell":
+                key = (r["batch_id"], r["cell_id"])
+                if key not in last_cell:
+                    order.append(key)
+                last_cell[key] = r
+        return [last_cell[k] for k in order] + [
+            r for r in recs if r.get("status") != "cell"
+        ]
 
     def _commit_batch(self, batch_id: int, per_cell: list) -> None:
-        # one lineage row per cell (the per-cell checkpoint), then the
-        # batch-done marker; the marker is what resume keys on, so a crash
-        # mid-ledger re-runs the batch (idempotent via partition overwrite)
-        for r in per_cell:
-            self.wh._commit(
-                self._ledger_table(),
-                "append",
-                {
-                    "batch_id": batch_id,
-                    "cell_id": r["cell_id"],
-                    "n_series": r["n_series"],
-                    "n_points": r["n_points"],
-                    "status": "cell",
-                },
-            )
-        self.wh._commit(
-            self._ledger_table(), "append",
-            {"batch_id": batch_id, "status": "done"},
-        )
+        # all per-cell lineage rows + the batch-done marker land in ONE
+        # buffered sidecar append (marker last): a torn write can truncate
+        # the tail but never record 'done' without its cells, and resume
+        # re-runs any batch whose marker is missing (idempotent via
+        # partition overwrite + last-attempt-wins in ledger_rows)
+        rows = [
+            {
+                "batch_id": batch_id,
+                "cell_id": r["cell_id"],
+                "n_series": r["n_series"],
+                "n_points": r["n_points"],
+                "status": "cell",
+            }
+            for r in per_cell
+        ]
+        rows.append({"batch_id": batch_id, "status": "done"})
+        self.wh._commit_many(self._ledger_table(), "append", rows)
 
     # -- tiers ---------------------------------------------------------------
     def hourly_table(self) -> str:
@@ -130,17 +150,16 @@ class TierPipeline:
                 dt_seconds=self.cfg.dt_seconds,
                 epoch=self.cfg.epoch,
             ).cache()
-            # idempotent commit: each batch owns its own hive-style
-            # partition directory and overwrites it wholesale — no
-            # dynamic-overwrite staging or full-table listing (the
-            # parquet-twin analog of an Iceberg per-snapshot data dir)
-            (
-                hourly.repartition("cell_id")
-                .write.mode("overwrite")
-                .partitionBy("cell_id")
-                .parquet(
-                    f"{self.wh.path(self.hourly_table())}/batch_id={b}"
-                )
+            # idempotent commit: the batch owns its own partition and
+            # overwrites it wholesale — no dynamic-overwrite staging or
+            # full-table listing; routed through the Warehouse so the
+            # Iceberg backend gets the same contract via
+            # overwritePartitions (ADVICE r1: never bypass the abstraction)
+            self.wh.write_batch_partition(
+                hourly.repartition("cell_id"),
+                self.hourly_table(),
+                b,
+                partition_by=["cell_id"],
             )
             # per-cell lineage from the cached tier (tiny: ~1/unit_dt of
             # raw), not a parquet re-read — one extra small job per batch
@@ -181,8 +200,12 @@ class TierPipeline:
     def finalize(self, pack: bool = True) -> dict:
         """Daily (and packed) tiers from the hourly partials; overwrite —
         deriving tiers is itself idempotent."""
+        from repurpose_spark.operators.hooks import apply_batch_hooks
+
         hourly = self.wh.read(self.hourly_table()).drop("batch_id")
-        daily = rollup_from_partials(hourly, "day")
+        daily = apply_batch_hooks(
+            rollup_from_partials(hourly, "day"), self.postprocess
+        )
         # write once, count from parquet footers (metadata-only) — never
         # compute a tier twice just for its metrics row
         self.wh.write(daily, self.daily_table(), partition_by=["cell_id"])

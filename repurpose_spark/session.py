@@ -18,6 +18,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    task_retries: int = 4,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
@@ -67,6 +68,14 @@ def get_spark(
             "2",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # transient-IO resilience: the reference wraps every image read in
+        # a retry loop (ImageBaseConnection, process.py:26-113, <=99
+        # attempts); Spark's analog is task-level retry — a task that dies
+        # on a flaky read is rescheduled up to task_retries times before
+        # the job fails.  NB: a plain local[N] master ignores this conf;
+        # local testing needs the local[N, maxFailures] form
+        # (tests/test_retry.py drives it end-to-end).
+        .config("spark.task.maxFailures", str(task_retries))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -116,6 +116,63 @@ def test_apply_retention_policy(spark, seqs, tmp_path):
     assert wh.read(pipe.daily_table()).count() == n_daily
 
 
+def test_retention_preserves_partition_layout_and_appends(spark, seqs, tmp_path):
+    """expire_tier must rewrite with the live table's hive layout
+    (batch_id=/cell_id=), so later batch appends land in a consistent
+    directory tree Spark can still read (ADVICE r1)."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.run(seqs, n_batches=2, pack=False)
+    expire_tier(wh, pipe.hourly_table(), "2020-01-01 02:00:00")
+    top = sorted(
+        d for d in os.listdir(wh.path(pipe.hourly_table()))
+        if not d.startswith(("_", "."))
+    )
+    assert all(d.startswith("batch_id=") for d in top)
+    # a new batch appended after expiry must coexist with the rewrite
+    extra = synth_sequences(spark, N_DOCS + 37).where(
+        F.col("doc_id") > f"doc{N_DOCS - 1:08d}"
+    )
+    # ledger says batches 0-1 are done; run 3 batches so the new docs land
+    pipe.run(extra, n_batches=3, pack=False)
+    hourly = wh.read(pipe.hourly_table())
+    assert hourly.where(F.col("tick") < "2020-01-01 02:00:00").select(
+        "doc_id"
+    ).distinct().count() <= 37
+    assert {c for c in ("batch_id", "cell_id")} <= set(hourly.columns)
+
+
+def test_ledger_last_attempt_wins(spark, seqs, tmp_path):
+    """A batch re-run must not double-count lineage: ledger_rows keeps
+    only the newest cell row per (batch_id, cell_id)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.run(seqs, n_batches=2, pack=False)
+    rows1 = [r for r in pipe.ledger_rows() if r["status"] == "cell"]
+    # simulate a pre-marker crash followed by a re-run: the same batch's
+    # cell rows appear twice in the sidecar
+    dup = [dict(r) for r in rows1 if r["batch_id"] == 0]
+    wh._commit_many(pipe._ledger_table(), "append", dup)
+    rows2 = [r for r in pipe.ledger_rows() if r["status"] == "cell"]
+    assert len(rows2) == len(rows1)
+    assert sum(r["n_points"] for r in rows2) == sum(
+        r["n_points"] for r in rows1
+    )
+
+
+def test_torn_ledger_line_is_ignored(spark, seqs, tmp_path):
+    """A crash mid-append can truncate the sidecar's trailing line; the
+    unacknowledged record must read as absent, not crash the reader."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.run(seqs, n_batches=2, pack=False)
+    with open(wh._meta(pipe._ledger_table()), "a") as f:
+        f.write('{"batch_id": 9, "status": "do')  # torn write
+    assert pipe.completed_batches() == {0, 1}
+
+
 def test_empty_batches_are_handled(spark, tmp_path):
     """Doc-hash slices with no rows (the missing-day analog,
     tests/test_img2ts.py:367-401) must commit cleanly and resume."""

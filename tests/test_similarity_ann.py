@@ -72,3 +72,43 @@ def test_near_dup_pairs_find_planted_dups(spark, emb):
     assert (200, 201) in pairs and pairs[(200, 201)] == 1.0
     assert (202, 203) in pairs and pairs[(202, 203)] == 1.0
     assert (0, 200) in pairs  # duplicate of row 0 itself
+
+
+def test_materialized_index_prunes_and_matches(spark, emb, tmp_path):
+    """The persisted ANN index must (a) return exactly the inline
+    results and (b) actually partition-prune the scan (PartitionFilters
+    carries the sig/cid predicate)."""
+    from repurpose_spark.operators.similarity import (
+        ivf_topk_indexed,
+        lsh_topk,
+        lsh_topk_indexed,
+        materialize_ann_index,
+    )
+
+    cent = ivf_centroids(emb, n_clusters=3, iters=8)
+    idx = str(tmp_path / "ann_index")
+    materialize_ann_index(emb, idx, n_planes=4, centroids=cent)
+
+    q = emb.where(F.col("vec_id") == 1).first()["embedding"]
+
+    inline = [
+        (r["vec_id"], r["cosine"])
+        for r in lsh_topk(emb, q, k=5, n_planes=4).collect()
+    ]
+    indexed_df = lsh_topk_indexed(spark, idx, q, k=5, n_planes=4)
+    indexed = [(r["vec_id"], r["cosine"]) for r in indexed_df.collect()]
+    assert indexed == inline
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and any("sig" in ln for ln in pf)
+
+    exact = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb, q, cent, k=5, nprobe=1).collect()
+    ]
+    idx_ivf_df = ivf_topk_indexed(spark, idx, q, cent, k=5, nprobe=1)
+    assert [(r["vec_id"], r["cosine"]) for r in idx_ivf_df.collect()] == exact
+    plan2 = idx_ivf_df._jdf.queryExecution().executedPlan().toString()
+    pf2 = [ln for ln in plan2.split("\n") if "PartitionFilters" in ln]
+    assert pf2 and any("cid" in ln for ln in pf2)
