@@ -626,12 +626,14 @@ def q_doc_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline (band bucket join + exact
-    Jaccard verify).  md5 hash family + step=1 shingles so the DuckDB
-    oracle reproduces candidates and verification byte-for-byte
-    (the xxhash64 family is the cheap scale path, pytest-covered)."""
+    Jaccard verify).  md5 hash family so the DuckDB oracle reproduces
+    candidates and verification byte-for-byte (the xxhash64 family is the
+    cheap scale path, pytest-covered).  2-row bands: candidate probability
+    J^2 per band — single-row bands admit ~170x more candidates at sf0.1
+    (1.7M vs 10.6k) for the identical verified output."""
     d = _t(spark, sf_dir, "documents")
     return dedup_minhash_lsh(
-        d, k=4, bands=4, shingle_n=8, threshold=0.3, step=1, use_md5=True
+        d, k=4, bands=2, shingle_n=8, threshold=0.3, step=2, use_md5=True
     )
 
 
@@ -906,7 +908,66 @@ def _sig_sql(e: str, dim: int, n_planes: int) -> str:
 _EMB_DIM = 64  # driver embeddings table dimension (TESTDATA.md)
 
 
+def _ivf_oracle_sql() -> str | None:
+    """IVF twin: refit the (deterministic, seeded, ordered-sample) k-means
+    centroids from an INDEPENDENT DuckDB read of the same fixture, embed
+    them as literals, and let SQL redo assignment (argmin of elementwise
+    squared distance, ties to lowest cid — list_position finds the first
+    min, matching ivf_assign's struct-min), probe filter and exact
+    re-rank.  Returns None (→ rows-only) if the fixture is unavailable."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from repurpose_spark.operators.similarity import kmeans_fit
+
+        rows = duckdb.sql(
+            "SELECT embedding FROM "
+            "'/root/testdata/sf0.01/embeddings.parquet' "
+            "ORDER BY vec_id LIMIT 512"
+        ).fetchall()
+        x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        cent = kmeans_fit(x, 8, iters=5, seed=7)
+        qv = x[0]  # min vec_id row == the Spark query vector
+        d = ((cent - qv[None, :]) ** 2).sum(axis=1)
+        probe = [int(c) for c in np.argsort(d, kind="stable")[:2]]
+        cent_sql = "[" + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in c) + "]" for c in cent
+        ) + "]"
+        return f"""
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+a AS (
+  SELECT vec_id, e,
+         list_transform({cent_sql}, c ->
+           list_sum(list_transform(list_zip(e, c),
+                    z -> (z[1] - z[2]) * (z[1] - z[2]))))
+           AS ds
+  FROM s
+),
+g AS (SELECT vec_id, e, list_position(ds, list_min(ds)) - 1 AS cid FROM a),
+q AS (SELECT e AS qe FROM s ORDER BY vec_id LIMIT 1),
+f AS (
+  SELECT vec_id,
+         round(list_dot_product(e, qe) /
+               (sqrt(list_dot_product(e, e)) *
+                sqrt(list_dot_product(qe, qe))), 4) AS cosine
+  FROM g, q WHERE cid IN ({probe[0]}, {probe[1]})
+)
+SELECT vec_id, cosine FROM f ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+    except Exception:
+        return None
+
+
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_static()
+    ivf = _ivf_oracle_sql()
+    if ivf:
+        out["emb_ivf_topk"] = ivf
+    return out
+
+
+def _oracle_sql_static() -> dict[str, str]:
     return {
         "seq_salted_rollup": _SEQ_SKEW_CTE
         + """
@@ -1291,7 +1352,7 @@ FROM documents
 WITH sh AS (
   SELECT doc_id,
          list_distinct([text[i:i+7]
-                        for i in generate_series(1, greatest(length(text)-7, 1))])
+                        for i in generate_series(1, greatest(length(text)-7, 1), 2)])
            AS s
   FROM documents
 ),
@@ -1307,8 +1368,8 @@ cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b
     ON a.doc_id < b.doc_id
-   AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1
-        OR a.sig2 = b.sig2 OR a.sig3 = b.sig3)
+   AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+        OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
 ),
 v AS (
   SELECT c.doc_a, c.doc_b,

@@ -31,9 +31,24 @@ def encode_series(
     tick_col: str = "tick",
     int_cols: list = (),
     float_cols: list = (),
+    quantize_cols: dict | None = None,
 ) -> DataFrame:
-    """One packed row per key: ts_bin + <col>_bin binaries + n_points."""
+    """One packed row per key: ts_bin + <col>_bin binaries + n_points.
+
+    ``quantize_cols``: {col: (scale_factor, add_offset)} — float columns
+    packed to ints via the reference's CF scale/offset formula
+    (ts2img.py:333-340, see functions/quantize.py) and then DoD-encoded
+    like any int column (bounded error scale/2; grid-aligned values are
+    exact).  Lossless floats belong in ``float_cols`` (XOR path) instead.
+    """
+    from repurpose_spark.functions.quantize import quantize
+
     key_cols = list(key_cols)
+    quantize_cols = quantize_cols or {}
+    if quantize_cols:
+        for c, (sf, off) in quantize_cols.items():
+            tier = tier.withColumn(c, quantize(c, sf, off))
+        int_cols = list(int_cols) + list(quantize_cols)
     vals = list(int_cols) + list(float_cols)
     packed = (
         tier.groupBy(*key_cols)
@@ -70,9 +85,14 @@ def decode_series(
     int_cols: list = (),
     float_cols: list = (),
     tick_is_timestamp: bool = True,
+    quantize_cols: dict | None = None,
 ) -> DataFrame:
-    """Inverse of :func:`encode_series` back to long format."""
+    """Inverse of :func:`encode_series` back to long format (quantized
+    columns are unpacked back to doubles via the same scale/offset)."""
     key_cols = list(key_cols)
+    quantize_cols = quantize_cols or {}
+    if quantize_cols:
+        int_cols = list(int_cols) + list(quantize_cols)
     df = packed.select(
         *key_cols,
         decode_int_stream("ts_bin").alias("__t"),
@@ -85,8 +105,17 @@ def decode_series(
         F.explode(F.arrays_zip("__t", *[f"__{c}" for c in vals])).alias("z"),
     )
     t = F.col("z.__t")
+    from repurpose_spark.functions.quantize import dequantize
+
+    def _val(c):
+        raw = F.col(f"z.__{c}")
+        if c in quantize_cols:
+            sf, off = quantize_cols[c]
+            return dequantize(raw, sf, off).alias(c)
+        return raw.alias(c)
+
     return zipped.select(
         *key_cols,
         (F.timestamp_seconds(t) if tick_is_timestamp else t).alias(tick_col),
-        *[F.col(f"z.__{c}").alias(c) for c in vals],
+        *[_val(c) for c in vals],
     )

@@ -101,6 +101,15 @@ def ivf_centroids(
         .collect()
     )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return kmeans_fit(x, n_clusters, iters, seed)
+
+
+def kmeans_fit(
+    x: np.ndarray, n_clusters: int, iters: int = 5, seed: int = 7
+) -> np.ndarray:
+    """The deterministic k-means core behind ivf_centroids — exposed so
+    an oracle can refit identical centroids from an independent read of
+    the same rows (seeded init, fixed iterations, argmin ties by index)."""
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
     for _ in range(iters):

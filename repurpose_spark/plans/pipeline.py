@@ -200,16 +200,24 @@ class TierPipeline:
     def finalize(self, pack: bool = True) -> dict:
         """Daily (and packed) tiers from the hourly partials; overwrite —
         deriving tiers is itself idempotent."""
+        from pyspark.sql import Observation
+
         from repurpose_spark.operators.hooks import apply_batch_hooks
 
         hourly = self.wh.read(self.hourly_table()).drop("batch_id")
         daily = apply_batch_hooks(
             rollup_from_partials(hourly, "day"), self.postprocess
         )
-        # write once, count from parquet footers (metadata-only) — never
-        # compute a tier twice just for its metrics row
-        self.wh.write(daily, self.daily_table(), partition_by=["cell_id"])
-        n_daily = self.wh.read(self.daily_table()).count()
+        # metrics ride the write job itself (Observation) — never re-read
+        # a tier just for its lineage row (the packed re-count would scan
+        # every encoded blob again)
+        obs_d = Observation()
+        self.wh.write(
+            daily.observe(obs_d, F.count(F.lit(1)).alias("n")),
+            self.daily_table(),
+            partition_by=["cell_id"],
+        )
+        n_daily = obs_d.get["n"]
         self.wh._commit(
             self.daily_table(), "metrics",
             {"n_rows": n_daily, "tier": "daily"},
@@ -221,8 +229,12 @@ class TierPipeline:
                 int_cols=["sum_v", "n_points"],
                 float_cols=["avg_v"],
             )
-            self.wh.write(packed, self.packed_table())
-            n_packed = self.wh.read(self.packed_table()).count()
+            obs_p = Observation()
+            self.wh.write(
+                packed.observe(obs_p, F.count(F.lit(1)).alias("n")),
+                self.packed_table(),
+            )
+            n_packed = obs_p.get["n"]
             self.wh._commit(
                 self.packed_table(), "metrics",
                 {"n_rows": n_packed, "tier": "packed"},

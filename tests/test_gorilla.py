@@ -72,3 +72,35 @@ def test_spark_packed_round_trip(spark):
     assert tier.exceptAll(back).count() == 0
     # packed table is 1 row per series
     assert packed.count() == tier.select("doc_id").distinct().count()
+
+
+def test_quantized_scale_offset_round_trip(spark):
+    """CF scale/offset int packing (ts2img.py:333-340 analog): grid-aligned
+    values round-trip exactly; arbitrary values within scale/2; quantized
+    ints ride the DoD stream, not the XOR float path."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(cell_id=0, doc_id="d0", tick=i, v=round(0.25 * i, 2), w=1.0 + i / 7.0)
+        for i in range(50)
+    ]
+    tier = spark.createDataFrame(rows)
+    packed = encode_series(
+        tier,
+        tick_col="tick",
+        quantize_cols={"v": (0.01, 0.0), "w": (0.001, 1.0)},
+    )
+    # only DoD binaries present (no *_xor float stream for quantized cols)
+    assert {"v_bin", "w_bin", "ts_bin"} <= set(packed.columns)
+    out = decode_series(
+        packed,
+        tick_col="tick",
+        tick_is_timestamp=False,
+        quantize_cols={"v": (0.01, 0.0), "w": (0.001, 1.0)},
+    )
+    got = {r["tick"]: (r["v"], r["w"]) for r in out.collect()}
+    assert len(got) == 50
+    for i in range(50):
+        v, w = got[i]
+        assert abs(v - 0.25 * i) < 1e-9          # on the 0.01 grid: exact
+        assert abs(w - (1.0 + i / 7.0)) <= 0.0005 + 1e-12  # scale/2 bound
