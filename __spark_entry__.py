@@ -638,9 +638,12 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (banded Hamming). Rows-only check."""
+    """SimHash near-dup candidates (banded Hamming).  md5-chunk hash
+    family so the DuckDB oracle recomputes fingerprints, chunk-collision
+    candidates and Hamming verification exactly (simhash64/xxhash64 is
+    the scale family, pytest-covered)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup_simhash(d, max_hamming=16)
+    return dedup_simhash(d, max_hamming=16, use_md5=True)
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,6 +911,62 @@ def _sig_sql(e: str, dim: int, n_planes: int) -> str:
 _EMB_DIM = 64  # driver embeddings table dimension (TESTDATA.md)
 
 
+def _simhash_oracle_sql() -> str:
+    """SQL twin of dedup_simhash(use_md5=True): per-token md5 → 4 hex
+    quads → per-bit vote sums → chunk fingerprints → chunk-collision
+    candidates → Hamming verify.  Generated programmatically (64 vote
+    sums); tokenless docs get all-zero chunks via the LEFT JOIN (a NULL
+    vote never exceeds 0, matching Spark's empty-array aggregate)."""
+    chunk_exprs = ", ".join(
+        f"CAST(concat('0x', substr(md5(w), {1 + 4 * c}, 4)) AS INTEGER) AS c{c}"
+        for c in range(4)
+    )
+    vote_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (c{c} & {1 << b}) != 0 THEN 1 ELSE -1 END) AS v{c}_{b}"
+        for c in range(4)
+        for b in range(16)
+    )
+    fp_exprs = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN v{c}_{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        )
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) AS w
+  FROM documents
+),
+ch AS (SELECT doc_id, {chunk_exprs} FROM tok),
+v AS (
+  SELECT doc_id,
+         {vote_sums}
+  FROM ch GROUP BY doc_id
+),
+fp AS (
+  SELECT d.doc_id,
+         {fp_exprs}
+  FROM documents d LEFT JOIN v ON v.doc_id = d.doc_id
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {hamming} AS hamming
+  FROM fp a JOIN fp b
+    ON a.doc_id < b.doc_id
+   AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+)
+SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 16
+"""
+
+
 def _ivf_oracle_sql() -> str | None:
     """IVF twin: refit the (deterministic, seeded, ordered-sample) k-means
     centroids from an INDEPENDENT DuckDB read of the same fixture, embed
@@ -961,6 +1020,7 @@ SELECT vec_id, cosine FROM f ORDER BY cosine DESC, vec_id LIMIT 10
 
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_static()
+    out["doc_simhash_pairs"] = _simhash_oracle_sql()
     ivf = _ivf_oracle_sql()
     if ivf:
         out["emb_ivf_topk"] = ivf

@@ -178,6 +178,59 @@ def rolling_hashes(
     )
 
 
+def simhash_md5_chunks(text: str | Column) -> Column:
+    """SimHash as 4 x 16-bit chunks from md5 token hashes — the
+    oracle-parity family (same vote semantics as :func:`simhash64`, but
+    the per-token hash is the first 64 bits of md5(token) read as 4
+    big-endian hex quads, so ANSI SQL reproduces the fingerprint exactly:
+    DuckDB CAST('0x'||substr(md5(w),1+4c,4) AS INT) == Spark
+    conv(substring(md5(w),1+4c,4),16,10)).
+
+    Returns array<int> of the 4 chunk fingerprints; the banded near-dup
+    join operates on chunks directly (no 64-bit assembly, no sign games).
+    xxhash64-based :func:`simhash64` stays the cheap scale family."""
+    t = F.trim(F.lower(_c(text)))
+    words = F.filter(F.split(t, r"\s+"), lambda s: F.length(s) > 0)
+    bit_vals = F.array(*[F.lit(1 << b) for b in range(16)])
+    zeros = F.array(*[F.lit(0) for _ in range(16)])
+
+    # NB: binding the loop var with a lambda default arg (lambda w, c=c:)
+    # would make pyspark treat `c` as a SECOND lambda variable (the array
+    # index) — bind through a closure instead
+    def quad_hashes(ws, c: int):
+        return F.transform(
+            ws,
+            lambda w: F.conv(
+                F.substring(F.md5(w), 1 + 4 * c, 4), 16, 10
+            ).cast("int"),
+        )
+
+    chunks = []
+    for c in range(4):
+        hashes = quad_hashes(words, c)
+        votes = F.aggregate(
+            hashes,
+            zeros,
+            lambda acc, h: F.zip_with(
+                acc,
+                bit_vals,
+                lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+            ),
+        )
+        chunks.append(
+            F.aggregate(
+                F.zip_with(
+                    votes,
+                    bit_vals,
+                    lambda v, p: F.when(v > 0, p).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*chunks)
+
+
 def simhash64(text: str | Column) -> Column:
     """64-bit SimHash over whitespace tokens.
 

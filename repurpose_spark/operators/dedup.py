@@ -169,26 +169,46 @@ def dedup_simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    use_md5: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via SimHash banding (4 x 16-bit chunks).
 
     With <=3 differing bits, at least one of 4 chunks is identical
     (pigeonhole), so the chunk equi-join finds all such pairs; Hamming
-    distance verified with bit_count(xor)."""
-    fps = docs.select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
-    )
+    distance verified with bit_count(xor).
+
+    ``use_md5=True`` switches the token-hash family to md5
+    (functions.text.simhash_md5_chunks) so a DuckDB oracle recomputes
+    fingerprints, candidates and Hamming verification exactly; the
+    default xxhash64 family is the cheap scale path."""
+    if use_md5:
+        from repurpose_spark.functions.text import simhash_md5_chunks
+
+        fps = docs.select(
+            F.col(id_col).alias("id"),
+            simhash_md5_chunks(text_col).alias("ch"),
+        )
+        chunk_cols = [F.element_at("ch", c + 1) for c in range(4)]
+    else:
+        fps = docs.select(
+            F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+        )
+        chunk_cols = [
+            F.shiftright("fp", 16 * c).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ]
     chunked = fps.select(
         "id",
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("fp", 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
+        *[c.alias(f"c{i}") for i, c in enumerate(chunk_cols)],
+        F.posexplode(F.array(*chunk_cols)).alias("chunk", "ckey"),
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.c{i}").bitwiseXOR(F.col(f"b.c{i}")).bitwiseAND(
+                F.lit(0xFFFF)
             )
-        ).alias("chunk", "ckey"),
+        )
+        for i in range(4)
     )
     pairs = (
         chunked.alias("a")
@@ -201,9 +221,7 @@ def dedup_simhash(
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
-            ).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )

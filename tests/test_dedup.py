@@ -121,3 +121,17 @@ def test_exact_dup_groups(spark, docs):
     assert g[0]["canonical_id"] == 0 and g[1]["canonical_id"] == 0
     assert g[0]["group_size"] == 2
     assert g[3]["group_size"] == 1
+
+
+def test_simhash_md5_family_finds_exact_dups(spark, docs):
+    """The md5-chunk family (oracle parity) must behave like the xxhash64
+    family on exact duplicates: hamming 0, found via chunk collision."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash(docs, max_hamming=3, use_md5=True).collect()
+    }
+    assert got[(0, 1)] == 0
+    # near-dup 0/2 differs in one word; both families should keep it close
+    far = dedup_simhash(docs, max_hamming=64, use_md5=True)
+    all_h = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in far.collect()}
+    assert all_h[(0, 2)] < all_h.get((0, 3), 64)
