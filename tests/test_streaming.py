@@ -66,3 +66,82 @@ def test_incremental_drains_match_batch(spark, tmp_path):
         assert batch_by_key[r[:3]] == r
     # run 2 completed more windows than run 1
     assert len(got2_set) > len(got1_set)
+
+
+def test_stateful_sessionize_splits_and_times_out(spark, tmp_path):
+    """applyInPandasWithState sessionization: an in-stream gap splits and
+    emits immediately; an open session closes by event-time timeout once
+    a later drain advances the watermark past session_end + gap."""
+    import datetime as dt
+
+    from repurpose_spark.streaming.stateful import stateful_sessionize
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t0 = dt.datetime(2020, 1, 1, 10, 0, 0)
+
+    def pts(doc, offsets_min):
+        return [(doc, t0 + dt.timedelta(minutes=m), 7) for m in offsets_min]
+
+    # docA: burst at 10:00-10:05, then 13:00 (>30min gap → split);
+    # docB: one burst, stays open after drain 1.
+    # one FILE per logical batch (coalesce) — maxFilesPerTrigger=1 feeds
+    # files as micro-batches, so file = event-time-ordered ingest unit
+    batch1 = pts("A", [0, 2, 5]) + pts("A", [180]) + pts("B", [0, 1])
+    spark.createDataFrame(
+        batch1, "doc_id string, ts timestamp, token int"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = stateful_sessionize(
+            spark.readStream.schema("doc_id string, ts timestamp, token int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            gap="30 minutes",
+            watermark="10 minutes",
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    got1 = {
+        (r["doc_id"], r["session_start"], r["session_end"]): (
+            r["n_points"], r["sum_v"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    # the in-stream split emitted A's first burst: 3 points, sum 21
+    key_a1 = ("A", t0, t0 + dt.timedelta(minutes=5))
+    assert got1[key_a1] == (3, 21)
+    # B timed out WITHIN drain 1: A's 13:00 point advanced the watermark
+    # to 12:50, past B's 10:01 + 30min timeout
+    assert got1[("B", t0, t0 + dt.timedelta(minutes=1))] == (2, 14)
+    # A's 13:00 session (timeout 13:30 > watermark 12:50) is still open
+    assert len(got1) == 2
+
+    # drain 2: one far-future point advances the watermark past the open
+    # session's end + gap → it times out and emits exactly once
+    spark.createDataFrame(
+        pts("C", [24 * 60]), "doc_id string, ts timestamp, token int"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got2 = {
+        (r["doc_id"], r["session_start"], r["session_end"]): (
+            r["n_points"], r["sum_v"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2[("A", t0 + dt.timedelta(minutes=180),
+                 t0 + dt.timedelta(minutes=180))] == (1, 7)
+    # exactly-once: drain-1 rows unchanged, no duplicate session keys
+    assert set(got1) <= set(got2)
+    assert len(got2) == len(got1) + 1
