@@ -672,6 +672,32 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: lang filter → quality threshold →
+    exact dedup → MinHash near-dup removal (md5 family so the DuckDB
+    oracle replays every stage byte-for-byte)."""
+    from repurpose_spark.operators.curation import curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_documents(
+        d,
+        langs=("en",),
+        min_quality=0.5,
+        minhash_kwargs=dict(
+            k=4, bands=2, shingle_n=8, threshold=0.3, step=2, use_md5=True
+        ),
+    )
+
+
+def q_doc_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts of the curation pipeline (single-scan
+    conditional aggregate — the lineage row a curation run logs)."""
+    from repurpose_spark.operators.curation import curation_report
+
+    d = _t(spark, sf_dir, "documents")
+    return curation_report(d, langs=("en",), min_quality=0.5)
+
+
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets +
     exact verify.  Approximate candidates → rows-only driver check."""
@@ -851,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality_score,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_curation": q_doc_curation,
+        "doc_curation_report": q_doc_curation_report,
         "emb_cosine_scores": q_emb_cosine_scores,
         "emb_topk": q_emb_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -1561,6 +1589,186 @@ SELECT doc_id,
             + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT)
          AS n_bpe
 FROM documents
+""",
+        # curation pipeline: every stage replayed in SQL — lang CTE from
+        # doc_lang_id, quality CTE from doc_quality_score, exact dedup on
+        # the normalized-text key, minhash CTEs from doc_minhash_pairs
+        "doc_curation": r"""
+WITH h AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents
+),
+sc AS (
+  SELECT doc_id, text,
+         (CASE WHEN contains(t, ' the ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' and ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' is ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' of ') THEN 1 ELSE 0 END) AS h_en,
+         (CASE WHEN contains(t, ' der ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' die ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' und ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' ist ') THEN 1 ELSE 0 END) AS h_de,
+         (CASE WHEN contains(t, ' le ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' et ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' est ') THEN 1 ELSE 0 END) AS h_fr,
+         (CASE WHEN contains(t, ' el ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' los ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' y ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' es ') THEN 1 ELSE 0 END) AS h_es
+  FROM h
+),
+lp AS (
+  SELECT doc_id, text,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'other'
+              WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+              WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM sc
+),
+qf AS (
+  SELECT doc_id, text, lang_pred,
+         round(0.4 * least(length(text) / 200.0, 1.0)
+               + 0.3 * (1 - least(
+                   ((length(text) -
+                     length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+                    / greatest(length(text), 1)::DOUBLE) * 4, 1.0))
+               + 0.3 * least(
+                   (CASE WHEN len(list_filter(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) = 0 THEN 0.0
+                    ELSE len(list_filter(
+                            list_filter(
+                              string_split_regex(lower(trim(text)), '\s+'),
+                              x -> length(x) > 0),
+                            x -> list_contains(
+                              ['the','a','an','and','or','of','to','in','is',
+                               'it','that','for','on','with','as','was',
+                               'were','be','this'], x)))
+                         / len(list_filter(
+                             string_split_regex(lower(trim(text)), '\s+'),
+                             x -> length(x) > 0))::DOUBLE END) * 3, 1.0),
+               4) AS q
+  FROM lp
+),
+kept AS (
+  SELECT * FROM qf WHERE lang_pred = 'en' AND q >= 0.5
+),
+fp AS (
+  SELECT doc_id, text, lang_pred, q,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+  FROM kept
+),
+exact AS (
+  SELECT doc_id, text, lang_pred, q FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY nrm) AS keep_id FROM fp
+  ) WHERE doc_id = keep_id
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([text[i:i+7]
+                        for i in generate_series(1, greatest(length(text)-7, 1), 2)])
+           AS s
+  FROM exact
+),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(s, x -> md5('0' || x))) AS sig0,
+         list_min(list_transform(s, x -> md5('1' || x))) AS sig1,
+         list_min(list_transform(s, x -> md5('2' || x))) AS sig2,
+         list_min(list_transform(s, x -> md5('3' || x))) AS sig3
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+        OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+),
+losers AS (
+  SELECT DISTINCT c.doc_b
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+  WHERE len(list_intersect(x.s, y.s))::DOUBLE /
+        greatest(len(list_distinct(list_concat(x.s, y.s))), 1) >= 0.3
+)
+SELECT e.doc_id, e.lang_pred, e.q
+FROM exact e LEFT JOIN losers l ON e.doc_id = l.doc_b
+WHERE l.doc_b IS NULL
+""",
+        "doc_curation_report": r"""
+WITH h AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents
+),
+sc AS (
+  SELECT doc_id, text,
+         (CASE WHEN contains(t, ' the ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' and ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' is ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' of ') THEN 1 ELSE 0 END) AS h_en,
+         (CASE WHEN contains(t, ' der ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' die ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' und ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' ist ') THEN 1 ELSE 0 END) AS h_de,
+         (CASE WHEN contains(t, ' le ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' et ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' est ') THEN 1 ELSE 0 END) AS h_fr,
+         (CASE WHEN contains(t, ' el ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' los ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' y ') THEN 1 ELSE 0 END +
+          CASE WHEN contains(t, ' es ') THEN 1 ELSE 0 END) AS h_es
+  FROM h
+),
+ann AS (
+  SELECT doc_id,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'other'
+              WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+              WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+              ELSE 'de' END AS lang_pred,
+         round(0.4 * least(length(text) / 200.0, 1.0)
+               + 0.3 * (1 - least(
+                   ((length(text) -
+                     length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+                    / greatest(length(text), 1)::DOUBLE) * 4, 1.0))
+               + 0.3 * least(
+                   (CASE WHEN len(list_filter(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            x -> length(x) > 0)) = 0 THEN 0.0
+                    ELSE len(list_filter(
+                            list_filter(
+                              string_split_regex(lower(trim(text)), '\s+'),
+                              x -> length(x) > 0),
+                            x -> list_contains(
+                              ['the','a','an','and','or','of','to','in','is',
+                               'it','that','for','on','with','as','was',
+                               'were','be','this'], x)))
+                         / len(list_filter(
+                             string_split_regex(lower(trim(text)), '\s+'),
+                             x -> length(x) > 0))::DOUBLE END) * 3, 1.0),
+               4) AS q,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
+  FROM sc
+),
+agg AS (
+  SELECT COUNT(*) AS n_input,
+         SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS n_lang,
+         SUM(CASE WHEN lang_pred = 'en' AND q >= 0.5 THEN 1 ELSE 0 END)
+           AS n_q,
+         COUNT(DISTINCT CASE WHEN lang_pred = 'en' AND q >= 0.5
+                             THEN nrm END) AS n_exact
+  FROM ann
+)
+SELECT '1_input' AS stage, CAST(n_input AS BIGINT) AS n_docs FROM agg
+UNION ALL
+SELECT '2_lang', CAST(n_lang AS BIGINT) FROM agg
+UNION ALL
+SELECT '3_quality', CAST(n_q AS BIGINT) FROM agg
+UNION ALL
+SELECT '4_exact_dedup', CAST(n_exact AS BIGINT) FROM agg
 """,
         "mm_decode_stats": """
 WITH d AS (

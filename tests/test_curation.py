@@ -1,0 +1,79 @@
+"""End-to-end curation pipeline: lang filter → quality threshold →
+exact dedup → near-dup removal, plus the single-scan stage report.
+
+The reference has no curation surface; this is the graft-mandated
+training-data extension composing the certified primitives (lang_id,
+quality_score, fingerprint64, dedup_minhash_lsh).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from repurpose_spark.operators.curation import (
+    curate_documents,
+    curation_report,
+)
+
+# long, stopword-rich english text scores well on quality_score
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then it runs far "
+    "away into the deep green forest to hide from the loud hunters that "
+    "were chasing it for hours in the cold morning rain of this autumn"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d0", GOOD),
+        ("d1", GOOD),  # exact dup of d0 → dropped (d0 canonical)
+        ("d2", GOOD.replace("green", "dark")),  # near dup of d0 → dropped
+        ("d3", "der die und ist der die und ist der die und ist " * 8),  # de
+        ("d4", "!!! ??? *** !!! ??? ***"),  # punct-heavy, low quality
+        (
+            "d5",
+            "the data engine is made of many joins and it is fast and "
+            "the planner is good at pruning all of the columns that it "
+            "does not need for this query of the benchmark suite today",
+        ),  # good english, unrelated content → kept
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_curate_keeps_canonical_and_drops_near_dups(docs):
+    out = curate_documents(
+        docs,
+        langs=("en",),
+        min_quality=0.5,
+        minhash_kwargs=dict(k=4, bands=4, threshold=0.3, step=1),
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {"d0", "d5"}
+    row = out.where(F.col("doc_id") == "d0").first()
+    assert row["lang_pred"] == "en"
+    assert row["q"] >= 0.5
+
+
+def test_curate_without_near_dup_stage(docs):
+    out = curate_documents(docs, near_dup=False)
+    kept = {r["doc_id"] for r in out.collect()}
+    # near-dup d2 survives; exact dup d1 still collapses into d0
+    assert kept == {"d0", "d2", "d5"}
+
+
+def test_curation_report_counts(docs):
+    rep = {
+        r["stage"]: r["n_docs"]
+        for r in curation_report(docs, langs=("en",)).collect()
+    }
+    assert rep == {
+        "1_input": 6,
+        "2_lang": 4,  # d3 is de, d4 is 'other'
+        "3_quality": 4,  # all english rows here pass 0.5
+        "4_exact_dedup": 3,  # d0/d1 collapse
+    }
+
+
+def test_curate_plan_has_no_cartesian(docs):
+    plan = curate_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
