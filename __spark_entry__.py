@@ -53,6 +53,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before a CPU-heavy per-row projection.
+
+    The sf* fixture tables are single-row-group parquet files — an
+    unsplittable one-task scan, so regex/hash-heavy projections would
+    run single-threaded regardless of core count.  No-op on wide scans
+    (the 100 TB case: thousands of splits, no added shuffle)."""
+    from repurpose_spark.plans.parallelism import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 # --------------------------------------------------------------------------
 # engine-flagship queries over the closed-form synthetic sequences table
 # --------------------------------------------------------------------------
@@ -616,7 +628,7 @@ def q_doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=4, 8-char shingles) — md5-based so the SQL
     oracle reproduces them byte-for-byte."""
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     sig = minhash_signature("text", k=4, shingle=8)
     return d.select(
         "doc_id",
@@ -650,7 +662,7 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID (signature-word votes)."""
     from repurpose_spark.functions.text import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", lang_id("text").alias("lang_pred"))
 
 
@@ -658,7 +670,7 @@ def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher/C4-style quality score (length/punct/stopword)."""
     from repurpose_spark.functions.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", quality_score("text").alias("q"))
 
 
@@ -666,7 +678,7 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate: word runs + punctuation chars."""
     from repurpose_spark.functions.text import bpe_ish_token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", bpe_ish_token_count("text").cast("long").alias("n_bpe")
     )
@@ -753,7 +765,7 @@ def q_doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper_ratio,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
@@ -768,7 +780,7 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (h % 32 == 0) and min/max window hash."""
     from repurpose_spark.functions.text import rolling_hashes
 
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     hs = rolling_hashes("text", window=8)
     return d.select(
         "doc_id",
@@ -784,7 +796,7 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc pairs) — the LSH verification kernel, oracle-checked."""
     from repurpose_spark.operators.dedup import ngram_jaccard, shingles
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _wide(_t(spark, sf_dir, "documents")).select("doc_id", "text")
     sh = d.select("doc_id", shingles("text", n=6).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -49,6 +49,7 @@ HEADLINE = [
     "doc_token_counts",
     "doc_minhash_pairs",
     "doc_quality_score",
+    "doc_curation",
     "knn_resample_weighted",
     "emb_topk",
     "emb_near_dup_pairs",

@@ -45,6 +45,7 @@ from repurpose_spark.functions.text import (
     quality_score,
 )
 from repurpose_spark.operators.dedup import dedup_minhash_lsh
+from repurpose_spark.plans.parallelism import ensure_parallelism
 
 
 def curate_documents(
@@ -65,7 +66,7 @@ def curate_documents(
     ``minhash_kwargs`` forwards to :func:`dedup_minhash_lsh` (hash
     family, bands, threshold...).
     """
-    annotated = docs.select(
+    annotated = ensure_parallelism(docs).select(
         F.col(id_col),
         F.col(text_col),
         lang_id(text_col).alias("lang_pred"),
@@ -77,13 +78,27 @@ def curate_documents(
     )
 
     # exact dedup: keep the min-id row of each normalized-text group.
-    # One hash-aggregate shuffle on the 64-bit fingerprint; the min(id)
-    # is associative so the partial agg runs map-side.
+    # A window-min over the fingerprint partition (no ordering needed)
+    # costs ONE shuffle and — unlike a groupBy + semi-join back — never
+    # duplicates the annotate/filter subtree above it in the plan.
+    from pyspark.sql import Window
+
     fp = kept.withColumn("__fp", fingerprint64(text_col))
-    canon = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    exact = fp.join(canon, ["__fp", id_col], "left_semi").drop("__fp")
+    keep = F.min(id_col).over(Window.partitionBy("__fp"))
+    exact = (
+        fp.withColumn("__keep", keep)
+        .where(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
 
     if near_dup:
+        # the LSH stage consumes the survivors several times (both band
+        # self-join sides, two shingle re-joins, and the final anti-join
+        # left side).  Cache the survivor set once so the full
+        # annotate→filter→dedup chain isn't recomputed per consumer —
+        # the in-session analog of writing curated survivors to a table
+        # between pipeline stages, which is what a 100 TB run would do.
+        exact = exact.persist()
         pairs = dedup_minhash_lsh(
             exact,
             id_col=id_col,
@@ -111,7 +126,7 @@ def curation_report(
     stage predicates are computed as 0/1 columns and summed, so the
     report costs a single aggregate, not one pass per stage."""
     lang_arr = list(langs)
-    a = docs.select(
+    a = ensure_parallelism(docs).select(
         F.col(id_col),
         lang_id(text_col).alias("lang_pred"),
         quality_score(text_col).alias("q"),

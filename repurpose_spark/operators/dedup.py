@@ -26,6 +26,7 @@ from repurpose_spark.functions.text import (
     minhash_signature,
     simhash64,
 )
+from repurpose_spark.plans.parallelism import ensure_parallelism
 
 
 def dedup_exact(
@@ -103,7 +104,9 @@ def dedup_minhash_lsh(
     SQL oracle can reproduce candidates AND verification exactly
     (the default xxhash64 family is the cheap scale path)."""
     rows = k // bands
-    base = docs.select(
+    # shingling+hashing is CPU-bound: widen a narrow scan (e.g. a
+    # single-file table) before paying for it; wide scans pass through
+    base = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         shingles(text_col, shingle_n, step=step).alias("sh"),
     )
@@ -181,6 +184,7 @@ def dedup_simhash(
     (functions.text.simhash_md5_chunks) so a DuckDB oracle recomputes
     fingerprints, candidates and Hamming verification exactly; the
     default xxhash64 family is the cheap scale path."""
+    docs = ensure_parallelism(docs)
     if use_md5:
         from repurpose_spark.functions.text import simhash_md5_chunks
 

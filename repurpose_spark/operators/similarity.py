@@ -180,7 +180,11 @@ def embedding_near_dup_pairs(
     matches; recall tunable via n_planes (fewer planes = bigger buckets)."""
     if not dim:
         dim = len(emb.select(vec_col).first()[0])
-    sig = emb.select(
+    from repurpose_spark.plans.parallelism import ensure_parallelism
+
+    # signature math is CPU-bound per row: widen a narrow (single-file)
+    # scan; wide scans pass through with no added shuffle
+    sig = ensure_parallelism(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_signature(vec_col, dim, n_planes, seed).alias("sig"),

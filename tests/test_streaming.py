@@ -145,3 +145,57 @@ def test_stateful_sessionize_splits_and_times_out(spark, tmp_path):
     # exactly-once: drain-1 rows unchanged, no duplicate session keys
     assert set(got1) <= set(got2)
     assert len(got2) == len(got1) + 1
+
+
+def test_streaming_dedup_exact_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark twin of dedup_exact: an exact-content
+    re-delivery within the horizon is dropped; once the watermark passes
+    first_ts + delay the fingerprint is evicted and the content re-admits
+    (bounded state)."""
+    import datetime as dt
+
+    from repurpose_spark.streaming.dedup import streaming_dedup_exact
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2020, 6, 1, 10, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "doc_id string, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = streaming_dedup_exact(
+            spark.readStream.schema("doc_id string, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            delay="1 hour",
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # A kept; B is an exact re-delivery (whitespace-normalized) → dropped
+    write([("A", "same text here", t0),
+           ("B", "  same   text here ", t0 + dt.timedelta(minutes=5)),
+           ("C", "different text entirely", t0 + dt.timedelta(minutes=10))])
+    assert drain() == {"A", "C"}
+
+    # D re-delivers A's content at 13:00; watermark at batch start is
+    # 10:10-1h → A's fingerprint still live → D dropped
+    write([("D", "same text here", t0 + dt.timedelta(hours=3))])
+    assert drain() == {"A", "C"}
+
+    # E re-delivers at 13:30; watermark is now 12:00 > 10:00+1h → A's
+    # fingerprint was evicted → E re-admits (state bounded by horizon)
+    write([("E", "same text here", t0 + dt.timedelta(hours=3, minutes=30))])
+    assert drain() == {"A", "C", "E"}
