@@ -133,8 +133,12 @@ def main():
     total = 0.0
 
     # JIT/codegen warm-up on a miniature pipeline (untimed): local-mode
-    # cold-start compilation otherwise dominates the first measurement
+    # cold-start compilation otherwise dominates the first measurement.
+    # The durable path additionally spawns the Arrow codec's python
+    # workers and the commit machinery, so it gets its own miniature
+    # warm-up (same methodology as scripts/run_tiers.py)
     run_tier_pipeline(spark, 1000)
+    run_durable_pipeline(spark, 2000)
 
     flag = run_tier_pipeline(spark, N_DOCS)
     times["tier_pipeline"] = flag["pipeline_sec"]
