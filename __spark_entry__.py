@@ -684,6 +684,20 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified MinHash near-dup pairs —
+    every document labelled with the min doc_id reachable through
+    near-dup edges (transitive dedup groups, not just pairs).  Oracle:
+    DuckDB recursive CTE computes the same transitive closure."""
+    from repurpose_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(
+        d, k=4, bands=2, shingle_n=8, threshold=0.3, step=2, use_md5=True
+    )
+    return connected_components(pairs, vertices=d)
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline: lang filter → quality threshold →
     exact dedup → MinHash near-dup removal (md5 family so the DuckDB
@@ -890,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_score": q_doc_quality_score,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_curation": q_doc_curation,
+        "doc_neardup_components": q_doc_neardup_components,
         "doc_curation_report": q_doc_curation_report,
         "emb_cosine_scores": q_emb_cosine_scores,
         "emb_topk": q_emb_topk,
@@ -1601,6 +1616,52 @@ SELECT doc_id,
             + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT)
          AS n_bpe
 FROM documents
+""",
+        # near-dup dedup groups: minhash pairs (same CTEs as
+        # doc_minhash_pairs) then transitive closure via recursive CTE —
+        # min reachable id == the Spark min-label-propagation fixpoint
+        "doc_neardup_components": r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([text[i:i+7]
+                        for i in generate_series(1, greatest(length(text)-7, 1), 2)])
+           AS s
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(s, x -> md5('0' || x))) AS sig0,
+         list_min(list_transform(s, x -> md5('1' || x))) AS sig1,
+         list_min(list_transform(s, x -> md5('2' || x))) AS sig2,
+         list_min(list_transform(s, x -> md5('3' || x))) AS sig3
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+        OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+),
+v AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+  WHERE len(list_intersect(x.s, y.s))::DOUBLE /
+        greatest(len(list_distinct(list_concat(x.s, y.s))), 1) >= 0.3
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM v
+  UNION
+  SELECT doc_b, doc_a FROM v
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.comp FROM e JOIN reach r ON e.b = r.id
+)
+SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
 """,
         # curation pipeline: every stage replayed in SQL — lang CTE from
         # doc_lang_id, quality CTE from doc_quality_score, exact dedup on
