@@ -14,8 +14,16 @@ from repurpose_spark.operators.resample import (
     resample_nn,
     resample_weighted,
 )
+from repurpose_spark.operators.curation import (
+    curate_documents,
+    curation_report,
+)
+from repurpose_spark.operators.graph import connected_components
 
 __all__ = [
+    "curate_documents",
+    "curation_report",
+    "connected_components",
     "detect_hot_keys",
     "rollup_points_salted",
     "build_neighbor_pairs",

@@ -55,6 +55,7 @@ def curate_documents(
     langs: Sequence[str] = ("en",),
     min_quality: float = 0.5,
     near_dup: bool = True,
+    near_dup_policy: str = "keep_first",
     minhash_kwargs: dict | None = None,
 ) -> DataFrame:
     """Curated corpus: (id, lang_pred, q) for every kept document.
@@ -63,9 +64,21 @@ def curate_documents(
     them.  ``near_dup=False`` stops after exact dedup (the minhash stage
     is the only one that shuffles more than once).
 
+    ``near_dup_policy``:
+
+    * ``"keep_first"`` — drop the larger id of every verified pair
+      (greedy; under-merges transitive chains A~B~C where A!~C, keeping
+      A and C).  One anti-join; fully SQL-expressible.
+    * ``"components"`` — connected components over the pair graph
+      (:func:`repurpose_spark.operators.graph.connected_components`);
+      keep exactly one document (the min id) per transitive near-dup
+      cluster.  Iterative; the strict production policy.
+
     ``minhash_kwargs`` forwards to :func:`dedup_minhash_lsh` (hash
     family, bands, threshold...).
     """
+    if near_dup_policy not in ("keep_first", "components"):
+        raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
     annotated = ensure_parallelism(docs).select(
         F.col(id_col),
         F.col(text_col),
@@ -105,10 +118,19 @@ def curate_documents(
             text_col=text_col,
             **(minhash_kwargs or {}),
         )
-        # greedy keep-first: any doc that is the LARGER id of a verified
-        # near-dup pair is dropped.  Anti-join on the (small) pair set —
-        # broadcast when it fits, which at sane thresholds it does.
-        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        if near_dup_policy == "components":
+            from repurpose_spark.operators.graph import connected_components
+
+            comp = connected_components(pairs)
+            losers = comp.where(
+                F.col(id_col) != F.col("component")
+            ).select(id_col)
+        else:
+            # greedy keep-first: any doc that is the LARGER id of a
+            # verified near-dup pair is dropped.  Anti-join on the
+            # (small) pair set — broadcast when it fits, which at sane
+            # thresholds it does.
+            losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
         exact = exact.join(losers, id_col, "left_anti")
 
     return exact.select(id_col, "lang_pred", "q")

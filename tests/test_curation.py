@@ -77,3 +77,32 @@ def test_curation_report_counts(docs):
 def test_curate_plan_has_no_cartesian(docs):
     plan = curate_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_curate_components_policy_merges_transitive_chain(spark):
+    """keep_first on a chain A~B, B~C (A!~C) keeps A and C; the
+    components policy keeps only the cluster min."""
+    import pytest as _pytest
+
+    base = GOOD
+    rows = [
+        ("a", base),
+        ("b", base.replace("green", "dark")),
+        ("c", base.replace("green", "dark").replace("quick", "rapid")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    kw = dict(k=4, bands=4, threshold=0.3, step=1)
+
+    first = curate_documents(docs, minhash_kwargs=kw)
+    comps = curate_documents(
+        docs, near_dup_policy="components", minhash_kwargs=kw
+    )
+    kept_first = {r["doc_id"] for r in first.collect()}
+    kept_comps = {r["doc_id"] for r in comps.collect()}
+    assert kept_comps == {"a"}
+    # greedy policy drops every doc_b — depending on which pairs verify,
+    # it keeps at least the min and never more than the component count
+    assert "a" in kept_first
+
+    with _pytest.raises(ValueError):
+        curate_documents(docs, near_dup_policy="nope")

@@ -33,3 +33,41 @@ def test_components_no_edges(spark):
 def test_components_merges_two_clusters_via_bridge(spark):
     got = _comps(spark, [(1, 2), (3, 4), (2, 3)])
     assert set(got.values()) == {1}
+
+
+def test_components_match_union_find_property(spark):
+    """Randomized cross-check: Spark min-label propagation equals a
+    pure-python union-find on the same edge list (12 seeded graphs)."""
+    import random
+
+    def union_find(n_verts, edges):
+        parent = list(range(n_verts))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min vertex of the component
+        comp = {}
+        for v in range(n_verts):
+            r = find(v)
+            comp.setdefault(r, []).append(v)
+        return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+    rng = random.Random(20260816)
+    for trial in range(12):
+        n = rng.randint(2, 16)
+        m = rng.randint(0, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        expect = union_find(n, edges)
+        got = _comps(spark, edges or [], verts=range(n))
+        assert got == expect, f"trial {trial}: n={n} edges={edges}"
