@@ -733,6 +733,20 @@ def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, threshold=0.2, n_planes=6)
 
 
+def q_emb_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive embedding near-dup clusters: connected components over
+    the verified hyperplane-LSH pair graph (same pair config as
+    emb_near_dup_pairs); every vector labelled with its cluster min."""
+    from repurpose_spark.operators.graph import connected_components
+    from repurpose_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=0.2, n_planes=6)
+    return connected_components(
+        pairs, src="vec_a", dst="vec_b", vertices=e, id_col="vec_id"
+    )
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer, nprobe-pruned exact re-rank.
     Approximate → rows-only driver check."""
@@ -910,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk": q_emb_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "emb_neardup_components": q_emb_neardup_components,
         "emb_ivf_topk": q_emb_ivf_topk,
         "mm_decode_stats": q_mm_decode_stats,
         "mm_frame_sample": q_mm_frame_sample,
@@ -1913,6 +1928,25 @@ c AS (
   FROM g a JOIN g b ON a.sig = b.sig AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, round(cos, 4) AS cosine FROM c WHERE cos >= 0.2
+""",
+        "emb_neardup_components": f"""
+WITH RECURSIVE s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+g AS (SELECT vec_id, e, {_sig_sql('e', _EMB_DIM, 6)} AS sig FROM s),
+c AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) *
+          sqrt(list_dot_product(b.e, b.e))) AS cos
+  FROM g a JOIN g b ON a.sig = b.sig AND a.vec_id < b.vec_id
+),
+p AS (SELECT vec_a, vec_b FROM c WHERE cos >= 0.2),
+eg AS (SELECT vec_a AS a, vec_b AS b FROM p UNION SELECT vec_b, vec_a FROM p),
+reach(id, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT eg.a, r.comp FROM eg JOIN reach r ON eg.b = r.id
+)
+SELECT id AS vec_id, MIN(comp) AS component FROM reach GROUP BY id
 """,
         "emb_lsh_topk": f"""
 WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
