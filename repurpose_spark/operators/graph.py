@@ -72,10 +72,28 @@ def connected_components(
         msgs = edges.join(
             labels.withColumnRenamed("id", "d"), "d"
         ).select(F.col("s").alias("id"), "comp")
-        new_labels = (
+        hop = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: replace every label with its label's label
+        # (label(comp) <= comp always), collapsing chains exponentially —
+        # O(log diameter) rounds instead of O(diameter) on long paths
+        new_labels = (
+            hop.alias("x")
+            .join(
+                hop.select(
+                    F.col("id").alias("comp"),
+                    F.col("comp").alias("comp2"),
+                ),
+                "comp",
+                "left",
+            )
+            .select(
+                "id",
+                F.coalesce("comp2", "comp").alias("comp"),
+            )
             .localCheckpoint()
         )
         changed = (
