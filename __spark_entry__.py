@@ -724,6 +724,27 @@ def q_doc_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(d, langs=("en",), min_quality=0.5)
 
 
+def q_doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-source id-ordered token
+    stream chunked at a 4096-char budget; each doc labelled with the
+    chunk holding its start (distributed two-phase prefix sum — never a
+    single-task global window)."""
+    from repurpose_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, 4096, by="source", len_col="n_chars")
+
+
+def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (md5-bucketed,
+    content-stable) — per (source, split) counts."""
+    from repurpose_spark.operators.packing import split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    s = split_assign(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
+
+
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets +
     exact verify.  Approximate candidates → rows-only driver check."""
@@ -919,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_curation": q_doc_curation,
         "doc_neardup_components": q_doc_neardup_components,
+        "doc_pack_assignments": q_doc_pack_assignments,
+        "doc_split_counts": q_doc_split_counts,
         "doc_curation_report": q_doc_curation_report,
         "emb_cosine_scores": q_emb_cosine_scores,
         "emb_topk": q_emb_topk,
@@ -1631,6 +1654,37 @@ SELECT doc_id,
             + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT)
          AS n_bpe
 FROM documents
+""",
+        # sequence packing: the two-phase distributed prefix sum equals a
+        # plain per-source ordered window cumsum
+        "doc_pack_assignments": """
+WITH c AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         SUM(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT source, doc_id, n_chars,
+       CAST((cum - n_chars) // 4096 AS BIGINT) AS pack_id,
+       CAST((cum - n_chars) % 4096 AS BIGINT) AS pack_offset,
+       CAST((cum - 1) // 4096 - (cum - n_chars) // 4096 + 1 AS BIGINT)
+         AS n_chunks
+FROM c
+""",
+        "doc_split_counts": """
+WITH u AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT source,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9000000000000001 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM u GROUP BY 1, 2
 """,
         # near-dup dedup groups: minhash pairs (same CTEs as
         # doc_minhash_pairs) then transitive closure via recursive CTE —

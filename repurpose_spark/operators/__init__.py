@@ -19,11 +19,14 @@ from repurpose_spark.operators.curation import (
     curation_report,
 )
 from repurpose_spark.operators.graph import connected_components
+from repurpose_spark.operators.packing import pack_sequences, split_assign
 
 __all__ = [
     "curate_documents",
     "curation_report",
     "connected_components",
+    "pack_sequences",
+    "split_assign",
     "detect_hot_keys",
     "rollup_points_salted",
     "build_neighbor_pairs",

@@ -1,0 +1,133 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+examples (the concat-and-chunk packing LLM pre-training uses).
+
+Policy: within each group (``by``, e.g. source), documents are laid out
+in deterministic ``id`` order as one long token stream; example k owns
+stream offsets [k*budget, (k+1)*budget).  Each document's pack
+assignment is the chunk containing its START offset (a long document
+spills into the following chunks — `n_chunks` reports how many).
+
+The core is a GLOBAL (per-group) prefix sum.  A naive
+``Window.partitionBy(group).orderBy(id)`` funnels each whole group
+through ONE task — at 10^12 sequences per source that is the job's
+death.  This implements the classic two-phase distributed prefix sum
+instead:
+
+1. range-partition by (group, id) — Spark samples split points, so the
+   global order is materialized WITHOUT a single-task sort;
+2. per-(partition, group) partial sums → collected to the driver
+   (bounded: one row per partition per group-run, ~O(partitions));
+3. exclusive prefix offsets computed driver-side and broadcast-joined
+   back;
+4. within-partition running sum via a window over the PARTITION id —
+   each task sorts only its own slice.
+
+The result is a pure function of the data (group, id, len), independent
+of the partition count — test-enforced — so the DuckDB oracle is just
+``SUM(len) OVER (PARTITION BY group ORDER BY id)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    seqs: DataFrame,
+    budget: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(by, id, len, pack_id, pack_offset, n_chunks) per document.
+
+    ``pack_id``   — chunk index whose window contains the doc's first
+                    token; ``pack_offset`` — position within that chunk;
+    ``n_chunks``  — how many consecutive chunks the doc spans.
+    """
+    spark = seqs.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        seqs.select(
+            F.col(by).alias("g"),
+            F.col(id_col).alias("id"),
+            F.col(len_col).cast("long").alias("len"),
+        )
+        .repartitionByRange(n_parts, "g", "id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # partial sums per (physical partition, group run) — tiny
+    partials = (
+        d.groupBy("pid", "g").agg(F.sum("len").alias("psum")).collect()
+    )
+    partials.sort(key=lambda r: (r["g"], r["pid"]))
+    offsets, acc = [], {}
+    for r in partials:
+        prev = acc.get(r["g"], 0)
+        offsets.append((r["pid"], r["g"], prev))
+        acc[r["g"]] = prev + r["psum"]
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "pid int, g string, goff long")
+    )
+    w = (
+        Window.partitionBy("pid", "g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        d.join(off, ["pid", "g"])
+        .withColumn("cum", F.sum("len").over(w) + F.col("goff"))
+        .withColumn("start", F.col("cum") - F.col("len"))
+    )
+    # exact integer division (`div`) — float division would lose
+    # precision past 2^53 cumulative tokens
+    return cum.select(
+        F.col("g").alias(by),
+        F.col("id").alias(id_col),
+        F.col("len").alias(len_col),
+        F.expr(f"start div {budget}").alias("pack_id"),
+        F.pmod(F.col("start"), F.lit(budget)).cast("long").alias("pack_offset"),
+        F.expr(f"(cum - 1) div {budget} - start div {budget} + 1").alias(
+            "n_chunks"
+        ),
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment.
+
+    Each row's split is a pure function of (seed, id): the first 8 hex
+    chars of md5(seed || id) map to u ∈ [0,1), compared against the
+    cumulative weight boundaries.  Content-stable (re-runs and
+    backfills land every doc in the same split), skew-free, and exactly
+    reproducible in ANSI SQL (md5 is the hash on both engines).
+    """
+    total = sum(weights.values())
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / float(0x100000000)
+    )
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
