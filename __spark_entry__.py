@@ -745,6 +745,18 @@ def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
 
 
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc plays the eval set;
+    training docs sharing any 8-gram with it are flagged with their
+    distinct-hit count (broadcast gram join, corpus never shuffled)."""
+    from repurpose_spark.operators.contamination import flag_contaminated
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    return flag_contaminated(train, bench, n=8)
+
+
 def q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets +
     exact verify.  Approximate candidates → rows-only driver check."""
@@ -941,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation": q_doc_curation,
         "doc_neardup_components": q_doc_neardup_components,
         "doc_pack_assignments": q_doc_pack_assignments,
+        "doc_contamination": q_doc_contamination,
         "doc_split_counts": q_doc_split_counts,
         "doc_curation_report": q_doc_curation_report,
         "emb_cosine_scores": q_emb_cosine_scores,
@@ -1654,6 +1667,25 @@ SELECT doc_id,
             + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT)
          AS n_bpe
 FROM documents
+""",
+        "doc_contamination": """
+WITH bg AS (
+  SELECT DISTINCT unnest([text[i:i+7]
+                          for i in generate_series(1, greatest(length(text)-7, 1))])
+           AS gram
+  FROM documents WHERE doc_id % 50 = 0
+),
+dg AS (
+  SELECT doc_id,
+         unnest([text[i:i+7]
+                 for i in generate_series(1, greatest(length(text)-7, 1))])
+           AS gram
+  FROM documents WHERE doc_id % 50 <> 0
+)
+SELECT doc_id, CAST(COUNT(DISTINCT dg.gram) AS BIGINT) AS n_hit_grams
+FROM dg JOIN bg USING (gram)
+GROUP BY doc_id
+HAVING COUNT(DISTINCT dg.gram) >= 1
 """,
         # sequence packing: the two-phase distributed prefix sum equals a
         # plain per-source ordered window cumsum
