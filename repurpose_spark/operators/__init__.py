@@ -20,12 +20,14 @@ from repurpose_spark.operators.curation import (
 )
 from repurpose_spark.operators.graph import connected_components
 from repurpose_spark.operators.packing import pack_sequences, split_assign
+from repurpose_spark.operators.contamination import flag_contaminated
 
 __all__ = [
     "curate_documents",
     "curation_report",
     "connected_components",
     "pack_sequences",
+    "flag_contaminated",
     "split_assign",
     "detect_hot_keys",
     "rollup_points_salted",

@@ -72,17 +72,23 @@ def connected_components(
         msgs = edges.join(
             labels.withColumnRenamed("id", "d"), "d"
         ).select(F.col("s").alias("id"), "comp")
+        # materialize BEFORE the pointer-jump self-join: joining a plan
+        # with itself trips Catalyst attribute dedup on complex upstream
+        # lineage (observed: "key not found: id#N" when the edge list
+        # derives from a persisted subtree); a checkpointed scan
+        # self-joins trivially — and the per-round materialization is
+        # needed anyway to truncate iterative lineage
         hop = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
         )
         # pointer jumping: replace every label with its label's label
         # (label(comp) <= comp always), collapsing chains exponentially —
         # O(log diameter) rounds instead of O(diameter) on long paths
         new_labels = (
-            hop.alias("x")
-            .join(
+            hop.join(
                 hop.select(
                     F.col("id").alias("comp"),
                     F.col("comp").alias("comp2"),
@@ -94,7 +100,6 @@ def connected_components(
                 "id",
                 F.coalesce("comp2", "comp").alias("comp"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
