@@ -50,6 +50,8 @@ HEADLINE = [
     "doc_minhash_pairs",
     "doc_quality_score",
     "doc_curation",
+    "doc_pack_assignments",
+    "doc_contamination",
     "knn_resample_weighted",
     "emb_topk",
     "emb_near_dup_pairs",
