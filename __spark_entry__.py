@@ -214,6 +214,25 @@ def q_seq_preprocess_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pos", F.round("centered", 6).alias("centered"))
 
 
+def q_seq_pack_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized concat-and-chunk packing of the synthetic sequences
+    into 4096-token training examples (distributed prefix sum + boundary
+    slicing, pieces reassembled by stream offset).  Emits per-example
+    content facts (count + token sum) the oracle regenerates from the
+    closed-form stream."""
+    from repurpose_spark.operators.packing import materialize_packs
+
+    packs = materialize_packs(synth_sequences(spark, N_SYNTH), 4096, by="source")
+    return packs.select(
+        "source",
+        "pack_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_tok"),
+    )
+
+
 def q_seq_ortho_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OrthoMultiTs dense layout (img2ts.py:68-76): shared tick axis per
     group ('source' as the cell so the oracle can reproduce membership),
@@ -919,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_gorilla_roundtrip": q_seq_gorilla_roundtrip,
         "seq_preprocess_hook": q_seq_preprocess_hook,
         "seq_ortho_layout": q_seq_ortho_layout,
+        "seq_pack_examples": q_seq_pack_examples,
         "ev_project_cast": q_ev_project_cast,
         "ev_drop_empty": q_ev_drop_empty,
         "ev_exact_time_join": q_ev_exact_time_join,
@@ -1227,6 +1247,29 @@ SELECT printf('doc%08d', i) AS doc_id,
        CAST(j AS INT) AS pos,
        round(token - avg(token) OVER (PARTITION BY i), 6) AS centered
 FROM pts
+""",
+        # packing: regenerate the closed-form per-source token stream,
+        # chunk every token's global offset, compare per-example facts
+        "seq_pack_examples": f"""
+WITH d AS (
+  SELECT i, (64 + (i % 193)) AS n_tok,
+         ['web','books','code','wiki'][CAST(i % 4 AS INT) + 1] AS source
+  FROM range({N_SYNTH}) t(i)
+),
+o AS (
+  SELECT i, n_tok, source,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS off
+  FROM d
+),
+pts AS (
+  SELECT source, CAST((off + u.j) // 4096 AS BIGINT) AS pack_id,
+         ((i*31 + u.j*7) % 50257) AS token
+  FROM o, unnest(generate_series(0, n_tok - 1)) AS u(j)
+)
+SELECT source, pack_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(token) AS BIGINT) AS sum_tok
+FROM pts GROUP BY source, pack_id
 """,
         "seq_ortho_layout": _SEQ_CTE
         + """

@@ -19,7 +19,11 @@ from repurpose_spark.operators.curation import (
     curation_report,
 )
 from repurpose_spark.operators.graph import connected_components
-from repurpose_spark.operators.packing import pack_sequences, split_assign
+from repurpose_spark.operators.packing import (
+    materialize_packs,
+    pack_sequences,
+    split_assign,
+)
 from repurpose_spark.operators.contamination import flag_contaminated
 
 __all__ = [
@@ -27,6 +31,7 @@ __all__ = [
     "curation_report",
     "connected_components",
     "pack_sequences",
+    "materialize_packs",
     "flag_contaminated",
     "split_assign",
     "detect_hot_keys",

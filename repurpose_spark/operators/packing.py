@@ -95,6 +95,82 @@ def pack_sequences(
     )
 
 
+def materialize_packs(
+    seqs: DataFrame,
+    budget: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    len_col: str = "n_tok",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The packed training examples themselves: (by, pack_id, tokens)
+    where every ``tokens`` array is exactly ``budget`` long (the last
+    chunk of each group may be shorter).
+
+    Built on :func:`pack_sequences` assignments with pure JVM exprs:
+
+    * a doc spanning chunks k..k+m ``explode``s into one PIECE per
+      chunk, each piece a ``slice`` of the doc's token array cut at the
+      chunk boundary — no token ever shuffles twice;
+    * chunks reassemble with ``groupBy(pack_id)`` +
+      ``flatten(sort_array(collect_list(struct(start, piece))))`` —
+      deterministic under any partitioning because pieces order by their
+      stream offset, the same trick the reorient inverse uses.
+
+    Shuffle discipline: one shuffle of the token payload (on pack_id),
+    sized budget·rows; the assignment math itself (prefix sum) moved
+    only (group, id, len) triples.
+    """
+    asg = pack_sequences(
+        seqs, budget, by=by, id_col=id_col, len_col=len_col,
+        num_partitions=num_partitions,
+    ).withColumn(
+        "start",
+        F.col("pack_id") * budget + F.col("pack_offset"),
+    )
+    toks = seqs.select(
+        F.col(by), F.col(id_col), F.col(tokens_col).alias("__t")
+    )
+    d = asg.join(toks, [by, id_col])
+    chunk = F.col("chunk")
+    # piece of this doc that falls inside `chunk`'s window
+    # [chunk*budget, (chunk+1)*budget), in the doc's local coordinates
+    p_from = F.greatest(chunk * budget - F.col("start"), F.lit(0))
+    p_to = F.least(
+        (chunk + 1) * budget - F.col("start"), F.col(len_col).cast("long")
+    )
+    pieces = d.select(
+        F.col(by),
+        F.explode(
+            F.sequence(
+                F.col("pack_id"), F.col("pack_id") + F.col("n_chunks") - 1
+            )
+        ).alias("chunk"),
+        F.col("start"),
+        F.col("__t"),
+        F.col(len_col),
+    ).select(
+        F.col(by),
+        F.col("chunk").alias("pack_id"),
+        (F.col("start") + p_from).alias("piece_start"),
+        F.slice(
+            "__t", (p_from + 1).cast("int"), (p_to - p_from).cast("int")
+        ).alias("piece"),
+    )
+    return (
+        pieces.groupBy(by, "pack_id")
+        .agg(
+            F.flatten(
+                F.sort_array(
+                    F.collect_list(F.struct("piece_start", "piece"))
+                ).getField("piece")
+            ).alias(tokens_col)
+        )
+        .withColumn("n_tok", F.size(tokens_col).cast("int"))
+    )
+
+
 def split_assign(
     df: DataFrame,
     weights: dict[str, float],

@@ -75,3 +75,42 @@ def test_split_assign_deterministic_and_weighted(spark, seqs):
         for r in split_assign(seqs, w, seed="other").collect()
     }
     assert s3 != s1
+
+
+def test_materialize_packs_roundtrip(spark):
+    """Flattening the packed examples in chunk order reproduces the
+    id-ordered concatenation of the source docs, and every non-final
+    chunk is exactly budget long."""
+    from repurpose_spark.operators.packing import materialize_packs
+    from repurpose_spark.sources.synthetic import synth_sequences
+
+    seqs = synth_sequences(spark, 120)
+    packs = materialize_packs(seqs, 512, num_partitions=7).collect()
+
+    by_group = {}
+    for r in packs:
+        by_group.setdefault(r["source"], []).append(r)
+    src_rows = seqs.select("source", "doc_id", "tokens").collect()
+    concat = {}
+    for r in sorted(src_rows, key=lambda r: (r["source"], r["doc_id"])):
+        concat.setdefault(r["source"], []).extend(r["tokens"])
+
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: r["pack_id"])
+        # contiguous chunk ids from 0
+        assert [r["pack_id"] for r in rows] == list(range(len(rows)))
+        # all but the last chunk are exactly budget long
+        assert all(r["n_tok"] == 512 for r in rows[:-1])
+        flat = [t for r in rows for t in r["tokens"]]
+        assert flat == concat[g], f"group {g} roundtrip mismatch"
+
+
+def test_materialize_packs_partitioning_independent(spark):
+    from repurpose_spark.operators.packing import materialize_packs
+    from repurpose_spark.sources.synthetic import synth_sequences
+
+    seqs = synth_sequences(spark, 60)
+    a = materialize_packs(seqs, 256, num_partitions=2).collect()
+    b = materialize_packs(seqs, 256, num_partitions=11).collect()
+    key = lambda rs: sorted((r["source"], r["pack_id"], tuple(r["tokens"])) for r in rs)  # noqa: E731
+    assert key(a) == key(b)
