@@ -854,6 +854,33 @@ def q_doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of 10-gram positions
+    whose gram repeats within the doc."""
+    from repurpose_spark.functions.text import repetition_ratio
+
+    d = _wide(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", F.round(repetition_ratio("text", 10), 6).alias("rep_ratio")
+    )
+
+
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing lineage: typed redaction counts (email → ipv4 →
+    phone, applied sequentially) + scrubbed length."""
+    from repurpose_spark.functions.text import pii_counts, scrub_pii
+
+    d = _wide(_t(spark, sf_dir, "documents"))
+    c = pii_counts("text")
+    return d.select(
+        "doc_id",
+        c.getField("n_email").cast("long").alias("n_email"),
+        c.getField("n_ipv4").cast("long").alias("n_ipv4"),
+        c.getField("n_phone").cast("long").alias("n_phone"),
+        F.length(scrub_pii("text")).cast("long").alias("len_scrubbed"),
+    )
+
+
 def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (Rabin windows + anchor
     subset): per doc, window count, content-defined anchor count
@@ -966,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_quality_signals": q_doc_quality_signals,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii": q_doc_pii,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality_score": q_doc_quality_score,
@@ -1710,6 +1739,52 @@ SELECT doc_id,
             + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT)
          AS n_bpe
 FROM documents
+""",
+        "doc_repetition": """
+WITH g AS (
+  SELECT doc_id, length(text) AS len,
+         [text[i:i+9] for i in generate_series(1, greatest(length(text)-9, 1))]
+           AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len < 10 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+       END AS rep_ratio
+FROM g
+""",
+        "doc_pii": """
+WITH a AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT)
+           AS n_email,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+           '<EMAIL>', 'g') AS t1
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1,
+           '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT)
+           AS n_ipv4,
+         regexp_replace(t1,
+           '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+           '<IPV4>', 'g') AS t2
+  FROM a
+),
+c AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t2,
+           '\\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+         regexp_replace(t2, '\\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g')
+           AS t3
+  FROM b
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       CAST(length(t3) AS BIGINT) AS len_scrubbed
+FROM c
 """,
         "doc_contamination": """
 WITH bg AS (

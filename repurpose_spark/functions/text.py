@@ -269,3 +269,59 @@ def simhash64(text: str | Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def repetition_ratio(text: str | Column, n: int = 10) -> Column:
+    """Gopher-style repetition signal: fraction of character n-gram
+    positions whose n-gram occurs more than once in the document —
+    1 - distinct/total over the position-strided gram list.  0 for
+    docs shorter than n (nothing can repeat)."""
+    t = _c(text)
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))
+    )
+    grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(F.length(t) < n, F.lit(0.0)).otherwise(
+        1.0 - distinct / total
+    )
+
+
+PII_PATTERNS = {
+    # deliberately simple character-class patterns (no lookarounds) so the
+    # Java-regex and RE2/DuckDB engines match the identical spans
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def scrub_pii(text: str | Column) -> Column:
+    """Redact emails / phone-ish numbers / IPv4s with typed placeholder
+    tokens, applied in a fixed order (email first: its local part could
+    otherwise be half-eaten by the phone pattern)."""
+    out = _c(text)
+    for name in ("email", "ipv4", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[name], f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(text: str | Column) -> Column:
+    """struct(email, ipv4, phone) match counts — the redaction lineage a
+    scrubbing run logs.  Counted in the same fixed order on the
+    progressively scrubbed text, matching scrub_pii exactly."""
+    out = _c(text)
+    fields = []
+    for name in ("email", "ipv4", "phone"):
+        pat = PII_PATTERNS[name]
+        fields.append(
+            F.size(
+                F.filter(
+                    F.regexp_extract_all(out, F.lit(pat), 0),
+                    lambda s: F.length(s) > 0,
+                )
+            ).alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return F.struct(*fields)
