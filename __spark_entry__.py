@@ -854,6 +854,20 @@ def q_doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style filter: every 50th doc trains a Laplace-smoothed
+    char-trigram model (broadcast); the rest score mean trigram logp."""
+    from repurpose_spark.operators.perplexity import trigram_logprob_scores
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    s = trigram_logprob_scores(train, ref)
+    return s.select(
+        "doc_id", "n_tri", F.round("avg_logp", 4).alias("avg_logp")
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: fraction of 10-gram positions
     whose gram repeats within the doc."""
@@ -994,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_signals": q_doc_quality_signals,
         "doc_rolling_fingerprint": q_doc_rolling_fingerprint,
         "doc_repetition": q_doc_repetition,
+        "doc_trigram_lm": q_doc_trigram_lm,
         "doc_pii": q_doc_pii,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_lang_id": q_doc_lang_id,
@@ -1739,6 +1754,38 @@ SELECT doc_id,
             + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT)
          AS n_bpe
 FROM documents
+""",
+        "doc_trigram_lm": """
+WITH refd AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+tri AS (
+  SELECT unnest([text[i:i+2] for i in generate_series(1, greatest(length(text)-2, 1))])
+           AS tri
+  FROM refd
+),
+c3 AS (SELECT tri, COUNT(*) AS c3 FROM tri GROUP BY tri),
+bi AS (
+  SELECT unnest([text[i:i+1] for i in generate_series(1, greatest(length(text)-1, 1))])
+           AS bi
+  FROM refd
+),
+c2 AS (SELECT bi, COUNT(*) AS c2 FROM bi GROUP BY bi),
+model AS (
+  SELECT c3.tri, ln((c3.c3 + 1)::DOUBLE / (c2.c2 + 32768)) AS logp
+  FROM c3 JOIN c2 ON c2.bi = c3.tri[1:2]
+),
+dg AS (
+  SELECT doc_id,
+         unnest([text[i:i+2] for i in generate_series(1, greatest(length(text)-2, 1))])
+           AS tri
+  FROM documents WHERE doc_id % 50 <> 0
+),
+s AS (
+  SELECT doc_id, coalesce(m.logp, ln(1.0 / 32768)) AS logp
+  FROM dg LEFT JOIN model m USING (tri)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+       round(AVG(logp), 4) AS avg_logp
+FROM s GROUP BY doc_id
 """,
         "doc_repetition": """
 WITH g AS (

@@ -25,6 +25,10 @@ from repurpose_spark.operators.packing import (
     split_assign,
 )
 from repurpose_spark.operators.contamination import flag_contaminated
+from repurpose_spark.operators.perplexity import (
+    trigram_logprob_scores,
+    trigram_model,
+)
 
 __all__ = [
     "curate_documents",
@@ -33,6 +37,8 @@ __all__ = [
     "pack_sequences",
     "materialize_packs",
     "flag_contaminated",
+    "trigram_logprob_scores",
+    "trigram_model",
     "split_assign",
     "detect_hot_keys",
     "rollup_points_salted",
