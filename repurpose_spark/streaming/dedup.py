@@ -43,3 +43,29 @@ def streaming_dedup_exact(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+
+
+def streaming_curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    langs: tuple = ("en",),
+    min_quality: float = 0.5,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch curation pipeline's stateless prefix
+    plus exact dedup: lang filter → quality threshold → within-watermark
+    exact dedup.  lang_id/quality_score are pure column expressions, so
+    they run unchanged inside a micro-batch; the only stateful stage is
+    the fingerprint dedup (state bounded by the watermark horizon).
+    Near-dup LSH stays batch-side — its self-join is not expressible in
+    a single stream (stream-stream self-joins need both sides retained
+    forever); a production topology runs it as a periodic compaction
+    over the stream's output table."""
+    from repurpose_spark.functions.text import lang_id, quality_score
+
+    kept = docs.where(
+        lang_id(F.col(text_col)).isin(list(langs))
+        & (quality_score(F.col(text_col)) >= F.lit(min_quality))
+    )
+    return streaming_dedup_exact(kept, text_col, ts_col, delay)

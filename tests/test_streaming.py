@@ -199,3 +199,48 @@ def test_streaming_dedup_exact_horizon(spark, tmp_path):
     # fingerprint was evicted → E re-admits (state bounded by horizon)
     write([("E", "same text here", t0 + dt.timedelta(hours=3, minutes=30))])
     assert drain() == {"A", "C", "E"}
+
+
+def test_streaming_curate_filters_and_dedups(spark, tmp_path):
+    """Stateless lang/quality exprs + watermarked exact dedup compose in
+    one stream: non-english and low-quality rows drop in-batch, an exact
+    re-delivery within the horizon drops statefully."""
+    import datetime as dt
+
+    from repurpose_spark.streaming.dedup import streaming_curate
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2021, 1, 1, 8, 0, 0)
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "far away into the deep green forest to hide from the hunters "
+        "that were chasing it for hours in the cold morning rain today"
+    )
+    rows = [
+        ("A", good, t0),
+        ("B", "  " + good + " ", t0),  # exact dup after normalization
+        ("C", "der die und ist " * 20, t0),  # german → dropped
+        ("D", "!!! ??? ***", t0),  # low quality → dropped
+    ]
+    spark.createDataFrame(
+        rows, "doc_id string, text string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = streaming_curate(
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"A"}
