@@ -764,6 +764,18 @@ def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
 
 
+def q_doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling: src0 downsampled to 0.4, src1 upsampled
+    2.5 epochs, everything else kept once — per-doc epoch rows (the
+    exact sample, not just counts, so the oracle certifies every
+    keep/skip decision)."""
+    from repurpose_spark.operators.packing import sample_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    s = sample_mixture(d, {"src0": 0.4, "src1": 2.5}, seed="mix")
+    return s.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 50th doc plays the eval set;
     training docs sharing any 8-gram with it are flagged with their
@@ -1018,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_components": q_doc_neardup_components,
         "doc_pack_assignments": q_doc_pack_assignments,
         "doc_contamination": q_doc_contamination,
+        "doc_mixture": q_doc_mixture,
         "doc_split_counts": q_doc_split_counts,
         "doc_curation_report": q_doc_curation_report,
         "emb_cosine_scores": q_emb_cosine_scores,
@@ -1832,6 +1845,23 @@ c AS (
 SELECT doc_id, n_email, n_ipv4, n_phone,
        CAST(length(t3) AS BIGINT) AS len_scrubbed
 FROM c
+""",
+        "doc_mixture": """
+WITH r AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 2.5
+              ELSE 1.0 END AS rate
+  FROM documents
+),
+ep AS (
+  SELECT doc_id, source, rate, u.k AS epoch,
+         CAST(concat('0x', substr(md5('mix' || CAST(doc_id AS VARCHAR)
+                                        || '|' || CAST(u.k AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM r, unnest(generate_series(0, 2)) AS u(k)
+)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+FROM ep WHERE epoch + u < rate
 """,
         "doc_contamination": """
 WITH bg AS (

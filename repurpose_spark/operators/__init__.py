@@ -22,6 +22,7 @@ from repurpose_spark.operators.graph import connected_components
 from repurpose_spark.operators.packing import (
     materialize_packs,
     pack_sequences,
+    sample_mixture,
     split_assign,
 )
 from repurpose_spark.operators.contamination import flag_contaminated
@@ -36,6 +37,7 @@ __all__ = [
     "connected_components",
     "pack_sequences",
     "materialize_packs",
+    "sample_mixture",
     "flag_contaminated",
     "trigram_logprob_scores",
     "trigram_model",

@@ -207,3 +207,58 @@ def split_assign(
         else expr.otherwise(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixture resampling: per-group target rates,
+    rate < 1 downsamples, rate > 1 upsamples by whole epochs plus a
+    fractionally-sampled final epoch (the standard pretraining mixture
+    scheme).  Output adds an ``epoch`` column (0-based copy index).
+
+    Every keep/skip decision is a pure function of (seed, id, epoch):
+    u = first-8-hex(md5(seed||id||epoch)) / 2^32, keep epoch k iff
+    k + u < rate — so re-runs, backfills, and the ANSI-SQL oracle
+    reproduce the sample exactly.  Groups without a rate default to 1.0
+    (kept once).  Rows explode map-side; nothing shuffles.
+    """
+    max_ep = max([1] + [int(-(-r // 1)) for r in rates.values()])
+    rate = None
+    for g, r in rates.items():
+        cond = F.col(by) == g
+        rate = (
+            F.when(cond, float(r))
+            if rate is None
+            else rate.when(cond, float(r))
+        )
+    rate = F.lit(1.0) if rate is None else rate.otherwise(F.lit(1.0))
+    u = lambda k: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.col(id_col).cast("string"),
+                        F.lit("|"),
+                        k.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(0x100000000)
+    )
+    ep = F.explode(F.sequence(F.lit(0), F.lit(max_ep - 1))).alias("epoch")
+    out = df.withColumn("__rate", rate).select("*", ep)
+    return (
+        out.where(F.col("epoch") + u(F.col("epoch")) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -114,3 +114,40 @@ def test_materialize_packs_partitioning_independent(spark):
     b = materialize_packs(seqs, 256, num_partitions=11).collect()
     key = lambda rs: sorted((r["source"], r["pack_id"], tuple(r["tokens"])) for r in rs)  # noqa: E731
     assert key(a) == key(b)
+
+
+def test_sample_mixture_rates_and_epochs(spark, seqs):
+    from repurpose_spark.operators.packing import sample_mixture
+
+    out = sample_mixture(
+        seqs, {"a": 0.5, "b": 2.5}, seed="t"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    n_a_src = seqs.where("source = 'a'").count()
+    n_b_src = seqs.where("source = 'b'").count()
+    # downsample: roughly half of a kept, all in epoch 0
+    n_a = len(by_src["a"])
+    assert 0.3 * n_a_src < n_a < 0.7 * n_a_src
+    assert all(r["epoch"] == 0 for r in by_src["a"])
+    # upsample 2.5x: two full epochs + ~half a third
+    n_b = len(by_src["b"])
+    assert 2.2 * n_b_src < n_b < 2.8 * n_b_src
+    eps = {r["epoch"] for r in by_src["b"]}
+    assert eps == {0, 1, 2}
+    # full epochs are complete copies
+    assert sum(1 for r in by_src["b"] if r["epoch"] == 0) == n_b_src
+    assert sum(1 for r in by_src["b"] if r["epoch"] == 1) == n_b_src
+
+    # determinism
+    again = sample_mixture(seqs, {"a": 0.5, "b": 2.5}, seed="t").collect()
+    key = lambda rs: sorted((r["doc_id"], r["epoch"]) for r in rs)  # noqa: E731
+    assert key(out) == key(again)
+
+
+def test_sample_mixture_default_rate_is_keep_once(spark, seqs):
+    from repurpose_spark.operators.packing import sample_mixture
+
+    out = sample_mixture(seqs, {"a": 0.5})
+    assert out.where("source = 'b'").count() == seqs.where("source = 'b'").count()
