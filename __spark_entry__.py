@@ -764,6 +764,15 @@ def q_doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks: 2000-char windows, 1000-char stride
+    (map-side only — no shuffle)."""
+    from repurpose_spark.operators.packing import chunk_documents
+
+    d = _wide(_t(spark, sf_dir, "documents"))
+    return chunk_documents(d, size=2000, stride=1000)
+
+
 def q_doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture resampling: src0 downsampled to 0.4, src1 upsampled
     2.5 epochs, everything else kept once — per-doc epoch rows (the
@@ -1031,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_assignments": q_doc_pack_assignments,
         "doc_contamination": q_doc_contamination,
         "doc_mixture": q_doc_mixture,
+        "doc_chunks": q_doc_chunks,
         "doc_split_counts": q_doc_split_counts,
         "doc_curation_report": q_doc_curation_report,
         "emb_cosine_scores": q_emb_cosine_scores,
@@ -1845,6 +1855,15 @@ c AS (
 SELECT doc_id, n_email, n_ipv4, n_phone,
        CAST(length(t3) AS BIGINT) AS len_scrubbed
 FROM c
+""",
+        "doc_chunks": """
+SELECT doc_id,
+       CAST((u.i - 1) // 1000 AS BIGINT) AS chunk_idx,
+       CAST(u.i - 1 AS BIGINT) AS chunk_start,
+       CAST(length(text[u.i:u.i+1999]) AS BIGINT) AS chunk_len,
+       text[u.i:u.i+1999] AS chunk
+FROM documents,
+     unnest(generate_series(1, greatest(length(text), 1), 1000)) AS u(i)
 """,
         "doc_mixture": """
 WITH r AS (

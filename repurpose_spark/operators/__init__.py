@@ -20,6 +20,7 @@ from repurpose_spark.operators.curation import (
 )
 from repurpose_spark.operators.graph import connected_components
 from repurpose_spark.operators.packing import (
+    chunk_documents,
     materialize_packs,
     pack_sequences,
     sample_mixture,
@@ -38,6 +39,7 @@ __all__ = [
     "pack_sequences",
     "materialize_packs",
     "sample_mixture",
+    "chunk_documents",
     "flag_contaminated",
     "trigram_logprob_scores",
     "trigram_model",

@@ -262,3 +262,38 @@ def sample_mixture(
         out.where(F.col("epoch") + u(F.col("epoch")) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping sliding-window chunks (the retrieval-index twin of
+    :func:`pack_sequences`'s training-example packing): one row per
+    (doc, chunk_idx) with the chunk text, start offset, and length.
+
+    ``stride`` defaults to size (disjoint); stride < size overlaps.
+    Pure JVM (sequence → transform → substr → posexplode), map-side
+    only — chunking 100 TB is exactly one scan, no shuffle.  Empty docs
+    yield one empty chunk (chunk_idx 0), so every doc stays represented.
+    """
+    stride = stride or size
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda i: t.substr(i, F.lit(size)))
+    out = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("chunk_start"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+        "chunk",
+    )

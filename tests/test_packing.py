@@ -151,3 +151,34 @@ def test_sample_mixture_default_rate_is_keep_once(spark, seqs):
 
     out = sample_mixture(seqs, {"a": 0.5})
     assert out.where("source = 'b'").count() == seqs.where("source = 'b'").count()
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from repurpose_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [("d1", "abcdefghij"), ("d2", "xy"), ("d3", "")],
+        "doc_id string, text string",
+    )
+    got = {}
+    for r in chunk_documents(docs, size=4, stride=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk"])
+        )
+    for v in got.values():
+        v.sort()
+    assert got["d1"] == [
+        (0, 0, "abcd"), (1, 2, "cdef"), (2, 4, "efgh"),
+        (3, 6, "ghij"), (4, 8, "ij"),
+    ]
+    assert got["d2"] == [(0, 0, "xy")]
+    assert got["d3"] == [(0, 0, "")]
+    # disjoint default reconstructs the doc
+    flat = "".join(
+        r["chunk"]
+        for r in sorted(
+            chunk_documents(docs, size=3).where("doc_id='d1'").collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+    )
+    assert flat == "abcdefghij"
