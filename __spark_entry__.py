@@ -820,6 +820,15 @@ def q_emb_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality diagnostic: majority label among the
+    top-5 cosine-ranked LSH-bucket neighbours vs own label."""
+    from repurpose_spark.operators.similarity import knn_label_vote
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_label_vote(e, k=5, n_planes=6)
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer, nprobe-pruned exact re-rank.
     Approximate → rows-only driver check."""
@@ -1048,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_neardup_components": q_emb_neardup_components,
+        "emb_knn_label_vote": q_emb_knn_label_vote,
         "emb_ivf_topk": q_emb_ivf_topk,
         "mm_decode_stats": q_mm_decode_stats,
         "mm_frame_sample": q_mm_frame_sample,
@@ -2247,6 +2257,36 @@ reach(id, comp) AS (
   SELECT eg.a, r.comp FROM eg JOIN reach r ON eg.b = r.id
 )
 SELECT id AS vec_id, MIN(comp) AS component FROM reach GROUP BY id
+""",
+        "emb_knn_label_vote": f"""
+WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+g AS (SELECT vec_id, label, e, {_sig_sql('e', _EMB_DIM, 6)} AS sig FROM s),
+c AS (
+  SELECT a.vec_id AS id, a.label AS lab, b.vec_id AS nid, b.label AS nlab,
+         round(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+  FROM g a JOIN g b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+),
+t AS (
+  SELECT id, lab, nlab,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, nid) AS rn
+  FROM c
+),
+v AS (
+  SELECT id, lab, nlab, COUNT(*) AS cnt
+  FROM t WHERE rn <= 5 GROUP BY 1, 2, 3
+),
+bv AS (
+  SELECT id, lab, nlab AS pred_label,
+         CAST(SUM(cnt) OVER (PARTITION BY id) AS BIGINT) AS n_votes,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cnt DESC, nlab DESC) AS rk
+  FROM v
+)
+SELECT id AS vec_id, lab AS label, pred_label, n_votes,
+       pred_label = lab AS is_correct
+FROM bv WHERE rk = 1
 """,
         "emb_lsh_topk": f"""
 WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

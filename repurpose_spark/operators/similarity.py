@@ -317,3 +317,77 @@ def lsh_topk(
         "__sig", lsh_signature(vec_col, dim, n_planes, seed)
     ).where(F.col("__sig") == qsig)
     return brute_force_topk(bucketed.drop("__sig"), query_vec, k, id_col, vec_col)
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-space quality diagnostic: each vector's predicted label
+    is the majority label among its top-k nearest LSH-bucket neighbours
+    (cosine-ranked); (id, label, pred_label, n_votes, is_correct).
+
+    Scale shape: candidates come from the hyperplane-signature equi-join
+    (never all-pairs); ranking is a per-vector window over bucket
+    candidates only.  Cosines are rounded before ranking so the
+    neighbour choice is stable across engines/float orderings; ties
+    break on neighbour id.  Vectors alone in their bucket emit no row
+    (no neighbours, no vote).
+    """
+    from pyspark.sql import Window
+
+    if not dim:
+        dim = len(emb.select(vec_col).first()[0])
+    from repurpose_spark.plans.parallelism import ensure_parallelism
+
+    sig = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lab"),
+        lsh_signature(vec_col, dim, n_planes, seed).alias("sig"),
+    )
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("a.lab").alias("lab"),
+            F.col("b.id").alias("nid"),
+            F.col("b.lab").alias("nlab"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("cos"), F.col("nid")
+    )
+    top = cand.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    votes = top.groupBy("id", "lab", "nlab").agg(
+        F.count("*").alias("cnt")
+    )
+    best = votes.groupBy("id", "lab").agg(
+        F.max(F.struct("cnt", "nlab")).alias("m"),
+        F.sum("cnt").cast("long").alias("n_votes"),
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        F.col("lab").alias(label_col),
+        F.col("m.nlab").alias("pred_label"),
+        "n_votes",
+        (F.col("m.nlab") == F.col("lab")).alias("is_correct"),
+    )

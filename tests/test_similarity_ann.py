@@ -112,3 +112,27 @@ def test_materialized_index_prunes_and_matches(spark, emb, tmp_path):
     plan2 = idx_ivf_df._jdf.queryExecution().executedPlan().toString()
     pf2 = [ln for ln in plan2.split("\n") if "PartitionFilters" in ln]
     assert pf2 and any("cid" in ln for ln in pf2)
+
+
+def test_knn_label_vote_separable_clusters(spark):
+    """Two well-separated label clusters: every vector's bucket
+    neighbours share its label, so the vote is always correct."""
+    import numpy as np
+
+    from repurpose_spark.operators.similarity import knn_label_vote
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(30):
+        base = np.zeros(16); base[0] = 10.0      # cluster A along +x
+        rows.append((i, (base + rng.normal(0, 0.1, 16)).tolist(), 0))
+    for i in range(30, 60):
+        base = np.zeros(16); base[1] = -10.0     # cluster B along -y
+        rows.append((i, (base + rng.normal(0, 0.1, 16)).tolist(), 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_label_vote(emb, k=3, n_planes=4, dim=16).collect()
+    assert len(out) == 60
+    assert all(r["is_correct"] for r in out)
+    assert all(r["n_votes"] <= 3 for r in out)
