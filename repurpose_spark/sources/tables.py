@@ -98,7 +98,9 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
-        self._commit(table, mode, metrics or {})
+        self._commit(
+            table, mode, {**(metrics or {}), **self._snapshot_state(table)}
+        )
 
     def append(self, df: DataFrame, table: str, partition_by: list | None = None,
                metrics: dict | None = None) -> None:
@@ -140,10 +142,75 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(f"{self.path(table)}/batch_id={batch_id}")
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Current table state, or — with ``snapshot_id`` — the table AS
+        OF that committed snapshot (time travel).
+
+        Parquet twin: every commit records the data-file list that was
+        live at commit time (the sidecar is the manifest), so a snapshot
+        read scans exactly those files; ``basePath`` keeps hive
+        partition columns.  Iceberg: native ``snapshot-id`` read
+        (cluster-only; no runtime jar in this sandbox)."""
         if self.use_iceberg:
-            return self.spark.read.table(self._ident(table))
-        return self.spark.read.parquet(self.path(table))
+            r = self.spark.read
+            if snapshot_id is not None:
+                r = r.option("snapshot-id", str(snapshot_id))
+            return r.table(self._ident(table))
+        if snapshot_id is None:
+            return self.spark.read.parquet(self.path(table))
+        snap = next(
+            (
+                s
+                for s in self.snapshots(table)
+                if s.get("snapshot_id") == snapshot_id
+            ),
+            None,
+        )
+        if snap is None or "files" not in snap:
+            raise ValueError(
+                f"no file-tracked snapshot {snapshot_id} for {table!r}"
+            )
+        base = self.path(table)
+        files = [os.path.join(base, f) for f in snap["files"]]
+        if not files:
+            raise ValueError(f"snapshot {snapshot_id} of {table!r} is empty")
+        gone = [f for f in files if not os.path.exists(f)]
+        if gone:
+            # the parquet twin deletes files on overwrite (Iceberg keeps
+            # them until snapshot expiry): appends time-travel freely,
+            # overwrites expire everything before them
+            raise ValueError(
+                f"snapshot {snapshot_id} of {table!r} expired: a later "
+                f"overwrite removed {len(gone)} of its files (the parquet "
+                "twin retains history across appends only; Iceberg "
+                "retains it until explicit expiry)"
+            )
+        return self.spark.read.option("basePath", base).parquet(*files)
+
+    def snapshot_ids(self, table: str) -> list:
+        """Committed snapshot ids, oldest first (parquet twin)."""
+        return [
+            s["snapshot_id"]
+            for s in self.snapshots(table)
+            if "snapshot_id" in s
+        ]
+
+    def _snapshot_state(self, table: str) -> dict:
+        """Manifest of the data files live right now + the next snapshot
+        id.  The walk is the parquet-twin analog of an Iceberg manifest
+        write — O(files) per commit, driver-side; the Iceberg branch
+        gets this natively from the commit itself."""
+        base = self.path(table)
+        files = []
+        for root, _dirs, names in os.walk(base):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(root, n), base)
+                    )
+        files.sort()
+        n_prior = len(self.snapshot_ids(table))
+        return {"snapshot_id": n_prior, "files": files}
 
     def drop(self, table: str) -> None:
         shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)

@@ -1,0 +1,63 @@
+"""Warehouse snapshot time travel (parquet twin: sidecar = manifest)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from repurpose_spark.sources.tables import Warehouse
+
+
+def test_read_as_of_snapshot(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    t = "tt"
+    v0 = spark.createDataFrame([(1, "a"), (2, "a")], "k long, cell string")
+    wh.write(v0, t, partition_by=["cell"])
+    v1 = spark.createDataFrame([(3, "b")], "k long, cell string")
+    wh.append(v1, t, partition_by=["cell"])
+    v2 = spark.createDataFrame([(4, "b")], "k long, cell string")
+    wh.append(v2, t, partition_by=["cell"])
+
+    ids = wh.snapshot_ids(t)
+    assert ids == [0, 1, 2]
+
+    def ks(df):
+        return sorted(r["k"] for r in df.collect())
+
+    assert ks(wh.read(t, snapshot_id=0)) == [1, 2]
+    assert ks(wh.read(t, snapshot_id=1)) == [1, 2, 3]
+    assert ks(wh.read(t, snapshot_id=2)) == [1, 2, 3, 4]
+    # current read = latest
+    assert ks(wh.read(t)) == [1, 2, 3, 4]
+    # partition column survives a snapshot read (basePath)
+    snap = wh.read(t, snapshot_id=1)
+    assert "cell" in snap.columns
+    assert {r["cell"] for r in snap.collect()} == {"a", "b"}
+
+    # an overwrite expires earlier snapshots (parquet-twin contract:
+    # history survives appends; Iceberg would retain until expiry)
+    wh.write(
+        spark.createDataFrame([(9, "c")], "k long, cell string"),
+        t, mode="overwrite", partition_by=["cell"],
+    )
+    assert ks(wh.read(t, snapshot_id=3)) == [9]
+    with pytest.raises(ValueError, match="expired"):
+        wh.read(t, snapshot_id=1)
+
+
+def test_read_unknown_snapshot_raises(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    wh.write(
+        spark.createDataFrame([(1,)], "k long"), "t2"
+    )
+    with pytest.raises(ValueError):
+        wh.read("t2", snapshot_id=99)
+
+
+def test_lineage_metrics_still_ride_snapshots(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    wh.write(
+        spark.createDataFrame([(1,)], "k long"), "t3",
+        metrics={"n_rows": 1, "tier": "daily"},
+    )
+    recs = wh.snapshots("t3")
+    assert recs[-1]["n_rows"] == 1 and recs[-1]["tier"] == "daily"
+    assert recs[-1]["snapshot_id"] == 0 and recs[-1]["files"]
