@@ -1,0 +1,56 @@
+"""Small-file compaction: fewer files, identical rows, layout kept."""
+
+from pyspark.sql import functions as F
+
+from repurpose_spark.plans.compaction import compact_table, table_file_stats
+from repurpose_spark.sources.tables import Warehouse
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_compact_reduces_files_keeps_rows_and_layout(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    t = "hourly"
+    # simulate many-batch appends: 6 appends × several shuffle files
+    for b in range(6):
+        df = (
+            spark.range(b * 100, (b + 1) * 100)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 4).cast("string").alias("cell_id"),
+            )
+            .repartition(8)
+        )
+        wh.append(df, t, partition_by=["cell_id"])
+    before = table_file_stats(wh, t)
+    expect = _rows(wh.read(t))
+    assert before["n_files"] > 20
+
+    m = compact_table(wh, t)
+    after = table_file_stats(wh, t)
+    assert after["n_files"] < before["n_files"] / 3
+    assert m["files_before"] == before["n_files"]
+    assert m["files_after"] == after["n_files"]
+    # identical rows, hive layout preserved (cell_id still a partition col)
+    got = wh.read(t)
+    assert _rows(got) == expect
+    assert "cell_id" in got.columns
+    import os
+
+    assert any(
+        d.startswith("cell_id=") for d in os.listdir(wh.path(t))
+    )
+    # compaction committed as a snapshot
+    assert wh.snapshots(t)[-1]["op"] == "compact"
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path))
+    for _ in range(4):
+        wh.append(spark.range(50).repartition(6), "flat")
+    expect = _rows(wh.read("flat"))
+    compact_table(wh, "flat")
+    assert _rows(wh.read("flat")) == expect
+    assert table_file_stats(wh, "flat")["n_files"] <= 4
