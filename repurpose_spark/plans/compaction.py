@@ -45,10 +45,17 @@ def compact_table(
     table: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list | None = None,
+    sort_by: list | None = None,
 ) -> dict:
     """Rewrite ``table`` into ~target-sized files; returns before/after
     file counts.  Iceberg branch: delegates to the engine's
-    rewrite_data_files procedure (cluster-only)."""
+    rewrite_data_files procedure (cluster-only).
+
+    ``sort_by``: cluster rows within each output file by these columns
+    (``sortWithinPartitions``) so parquet row-group min/max statistics
+    prune range predicates — e.g. sorting the hourly tier by ``tick``
+    lets a time-range query skip whole row groups without reading them.
+    """
     if wh.use_iceberg:
         wh.spark.sql(
             f"CALL {wh.catalog}.system.rewrite_data_files("
@@ -71,6 +78,8 @@ def compact_table(
         df = df.repartition(n_out, *[F.col(c) for c in partition_by])
     else:
         df = df.repartition(n_out)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     staged = f"{table}__compacting"
     wh.drop(staged)
     wh.write(df, staged, partition_by=partition_by)

@@ -54,3 +54,31 @@ def test_compact_unpartitioned(spark, tmp_path):
     compact_table(wh, "flat")
     assert _rows(wh.read("flat")) == expect
     assert table_file_stats(wh, "flat")["n_files"] <= 4
+
+
+def test_compact_sort_by_clusters_rowgroups(spark, tmp_path):
+    """sort_by=tick clusters each output file so parquet min/max stats
+    make time-range predicates prunable."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(spark, str(tmp_path))
+    # shuffled ticks across several appends
+    for b in range(3):
+        wh.append(
+            spark.range(1000)
+            .select(
+                ((F.col("id") * 7919 + b) % 5000).alias("tick"),
+                F.lit(b).alias("v"),
+            )
+            .repartition(5),
+            "t",
+        )
+    expect = _rows(wh.read("t"))
+    compact_table(wh, "t", sort_by=["tick"])
+    assert _rows(wh.read("t")) == expect
+    # every output file is internally sorted by tick
+    for f in glob.glob(wh.path("t") + "/*.parquet"):
+        ticks = pq.read_table(f, columns=["tick"])["tick"].to_pylist()
+        assert ticks == sorted(ticks), f
