@@ -46,6 +46,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_by: list | None = None,
     sort_by: list | None = None,
+    transform=None,
 ) -> dict:
     """Rewrite ``table`` into ~target-sized files; returns before/after
     file counts.  Iceberg branch: delegates to the engine's
@@ -55,6 +56,11 @@ def compact_table(
     (``sortWithinPartitions``) so parquet row-group min/max statistics
     prune range predicates — e.g. sorting the hourly tier by ``tick``
     lets a time-range query skip whole row groups without reading them.
+
+    ``transform``: fn(df) -> df applied before the rewrite — e.g.
+    remapping a partition column's values to merge partitions (the tier
+    pipeline collapses completed ``batch_id`` partitions this way) while
+    keeping the hive layout depth identical.
     """
     if wh.use_iceberg:
         wh.spark.sql(
@@ -71,6 +77,8 @@ def compact_table(
     if partition_by is None:
         partition_by = _infer_partition_cols(live_data) or None
     df = wh.read(table)
+    if transform is not None:
+        df = transform(df)
     n_out = max(1, -(-before["total_bytes"] // target_file_bytes))
     if partition_by:
         # hive layout: one shuffle keyed on the partition columns; files

@@ -178,6 +178,38 @@ class TierPipeline:
                 raise RuntimeError(f"injected crash after batch {b}")
         return self.finalize(pack=pack)
 
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list | None = None,
+    ) -> dict:
+        """Maintenance pass on the hourly tier: collapse COMPLETED
+        batch partitions into one ``batch_id=-1`` partition per cell —
+        after many batch appends the tier holds
+        O(n_batches · n_cells) files and this rewrites it to
+        O(n_cells) while keeping the two-level hive layout (no
+        mixed-depth directories, so later batches append cleanly).
+        Safe post-completion: the ledger's done markers keep resume
+        from re-running collapsed batches.  Optional ``sort_by``
+        clusters rows within files for parquet min/max pruning."""
+        from repurpose_spark.plans.compaction import compact_table
+
+        table = self.hourly_table()
+        if not self.wh.exists(table):
+            return {}
+        return {
+            table: compact_table(
+                self.wh,
+                table,
+                target_file_bytes,
+                partition_by=["batch_id", "cell_id"],
+                sort_by=sort_by,
+                transform=lambda df: df.withColumn(
+                    "batch_id", F.lit(-1)
+                ),
+            )
+        }
+
     def apply_retention(self, horizons: dict) -> dict:
         """Expire each tier past its horizon: {'hourly': tick, 'daily':
         tick} — the TimescaleDB-style policy the tier design implies

@@ -82,3 +82,42 @@ def test_compact_sort_by_clusters_rowgroups(spark, tmp_path):
     for f in glob.glob(wh.path("t") + "/*.parquet"):
         ticks = pq.read_table(f, columns=["tick"])["tick"].to_pylist()
         assert ticks == sorted(ticks), f
+
+
+def test_pipeline_compact_collapses_batches(spark, tmp_path):
+    """TierPipeline.compact() collapses completed batch partitions into
+    batch_id=-1 (n_batches x n_cells files -> n_cells), keeping the
+    two-level hive layout so later batches append cleanly; tier data
+    (minus the synthetic batch label) reads identically."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from repurpose_spark.config import EngineConfig
+    from repurpose_spark.plans.pipeline import TierPipeline
+    from repurpose_spark.sources.synthetic import synth_sequences
+
+    wh = Warehouse(spark, str(tmp_path))
+    pipe = TierPipeline(spark, wh, EngineConfig(n_cells=8), job_id="j")
+    pipe.run(synth_sequences(spark, 400), n_batches=3)
+    t = pipe.hourly_table()
+    before = table_file_stats(wh, t)
+    expect = _rows(wh.read(t).drop("batch_id"))
+
+    m = pipe.compact(sort_by=["tick"])
+    after = table_file_stats(wh, t)
+    assert m[t]["files_after"] == after["n_files"] < before["n_files"]
+    got = wh.read(t)
+    assert _rows(got.drop("batch_id")) == expect
+    assert {r["batch_id"] for r in got.select("batch_id").distinct().collect()} == {-1}
+    # layout depth preserved: batch_id= dirs still the first level
+    assert all(
+        d.startswith(("batch_id=", "_", "."))
+        for d in os.listdir(wh.path(t))
+    )
+    # a later batch still appends cleanly next to the collapsed one
+    wh.write_batch_partition(
+        wh.read(t).where("cell_id = 0").withColumn("batch_id", F.lit(9)).drop("batch_id"),
+        t, 9, partition_by=["cell_id"],
+    )
+    assert wh.read(t).where("batch_id = 9").count() > 0
