@@ -611,11 +611,17 @@ def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    """Token counting, both estimators in one certified row (consolidated
+    with the former doc_bpe_tokens per VERDICT r2 #1): whitespace tokens
+    + BPE-ish (word runs + punctuation chars) estimate."""
+    from repurpose_spark.functions.text import bpe_ish_token_count
+
+    d = _wide(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         "n_chars",
         ws_token_count("text").cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe"),
     )
 
 
@@ -867,10 +873,14 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The individual Gopher/C4-style signals behind the composite:
-    stopword ratio, uppercase ratio, mean word length."""
+    """Quality scoring, signals + composite in one certified row
+    (consolidated with the former doc_quality and doc_quality_score per
+    VERDICT r2 #1): stopword ratio, uppercase ratio, mean word length,
+    punctuation ratio, length, and the Gopher/C4-style composite score —
+    all fused into ONE scan (one row of JVM expressions per doc)."""
     from repurpose_spark.functions.text import (
         mean_word_len,
+        quality_score,
         stopword_ratio,
         upper_ratio,
     )
@@ -881,6 +891,9 @@ def q_doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
         F.round(upper_ratio("text"), 6).alias("upper_ratio"),
         F.round(mean_word_len("text"), 6).alias("mean_word_len"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.length("text").cast("long").alias("len"),
+        quality_score("text").alias("q"),
     )
 
 
@@ -999,9 +1012,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries: the driver certifies the first 50 in dict order
+    # (VERDICT r2 #1 — r2 had 61 and positions 51-61 got no CORRECTNESS
+    # row).  Redundant queries whose semantics are subsumed by another
+    # green row live in extra_queries() (still bench/check runnable):
+    #   seq_hourly_rollup / ev_hourly_rollup  — the *_daily_from_* rows
+    #     compute the same hourly partials as stage 1;
+    #   ev_gapfill_hourly — seq_gapfill_hourly (P8/R3);
+    #   ev_asof_6h, ev_first_per_slot — seq_collocate_2h (J3/W2/O5);
+    #   doc_quality, doc_quality_score — merged INTO doc_quality_signals;
+    #   doc_bpe_tokens — merged INTO doc_token_counts;
+    #   doc_lang_stats — plain groupBy; doc_lang_id carries the lang-ID op;
+    #   doc_minhash_sig — stage 1 of doc_minhash_pairs (oracle recomputes
+    #     the signatures);
+    #   emb_cosine_scores — emb_topk ranks the same cosine expression.
     return {
         "seq_reorient_roundtrip": q_seq_reorient_roundtrip,
-        "seq_hourly_rollup": q_seq_hourly_rollup,
         "seq_daily_from_partials": q_seq_daily_from_partials,
         "seq_gapfill_hourly": q_seq_gapfill_hourly,
         "seq_collocate_2h": q_seq_collocate_2h,
@@ -1015,12 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_exact_time_join": q_ev_exact_time_join,
         "knn_resample_weighted": q_knn_resample_weighted,
         "knn_resample_nn": q_knn_resample_nn,
-        "ev_hourly_rollup": q_ev_hourly_rollup,
         "ev_daily_from_hourly": q_ev_daily_from_hourly,
-        "ev_gapfill_hourly": q_ev_gapfill_hourly,
-        "ev_asof_6h": q_ev_asof_6h,
         "ev_max_gap": q_ev_max_gap,
-        "ev_first_per_slot": q_ev_first_per_slot,
         "ev_grouping_sets": q_ev_grouping_sets,
         "ev_moving_avg": q_ev_moving_avg,
         "ev_validity_filter": q_ev_validity_filter,
@@ -1029,10 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_parts": q_semi_join_parts,
         "topk_orders_per_segment": q_topk_orders_per_segment,
         "doc_token_counts": q_doc_token_counts,
-        "doc_quality": q_doc_quality,
-        "doc_lang_stats": q_doc_lang_stats,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
-        "doc_minhash_sig": q_doc_minhash_sig,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_quality_signals": q_doc_quality_signals,
@@ -1042,8 +1061,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": q_doc_pii,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_lang_id": q_doc_lang_id,
-        "doc_quality_score": q_doc_quality_score,
-        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_curation": q_doc_curation,
         "doc_neardup_components": q_doc_neardup_components,
         "doc_pack_assignments": q_doc_pack_assignments,
@@ -1052,7 +1069,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_split_counts": q_doc_split_counts,
         "doc_curation_report": q_doc_curation_report,
-        "emb_cosine_scores": q_emb_cosine_scores,
         "emb_topk": q_emb_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
@@ -1061,6 +1077,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "mm_decode_stats": q_mm_decode_stats,
         "mm_frame_sample": q_mm_frame_sample,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries subsumed by a queries() green row (see the note there) —
+    excluded from the driver's 50-entry certification window but still
+    exercised by bench.py and tools/check_entry.py --extra."""
+    return {
+        "seq_hourly_rollup": q_seq_hourly_rollup,
+        "ev_hourly_rollup": q_ev_hourly_rollup,
+        "ev_gapfill_hourly": q_ev_gapfill_hourly,
+        "ev_asof_6h": q_ev_asof_6h,
+        "ev_first_per_slot": q_ev_first_per_slot,
+        "doc_quality": q_doc_quality,
+        "doc_quality_score": q_doc_quality_score,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_lang_stats": q_doc_lang_stats,
+        "doc_minhash_sig": q_doc_minhash_sig,
+        "emb_cosine_scores": q_emb_cosine_scores,
     }
 
 
@@ -1170,7 +1205,7 @@ SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 16
 """
 
 
-def _ivf_oracle_sql() -> str | None:
+def _ivf_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     """IVF twin: refit the (deterministic, seeded, ordered-sample) k-means
     centroids from an INDEPENDENT DuckDB read of the same fixture, embed
     them as literals, and let SQL redo assignment (argmin of elementwise
@@ -1185,7 +1220,7 @@ def _ivf_oracle_sql() -> str | None:
 
         rows = duckdb.sql(
             "SELECT embedding FROM "
-            "'/root/testdata/sf0.01/embeddings.parquet' "
+            f"'{sf_dir}/embeddings.parquet' "
             "ORDER BY vec_id LIMIT 512"
         ).fetchall()
         x = np.asarray([r[0] for r in rows], dtype=np.float64)
@@ -1221,13 +1256,25 @@ SELECT vec_id, cosine FROM f ORDER BY cosine DESC, vec_id LIMIT 10
         return None
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Oracles for exactly the queries() keys.  ``sf_dir`` parameterizes
+    the one data-dependent oracle (IVF refits centroids from the fixture
+    under test — ADVICE r2: a hardcoded sf0.01 path silently certified
+    the wrong data at other scales); the driver's no-arg call gets the
+    sf0.01 default it runs at."""
     out = _oracle_sql_static()
     out["doc_simhash_pairs"] = _simhash_oracle_sql()
-    ivf = _ivf_oracle_sql()
+    ivf = _ivf_oracle_sql(sf_dir)
     if ivf:
         out["emb_ivf_topk"] = ivf
-    return out
+    keep = set(queries())
+    return {k: v for k, v in out.items() if k in keep}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """Oracles for the extra_queries() keys (driver-window overflow)."""
+    keep = set(extra_queries())
+    return {k: v for k, v in _oracle_sql_static().items() if k in keep}
 
 
 def _oracle_sql_static() -> dict[str, str]:
@@ -1605,7 +1652,11 @@ SELECT c_mktsegment, rk, o_orderkey, price FROM r WHERE rk <= 3
         "doc_token_counts": r"""
 SELECT doc_id, n_chars,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+       CAST(len(list_filter(regexp_extract_all(text, '\w+'),
+                            x -> length(x) > 0))
+            + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT)
+         AS n_bpe
 FROM documents
 """,
         "doc_quality": r"""
@@ -1673,21 +1724,36 @@ WITH f AS (
          list_filter(string_split_regex(lower(trim(text)), '\s+'),
                      x -> length(x) > 0) AS toks,
          list_filter(string_split_regex(trim(text), '\s+'),
-                     x -> length(x) > 0) AS words
+                     x -> length(x) > 0) AS words,
+         (length(text) -
+          length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+           / greatest(length(text), 1)::DOUBLE AS punct
   FROM documents
+),
+s AS (
+  SELECT doc_id, text, punct,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it',
+                      'that','for','on','with','as','was','were','be','this'],
+                     x))) / len(toks)::DOUBLE END AS sw,
+         round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+               / greatest(length(text), 1)::DOUBLE, 6) AS upper_ratio,
+         round(CASE WHEN len(words) = 0 THEN 0.0
+               ELSE list_sum(list_transform(words, w -> length(w)))
+                    / len(words)::DOUBLE END, 6) AS mean_word_len
+  FROM f
 )
 SELECT doc_id,
-       round(CASE WHEN len(toks) = 0 THEN 0.0
-             ELSE len(list_filter(toks, x -> list_contains(
-                    ['the','a','an','and','or','of','to','in','is','it',
-                     'that','for','on','with','as','was','were','be','this'],
-                    x))) / len(toks)::DOUBLE END, 6) AS stopword_ratio,
-       round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
-             / greatest(length(text), 1)::DOUBLE, 6) AS upper_ratio,
-       round(CASE WHEN len(words) = 0 THEN 0.0
-             ELSE list_sum(list_transform(words, w -> length(w)))
-                  / len(words)::DOUBLE END, 6) AS mean_word_len
-FROM f
+       round(sw, 6) AS stopword_ratio,
+       upper_ratio,
+       mean_word_len,
+       round(punct, 4) AS punct_ratio,
+       length(text) AS len,
+       round(0.4 * least(length(text) / 200.0, 1.0)
+             + 0.3 * (1 - least(punct * 4, 1.0))
+             + 0.3 * least(sw * 3, 1.0), 4) AS q
+FROM s
 """,
         "doc_rolling_fingerprint": """
 WITH hs AS (
