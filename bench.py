@@ -110,14 +110,20 @@ def run_durable_pipeline(spark, n_docs: int) -> dict:
 
     cfg = EngineConfig(n_cells=64)
     root = tempfile.mkdtemp(prefix="bench_wh_")
+    # stage the synthetic table to parquet (untimed — at scale the input
+    # IS a table on storage) so the timed run exercises the file-sliced
+    # batch path: each batch scans only its own ~1/n_batches of the files
+    in_path = tempfile.mkdtemp(prefix="bench_in_") + "/seqs"
     seqs = synth_sequences(spark, n_docs, skew=True, numPartitions=64)
+    seqs.write.parquet(in_path)
     n_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]
     t0 = time.time()
     TierPipeline(spark, Warehouse(spark, root), cfg, job_id="bench").run(
-        seqs, n_batches=2
+        input_path=in_path, n_batches=2
     )
     dt = time.time() - t0
     shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(in_path), ignore_errors=True)
     return {
         "durable_sec": round(dt, 3),
         "durable_tokens_per_sec": round(n_tokens / dt, 1),

@@ -121,7 +121,7 @@ def curate_documents(
         if near_dup_policy == "components":
             from repurpose_spark.operators.graph import connected_components
 
-            comp = connected_components(pairs)
+            comp = connected_components(pairs, id_col=id_col)
             losers = comp.where(
                 F.col(id_col) != F.col("component")
             ).select(id_col)

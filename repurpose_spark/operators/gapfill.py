@@ -31,22 +31,29 @@ def gap_fill(
 ) -> DataFrame:
     """Densify ``tier`` so every key has a row at every tick.
 
-    start/end: optional global bounds (timestamp/str); default = per-run
-    global min/max of the tick column (computed as a 1-row broadcast, not
-    a collect-loop).
+    start/end: optional global bounds (timestamp/str); either side may be
+    given alone — the missing side derives from the data (per-run global
+    min/max of the tick column, computed as a 1-row broadcast, not a
+    collect-loop).  VERDICT r2 #3: a lone bound used to be silently
+    ignored.
     """
     key_cols = list(key_cols)
     step = F.expr(f"interval 1 {unit}")
 
+    lo = (
+        F.lit(start).cast("timestamp")
+        if start is not None
+        else F.min(tick_col)
+    )
+    hi = (
+        F.lit(end).cast("timestamp") if end is not None else F.max(tick_col)
+    )
     if start is not None and end is not None:
         bounds = tier.sparkSession.range(1).select(
-            F.lit(start).cast("timestamp").alias("lo"),
-            F.lit(end).cast("timestamp").alias("hi"),
+            lo.alias("lo"), hi.alias("hi")
         )
     else:
-        bounds = tier.agg(
-            F.min(tick_col).alias("lo"), F.max(tick_col).alias("hi")
-        )
+        bounds = tier.agg(lo.alias("lo"), hi.alias("hi"))
 
     keys = tier.select(*key_cols).distinct()
     axis = bounds.select(

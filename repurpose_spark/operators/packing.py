@@ -58,6 +58,16 @@ def pack_sequences(
         .repartitionByRange(n_parts, "g", "id")
         .withColumn("pid", F.spark_partition_id())
     )
+    # FREEZE the pid assignment before it is consumed by two separate
+    # jobs (the partials collect below + the cum join in the returned
+    # plan): repartitionByRange samples split points with an
+    # execution-dependent seed, so when the sample is partial (any
+    # at-scale input) two evaluations can place boundary rows in
+    # different partitions — and the broadcast offsets would then
+    # silently corrupt the prefix sums (ADVICE r2, high).  The
+    # checkpoint materializes only (g, id, len, pid) triples — the token
+    # payload never passes through here.
+    d = d.localCheckpoint(eager=True)
     # partial sums per (physical partition, group run) — tiny
     partials = (
         d.groupBy("pid", "g").agg(F.sum("len").alias("psum")).collect()
@@ -68,9 +78,23 @@ def pack_sequences(
         prev = acc.get(r["g"], 0)
         offsets.append((r["pid"], r["g"], prev))
         acc[r["g"]] = prev + r["psum"]
-    off = F.broadcast(
-        spark.createDataFrame(offsets, "pid int, g string, goff long")
+    # offsets schema follows the caller's group-key dtype (a string
+    # literal 'g string' broke non-string by= columns — ADVICE r2)
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    off_schema = StructType(
+        [
+            StructField("pid", IntegerType()),
+            StructField("g", seqs.schema[by].dataType),
+            StructField("goff", LongType()),
+        ]
+    )
+    off = F.broadcast(spark.createDataFrame(offsets, off_schema))
     w = (
         Window.partitionBy("pid", "g")
         .orderBy("id")
@@ -142,9 +166,16 @@ def materialize_packs(
     )
     pieces = d.select(
         F.col(by),
+        # clamp: a zero-length doc landing exactly on a chunk boundary has
+        # n_chunks = 0, and sequence(pack_id, pack_id - 1) would DESCEND,
+        # scattering spurious pieces into pack_id - 1 (ADVICE r2); its one
+        # (empty) piece stays in its own pack and flattens to nothing
         F.explode(
             F.sequence(
-                F.col("pack_id"), F.col("pack_id") + F.col("n_chunks") - 1
+                F.col("pack_id"),
+                F.greatest(
+                    F.col("pack_id") + F.col("n_chunks") - 1, F.col("pack_id")
+                ),
             )
         ).alias("chunk"),
         F.col("start"),

@@ -75,6 +75,86 @@ def lsh_signature(vec_col: str, dim: int, n_planes: int = 16, seed: int = 7):
     return sig
 
 
+def _lsh_signature_range(vec_col: str, dim: int, lo: int, hi: int, seed: int):
+    """Signature bits [lo, hi) only, already shifted into place.  Rows
+    lo..hi-1 of the plane matrix are a stable prefix-extension of the
+    first lo rows (one seeded rng fills the matrix sequentially), so
+    ``sig(n) == sig(m) & mask(n)`` for any n < m."""
+    planes = _hyperplanes(dim, hi, seed)[lo:hi]
+    sig = F.lit(0).cast("long")
+    for i, row in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in row])
+        bit = F.when(_dot(F.col(vec_col), pl) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), lo + i))
+    return sig
+
+
+def bound_lsh_buckets(
+    sig_df: DataFrame,
+    cap: int | None,
+    n_planes: int,
+    dim: int,
+    vec_col: str = "v",
+    seed: int = 7,
+    max_total_planes: int = 30,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Bucket-size guard for LSH self-joins (VERDICT r2 #4): any bucket
+    larger than ``cap`` is re-split on ADDITIONAL hyperplanes, so the
+    in-bucket quadratic join is bounded by construction instead of by
+    caller-tuned n_planes (at 10^9 vectors and the old default 64
+    buckets, one bucket held ~10^7 rows → ~10^14 candidate pairs).
+
+    Trie refinement: an oversized bucket's rows extend their signature
+    upward by ``ceil(log2(max_over/cap))`` extra bits per round; low bits
+    are preserved, so two distinct buckets can never merge and recall
+    only moves toward more-planes behavior for the heavy buckets.  Rounds
+    are bounded; a bucket of (near-)identical vectors cannot split on any
+    plane — that residue is a true duplicate cluster whose quadratic pair
+    OUTPUT is inherent, not join waste.
+
+    Cost when no bucket exceeds cap (the common case): one counts
+    aggregation over the signature frame — the frame should be persisted
+    by the caller so the probe and the join sides share one computation.
+    """
+    if cap is None:
+        return sig_df
+    bits = n_planes
+    for _ in range(max_rounds):
+        if bits >= max_total_planes:
+            break
+        over = (
+            sig_df.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > cap)
+        )
+        n_over, max_over = over.agg(
+            F.count(F.lit(1)), F.max("n")
+        ).collect()[0]
+        if not n_over:
+            break
+        new_bits = min(
+            max_total_planes,
+            bits + max(1, int(np.ceil(np.log2(max_over / cap)))),
+        )
+        ext = _lsh_signature_range(vec_col, dim, bits, new_bits, seed)
+        flag = F.broadcast(over.select("sig").withColumn("__over", F.lit(1)))
+        sig_df = (
+            sig_df.join(flag, "sig", "left")
+            .withColumn(
+                "sig",
+                F.when(
+                    F.col("__over").isNotNull(), F.col("sig").bitwiseOR(ext)
+                ).otherwise(F.col("sig")),
+            )
+            .drop("__over")
+        )
+        bits = new_bits
+    return sig_df
+
+
 def ivf_centroids(
     emb: DataFrame,
     n_clusters: int = 16,
@@ -172,23 +252,35 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int = 0,
     seed: int = 7,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: hyperplane-LSH bucket equi-join
     for candidates (no all-pairs shuffle), exact cosine verify.
 
     Same shape as dedup_minhash_lsh: candidates only where full signature
-    matches; recall tunable via n_planes (fewer planes = bigger buckets)."""
+    matches; recall tunable via n_planes (fewer planes = bigger buckets).
+    ``max_bucket`` guards the in-bucket quadratic join: oversized buckets
+    are re-split on extra planes (:func:`bound_lsh_buckets`); None
+    disables."""
     if not dim:
         dim = len(emb.select(vec_col).first()[0])
     from repurpose_spark.plans.parallelism import ensure_parallelism
 
     # signature math is CPU-bound per row: widen a narrow (single-file)
-    # scan; wide scans pass through with no added shuffle
+    # scan; wide scans pass through with no added shuffle.  persist: the
+    # frame is consumed by the guard's counts probe AND both self-join
+    # sides — one signature computation instead of three (at cluster
+    # scale this is the write-survivors-to-a-table-between-stages move)
     sig = ensure_parallelism(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_signature(vec_col, dim, n_planes, seed).alias("sig"),
     )
+    if max_bucket is not None:
+        sig = sig.persist()
+        sig = bound_lsh_buckets(
+            sig, max_bucket, n_planes, dim, vec_col="v", seed=seed
+        )
     cand = (
         sig.alias("a")
         .join(
@@ -328,6 +420,7 @@ def knn_label_vote(
     label_col: str = "label",
     dim: int = 0,
     seed: int = 7,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Embedding-space quality diagnostic: each vector's predicted label
     is the majority label among its top-k nearest LSH-bucket neighbours
@@ -352,6 +445,11 @@ def knn_label_vote(
         F.col(label_col).alias("lab"),
         lsh_signature(vec_col, dim, n_planes, seed).alias("sig"),
     )
+    if max_bucket is not None:
+        sig = sig.persist()
+        sig = bound_lsh_buckets(
+            sig, max_bucket, n_planes, dim, vec_col="v", seed=seed
+        )
     cand = (
         sig.alias("a")
         .join(

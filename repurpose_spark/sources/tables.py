@@ -141,6 +141,13 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(f"{self.path(table)}/batch_id={batch_id}")
+        # every batch write is a logged snapshot (reference: every append
+        # gets a 000_log dir, img2ts.py:754) — batch-built tiers get the
+        # same time-travel/lineage surface as write/append tables
+        self._commit(
+            table, "batch",
+            {"batch_id": batch_id, **self._snapshot_state(table)},
+        )
 
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         """Current table state, or — with ``snapshot_id`` — the table AS

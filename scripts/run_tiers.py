@@ -95,7 +95,15 @@ def main() -> None:
     shutil.rmtree(warm_wh.root, ignore_errors=True)
 
     t0 = time.time()
-    out = pipe.run(seqs, n_batches=args.batches, pack=not args.no_pack)
+    if args.input:
+        # table input → file-sliced batches: each batch scans only its own
+        # ~1/n_batches of the input files (the prunable scale path)
+        out = pipe.run(
+            input_path=args.input, n_batches=args.batches,
+            pack=not args.no_pack,
+        )
+    else:
+        out = pipe.run(seqs, n_batches=args.batches, pack=not args.no_pack)
     dt = time.time() - t0
 
     rec = {

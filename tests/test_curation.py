@@ -106,3 +106,22 @@ def test_curate_components_policy_merges_transitive_chain(spark):
 
     with _pytest.raises(ValueError):
         curate_documents(docs, near_dup_policy="nope")
+
+
+def test_curate_components_policy_custom_id_col(spark):
+    """components policy with a non-default id_col used to crash with an
+    analysis error (id_col not forwarded to connected_components —
+    ADVICE r2)."""
+    rows = [
+        ("x1", GOOD),
+        ("x2", GOOD.replace("green", "dark")),
+        ("x3", GOOD.replace("green", "dark").replace("quick", "rapid")),
+    ]
+    docs = spark.createDataFrame(rows, "uid string, text string")
+    out = curate_documents(
+        docs,
+        id_col="uid",
+        near_dup_policy="components",
+        minhash_kwargs=dict(k=4, bands=4, threshold=0.3, step=1),
+    )
+    assert {r["uid"] for r in out.collect()} == {"x1"}

@@ -182,3 +182,48 @@ def test_chunk_documents_overlap_and_coverage(spark):
         )
     )
     assert flat == "abcdefghij"
+
+
+def test_pack_int_group_key(spark):
+    """by= with a non-string dtype (offsets schema follows the column's
+    dtype — ADVICE r2)."""
+    rows = [(f"d{i:03d}", i % 3, 10 + (i * 7) % 90) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, bucket int, n_tok int")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_chunks"])
+        for r in pack_sequences(df, 128, by="bucket").collect()
+    }
+    expect = _expected([(d, b, n) for d, b, n in rows], 128)
+    assert got == expect
+
+
+def test_pack_pid_assignment_is_frozen(spark, seqs):
+    """The range-partitioned pid assignment feeds two jobs (partials
+    collect + cum join); it must be checkpointed so both see the SAME
+    boundaries (ADVICE r2, high).  Evidence: the returned plan reads the
+    materialized checkpoint (ExistingRDD), not a live range exchange."""
+    out = pack_sequences(seqs, 512)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "RangePartitioning" not in plan
+
+
+def test_materialize_packs_zero_len_boundary_doc(spark):
+    """A zero-length doc whose start lands exactly on a chunk boundary
+    must not emit pieces into the PREVIOUS chunk (descending sequence
+    bug — ADVICE r2) nor create a spurious trailing pack."""
+    from repurpose_spark.operators.packing import materialize_packs
+
+    rows = [
+        ("d0", "a", list(range(8)), 8),
+        ("d1", "a", [], 0),          # starts at offset 8 == budget
+        ("d2", "a", [100, 101], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>, n_tok int"
+    )
+    packs = {
+        r["pack_id"]: r["tokens"]
+        for r in materialize_packs(df, 8, by="source").collect()
+    }
+    assert packs == {0: list(range(8)), 1: [100, 101]}

@@ -183,3 +183,112 @@ def test_empty_batches_are_handled(spark, tmp_path):
     assert pipe.completed_batches() == set(range(16))
     hourly = wh.read(pipe.hourly_table())
     assert hourly.select("doc_id").distinct().count() == 5
+
+
+# -- file-sliced batches (the prunable scale path) --------------------------
+
+def _write_input(spark, seqs, tmp_path, n_files=6):
+    path = str(tmp_path / "input")
+    seqs.repartition(n_files).write.parquet(path)
+    return path
+
+
+def test_file_sliced_batches_prune_input(spark, seqs, tmp_path):
+    """Each batch's scan must read ~1/n_batches of the input FILES —
+    batch membership is physical, not a full-scan hash filter (VERDICT
+    r2 scale-killer #1)."""
+    path = _write_input(spark, seqs, tmp_path, n_files=6)
+    all_files = set(spark.read.parquet(path).inputFiles())
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    plan = pipe.plan_batches(path, 3)
+    assert set(plan) == {0, 1, 2}
+    sizes = {b: len(fs) for b, fs in plan.items()}
+    assert all(s == 2 for s in sizes.values())
+    # disjoint, complete
+    flat = [f for fs in plan.values() for f in fs]
+    assert len(flat) == len(set(flat)) == len(all_files)
+    assert set(flat) == all_files
+    # the actual per-batch scan node reads exactly the planned files
+    batch_df = spark.read.option("basePath", path).parquet(*plan[1])
+    assert set(batch_df.inputFiles()) == set(plan[1])
+
+
+def test_file_sliced_run_matches_dataframe_mode(spark, seqs, tmp_path):
+    path = _write_input(spark, seqs, tmp_path)
+    wh_f = Warehouse(spark, str(tmp_path / "f"))
+    TierPipeline(spark, wh_f, CFG, job_id="t").run(
+        input_path=path, n_batches=3
+    )
+    wh_d = Warehouse(spark, str(tmp_path / "d"))
+    TierPipeline(spark, wh_d, CFG, job_id="t").run(seqs, n_batches=3)
+    a = wh_f.read("t_hourly")
+    b = wh_d.read("t_hourly")
+    assert _sorted(a, TIER_COLS) == _sorted(b, TIER_COLS)
+    assert _sorted(wh_f.read("t_daily"), TIER_COLS) == _sorted(
+        wh_d.read("t_daily"), TIER_COLS
+    )
+
+
+def test_file_sliced_crash_resume_and_plan_stability(spark, seqs, tmp_path):
+    """Resume reuses the LEDGERED file plan: files that appear after the
+    first planning pass must not shift batch membership mid-job."""
+    path = _write_input(spark, seqs, tmp_path)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.run(input_path=path, n_batches=3, fail_after_batch=1)
+    assert pipe.completed_batches() == {0}
+    plan_before = pipe.plan_batches(path, 3)
+    # a late-arriving file (e.g. a concurrent ingest) lands in the dir
+    synth_sequences(spark, 7).repartition(1).write.mode("append").parquet(path)
+    pipe.run(input_path=path, n_batches=3)
+    plan_after = pipe.plan_batches(path, 3)
+    assert plan_after == plan_before  # ledgered plan, not a fresh listing
+    hourly = wh.read(pipe.hourly_table())
+    assert hourly.select("doc_id").distinct().count() == N_DOCS
+    # single-shot equivalence on the ORIGINAL file set
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    pipe2 = TierPipeline(spark, wh2, CFG, job_id="t")
+    wh2._commit_many(
+        pipe2._ledger_table(), "plan",
+        [
+            {"batch_id": b, "status": "plan", "n_batches": 3,
+             "input_path": path, "files": fs}
+            for b, fs in plan_before.items()
+        ],
+    )
+    pipe2.run(input_path=path, n_batches=3)
+    assert _sorted(wh2.read("t_hourly"), TIER_COLS) == _sorted(
+        hourly, TIER_COLS
+    )
+
+
+def test_file_sliced_n_batches_mismatch_raises(spark, seqs, tmp_path):
+    path = _write_input(spark, seqs, tmp_path)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.plan_batches(path, 3)
+    with pytest.raises(ValueError, match="n_batches"):
+        pipe.run(input_path=path, n_batches=4)
+
+
+def test_file_sliced_more_batches_than_files(spark, tmp_path):
+    """Empty batches (fewer files than batches) commit cleanly."""
+    small = synth_sequences(spark, 20)
+    path = str(tmp_path / "input")
+    small.repartition(2).write.parquet(path)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    out = pipe.run(input_path=path, n_batches=5)
+    assert out["n_packed"] == 20
+    assert pipe.completed_batches() == set(range(5))
+
+
+def test_run_requires_exactly_one_input(spark, seqs, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    with pytest.raises(ValueError, match="exactly one"):
+        pipe.run()
+    with pytest.raises(ValueError, match="exactly one"):
+        pipe.run(seqs, input_path=str(tmp_path / "input"))

@@ -80,3 +80,26 @@ def test_gap_fill_explicit_bounds(spark):
     )
     rows = {r["tick"].hour: r["n_points"] for r in dense.collect()}
     assert rows == {0: 0, 1: 5, 2: 0, 3: 7, 4: 0, 5: 0}
+
+
+def test_gap_fill_partial_bounds(spark):
+    """A lone start OR end bounds that side; the other derives from the
+    data (used to be silently ignored — VERDICT r2 #3)."""
+    from repurpose_spark.operators.gapfill import gap_fill
+
+    tier = spark.createDataFrame(
+        [("a", "2020-01-01 01:00:00", 5), ("a", "2020-01-01 03:00:00", 7)],
+        "doc_id string, tick string, n_points long",
+    ).withColumn("tick", F.col("tick").cast("timestamp"))
+    start_only = gap_fill(
+        tier, "hour", key_cols=["doc_id"],
+        start="2020-01-01 00:00:00", fill_values={"n_points": 0},
+    )
+    rows = {r["tick"].hour: r["n_points"] for r in start_only.collect()}
+    assert rows == {0: 0, 1: 5, 2: 0, 3: 7}
+    end_only = gap_fill(
+        tier, "hour", key_cols=["doc_id"],
+        end="2020-01-01 05:00:00", fill_values={"n_points": 0},
+    )
+    rows = {r["tick"].hour: r["n_points"] for r in end_only.collect()}
+    assert rows == {1: 5, 2: 0, 3: 7, 4: 0, 5: 0}
