@@ -68,6 +68,61 @@ print(__import__("json").dumps({{"wall_sec": round(best,3), "n_tokens": int(n_to
 """
 
 
+QUERY_JOB = """
+import sys, time, json, tempfile, shutil; sys.path.insert(0, {repo!r})
+from repurpose_spark.session import get_spark
+spark = get_spark(master="local[{cpus}]", shuffle_partitions=2*{cpus})
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as entry
+sf = {sf_dir!r}
+qs = entry.queries()
+names = ["doc_curation", "doc_pack_assignments", "doc_contamination"]
+# warm-up pass (JIT + python workers), untimed
+for n in names:
+    qs[n](spark, sf).write.format("noop").mode("overwrite").save()
+out = {{}}
+for n in names:
+    per = []
+    for _ in range({trials}):
+        t0 = time.time()
+        qs[n](spark, sf).write.format("noop").mode("overwrite").save()
+        per.append(round(time.time() - t0, 3))
+    out[n] = min(per)
+# ANN index build (the distributed heavy half of the indexed path) +
+# the partition-pruned indexed query against it
+from repurpose_spark.operators.similarity import (
+    materialize_ann_index, lsh_topk_indexed)
+emb = spark.read.parquet(sf + "/embeddings.parquet")
+qv = [float(x) for x in emb.orderBy("vec_id").select("embedding").first()[0]]
+root = tempfile.mkdtemp(prefix="annidx_")
+materialize_ann_index(emb, root + "/w", n_planes=8)  # warm-up, untimed
+per = []
+for i in range({trials}):
+    t0 = time.time()
+    materialize_ann_index(emb, root + f"/i{{i}}", n_planes=8)
+    per.append(round(time.time() - t0, 3))
+out["ann_index_build"] = min(per)
+per = []
+for _ in range({trials}):
+    t0 = time.time()
+    lsh_topk_indexed(spark, root + "/i0", qv, k=10, n_planes=8).collect()
+    per.append(round(time.time() - t0, 3))
+out["ann_query_indexed"] = min(per)
+shutil.rmtree(root, ignore_errors=True)
+print(json.dumps(out))
+"""
+
+
+def run_queries(cpus: int, sf_dir: str, trials: int) -> dict:
+    code = QUERY_JOB.format(repo=REPO, cpus=cpus, sf_dir=sf_dir, trials=trials)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800, cwd=REPO,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def run_compute(cpus: int, docs: int, trials: int) -> dict:
     code = COMPUTE_JOB.format(repo=REPO, cpus=cpus, docs=docs, trials=trials)
     out = subprocess.run(
@@ -116,6 +171,10 @@ def main() -> None:
                     help="doc count for the durable-pipeline levels "
                          "(default: same as --docs)")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1",
+                    help="fixture for the per-query scaling levels")
+    ap.add_argument("--no-queries", action="store_true",
+                    help="skip the per-query scaling levels")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
@@ -130,6 +189,12 @@ def main() -> None:
     for c in (2, 8, 32):
         res[f"pipeline_{c}"] = run_pipeline(c, pdocs)
         print(f"pipeline local[{c}]: {res[f'pipeline_{c}']}", flush=True)
+    if not args.no_queries:
+        # per-query scaling for the r2-added headline ops (VERDICT r2 #8):
+        # fixed sf0.1 input, so efficiency = t_lo / (4 * t_hi)
+        for c in (2, 8):
+            res[f"queries_{c}"] = run_queries(c, args.sf_dir, args.trials)
+            print(f"queries local[{c}]: {res[f'queries_{c}']}", flush=True)
 
     res["efficiency"] = {
         "hardware_2_to_8": eff(res["hardware_2"], res["hardware_8"], "ops_per_sec"),
@@ -142,6 +207,11 @@ def main() -> None:
             eff(res["compute_2"], res["compute_8"], "tokens_per_sec")
             / eff(res["hardware_2"], res["hardware_8"], "ops_per_sec"), 3),
     }
+    if "queries_2" in res:
+        for q, t2 in res["queries_2"].items():
+            t8 = res["queries_8"][q]
+            # fixed work: throughput ∝ 1/wall, eff(2→8) = t2 / (4·t8)
+            res["efficiency"][f"q_{q}_2_to_8"] = round(t2 / (4 * t8), 3)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)
     print(json.dumps(res["efficiency"]))
