@@ -158,9 +158,9 @@ def main():
     import statistics
 
     trials_f = [
-        run_tier_pipeline(spark, N_DOCS)["pipeline_sec"] for _ in range(3)
+        run_tier_pipeline(spark, N_DOCS)["pipeline_sec"] for _ in range(4)
     ]
-    flag = run_tier_pipeline(spark, N_DOCS)  # row counts from a 4th pass
+    flag = run_tier_pipeline(spark, N_DOCS)  # row counts from a 5th pass
     trials_f.append(flag["pipeline_sec"])
     t_flag = statistics.median(trials_f)
     times["tier_pipeline"] = round(t_flag, 3)
@@ -191,7 +191,7 @@ def main():
         "unit": "sec",
         "queries": times,
         "passes": all_passes,
-        "estimator": "median (pipelines n=4/3, queries n=2)",
+        "estimator": "median (pipelines n=5/3, queries n=2)",
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "bench_docs": N_DOCS,

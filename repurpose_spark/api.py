@@ -35,24 +35,41 @@ class Img2Ts:
 
     def __init__(
         self,
-        input_df: DataFrame,
+        input_df: DataFrame | str,
         outputpath: str,
         cellsize: int = 64,          # n_cells (5-deg-grid analog)
         imgbuffer: int = 4,          # → number of resumable batches
         cfg: EngineConfig | None = None,
         job_id: str = "img2ts",
+        spark: SparkSession | None = None,
     ):
-        self.input_df = input_df
+        """``input_df`` may be a DataFrame (hash-sliced batches) or a
+        parquet path string — the scale path: batches slice by whole
+        input files and each scans only its own ~1/imgbuffer of the
+        table (TierPipeline.plan_batches).  ``spark`` is required only
+        for the path form."""
+        self.input_df = input_df if not isinstance(input_df, str) else None
+        self.input_path = input_df if isinstance(input_df, str) else None
+        self._spark = spark
         self.outputpath = outputpath
         self.batches = imgbuffer
         self.cfg = cfg or EngineConfig(n_cells=cellsize)
         self.job_id = job_id
 
     def calc(self, pack: bool = True) -> dict:
-        spark = self.input_df.sparkSession
+        spark = (
+            self.input_df.sparkSession
+            if self.input_df is not None
+            else (self._spark or SparkSession.active())
+        )
         wh = Warehouse(spark, self.outputpath)
         pipe = TierPipeline(spark, wh, self.cfg, job_id=self.job_id)
-        return pipe.run(self.input_df, n_batches=self.batches, pack=pack)
+        return pipe.run(
+            self.input_df,
+            n_batches=self.batches,
+            pack=pack,
+            input_path=self.input_path,
+        )
 
 
 class Ts2Img:

@@ -141,7 +141,7 @@ class TierPipeline:
             return {b: r["files"] for b, r in last_plan.items()}
         # metadata-only listing (no data scan)
         files = sorted(self.spark.read.parquet(input_path).inputFiles())
-        plan = {b: files[b::n_batches] for b in range(n_batches)}
+        plan = self._assign_files(files, n_batches)
         self.wh._commit_many(
             self._ledger_table(),
             "plan",
@@ -156,6 +156,35 @@ class TierPipeline:
                 for b, fs in plan.items()
             ],
         )
+        return plan
+
+    def _assign_files(self, files: list, n_batches: int) -> dict:
+        """Size-balanced assignment: greedy longest-processing-time over
+        the files' byte sizes (Hadoop FS metadata — works for any
+        supported filesystem, no data read), so every batch carries
+        ~equal bytes even when file sizes are wildly uneven (compacted +
+        fresh-ingest files mixed).  LPT is deterministic given the sorted
+        listing: ties break on file path.  Falls back to round-robin over
+        the sorted listing if size metadata is unavailable."""
+        sizes = None
+        try:
+            jvm = self.spark._jvm  # noqa: SLF001
+            conf = self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            sizes = {}
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                fs = p.getFileSystem(conf)
+                sizes[f] = fs.getFileStatus(p).getLen()
+        except Exception:
+            sizes = None
+        if sizes is None:
+            return {b: files[b::n_batches] for b in range(n_batches)}
+        plan = {b: [] for b in range(n_batches)}
+        load = [0] * n_batches
+        for f in sorted(files, key=lambda f: (-sizes[f], f)):
+            b = min(range(n_batches), key=lambda i: (load[i], i))
+            plan[b].append(f)
+            load[b] += sizes[f]
         return plan
 
     # -- tiers ---------------------------------------------------------------

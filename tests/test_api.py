@@ -72,3 +72,24 @@ def test_resample_to_grid_nn_and_weighted(spark):
         min_neighbours=2,
     )
     assert wt.count() == 9
+
+
+def test_img2ts_path_input_file_sliced(spark, tmp_path):
+    """Img2Ts accepts a parquet path: batches slice by input files (the
+    prunable scale path) and match the DataFrame-mode result."""
+    from repurpose_spark.sources.tables import Warehouse
+
+    seqs = synth_sequences(spark, 40)
+    inp = str(tmp_path / "in")
+    seqs.repartition(4).write.parquet(inp)
+    res = Img2Ts(
+        inp, str(tmp_path / "whp"), cellsize=8, imgbuffer=2, spark=spark
+    ).calc()
+    assert res["n_packed"] == 40
+    ref = Img2Ts(seqs, str(tmp_path / "whd"), cellsize=8, imgbuffer=2).calc()
+    a = Warehouse(spark, str(tmp_path / "whp")).read("img2ts_hourly")
+    b = Warehouse(spark, str(tmp_path / "whd")).read("img2ts_hourly")
+    cols = ["cell_id", "doc_id", "tick", "n_points", "sum_v"]
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )

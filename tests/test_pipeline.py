@@ -292,3 +292,30 @@ def test_run_requires_exactly_one_input(spark, seqs, tmp_path):
         pipe.run()
     with pytest.raises(ValueError, match="exactly one"):
         pipe.run(seqs, input_path=str(tmp_path / "input"))
+
+
+def test_file_sliced_plan_balances_bytes(spark, tmp_path):
+    """Batch assignment is size-aware (greedy LPT over file bytes), not
+    count-based: one big file plus several small ones must not stack the
+    big file together with small ones while another batch sits idle."""
+    from urllib.parse import urlparse
+
+    import os
+
+    path = str(tmp_path / "in")
+    synth_sequences(spark, 400).coalesce(1).write.parquet(path)  # 1 big
+    synth_sequences(spark, 30).repartition(3).write.mode("append").parquet(
+        path
+    )  # 3 small
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    plan = pipe.plan_batches(path, 2)
+
+    def nbytes(fs):
+        return sum(os.path.getsize(urlparse(f).path) for f in fs)
+
+    sizes = {b: nbytes(fs) for b, fs in plan.items()}
+    big_batch = max(plan, key=lambda b: sizes[b])
+    # the big file is isolated; all three small files share the other batch
+    assert len(plan[big_batch]) == 1
+    assert len(plan[1 - big_batch]) == 3
