@@ -328,7 +328,16 @@ def materialize_ann_index(
     if centroids is not None:
         df = df.withColumn("cid", ivf_assign(vec_col, centroids))
         parts = ["cid", "sig"]
-    df.write.mode("overwrite").partitionBy(*parts).parquet(path)
+    # cluster rows by their output partition before the partitioned write:
+    # without this every task holds an open writer per bucket it sees —
+    # O(tasks × 2^n_planes) small files and writer-memory pressure; with
+    # it each bucket is written by one task → one right-sized file per
+    # partition dir (measured: the build SCALED NEGATIVELY 2→8 cores
+    # before, 0.19 efficiency, because file-creation overhead grew with
+    # parallelism)
+    df.repartition(*[F.col(c) for c in parts]).write.mode(
+        "overwrite"
+    ).partitionBy(*parts).parquet(path)
 
 
 def _query_sig(query_vec: list, n_planes: int, seed: int = 7) -> int:

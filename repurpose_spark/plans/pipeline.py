@@ -125,14 +125,13 @@ class TierPipeline:
         call and reused verbatim on resume, so a listing that changes
         mid-job (late-arriving files, compaction) can never shift batch
         membership under a restarted run."""
-        recs = self.wh.snapshots(self._ledger_table())
-        last_plan = {}
-        for r in recs:
-            if r.get("status") == "plan":
-                last_plan[r["batch_id"]] = r
+        last_plan = self._ledgered_plan()
         if last_plan:
+            # increment rows (run_incremental) carry n_batches=None and
+            # are exempt from the original-parameter consistency check
             if any(
-                r.get("n_batches") != n_batches for r in last_plan.values()
+                r.get("n_batches") not in (None, n_batches)
+                for r in last_plan.values()
             ):
                 raise ValueError(
                     "n_batches differs from the ledgered batch plan; "
@@ -157,6 +156,79 @@ class TierPipeline:
             ],
         )
         return plan
+
+    def _ledgered_plan(self) -> dict:
+        """Last plan row per batch_id (original run + any increments)."""
+        last_plan = {}
+        for r in self.wh.snapshots(self._ledger_table()):
+            if r.get("status") == "plan":
+                last_plan[r["batch_id"]] = r
+        return last_plan
+
+    def run_incremental(
+        self,
+        input_path: str,
+        files_per_batch: int | None = None,
+        fail_after_batch: int | None = None,
+        pack: bool = True,
+    ) -> dict:
+        """Ingest files that appeared under ``input_path`` AFTER the
+        planned run — the reference's append-new-dates loop (img2ts is
+        re-run over the new date range and appends to the same cells,
+        img2ts.py:798-802).  New files become NEW batches (ids continue
+        past the originals), committed to the ledger plan before any
+        processing, then the normal resumable loop runs them and
+        re-derives the daily/packed tiers (overwrite — idempotent).
+        Already-planned batches are untouched: their ledger 'done'
+        markers skip them, so an increment never re-reads old data.
+
+        ``files_per_batch`` sizes the new batches (default: the original
+        run's files-per-batch average, so increments inherit the same
+        working-set bound)."""
+        plan = self._ledgered_plan()
+        if not plan:
+            raise ValueError(
+                "no ledgered batch plan; run(input_path=...) first"
+            )
+        known = {f for r in plan.values() for f in r["files"]}
+        listing = sorted(self.spark.read.parquet(input_path).inputFiles())
+        new = [f for f in listing if f not in known]
+        orig_n = next(
+            (
+                r["n_batches"]
+                for r in plan.values()
+                if r.get("n_batches") is not None
+            ),
+            len(plan),
+        )
+        if new:
+            per = files_per_batch or max(1, len(known) // max(len(plan), 1))
+            n_new = -(-len(new) // per)  # ceil
+            next_id = max(plan) + 1
+            sub = self._assign_files(new, n_new)
+            self.wh._commit_many(
+                self._ledger_table(),
+                "plan",
+                [
+                    {
+                        "batch_id": next_id + k,
+                        "status": "plan",
+                        "n_batches": None,
+                        "increment": True,
+                        "input_path": input_path,
+                        "files": fs,
+                    }
+                    for k, fs in sub.items()
+                ],
+            )
+        out = self.run(
+            input_path=input_path,
+            n_batches=orig_n,
+            fail_after_batch=fail_after_batch,
+            pack=pack,
+        )
+        out["n_new_files"] = len(new)
+        return out
 
     def _assign_files(self, files: list, n_batches: int) -> dict:
         """Size-balanced assignment: greedy longest-processing-time over
@@ -226,9 +298,12 @@ class TierPipeline:
             if input_path is not None
             else None
         )
+        # file mode iterates the LEDGERED plan's batch ids — they can
+        # extend past n_batches when run_incremental appended new files
+        batch_ids = sorted(plan) if plan is not None else range(n_batches)
         done = self.completed_batches()
         n_run = 0
-        for b in range(n_batches):
+        for b in batch_ids:
             if b in done:
                 continue
             if plan is not None:

@@ -17,10 +17,18 @@ local[32]:
    this oversubscribed VM can physically deliver (32 advertised vCPUs do
    NOT deliver 4x the throughput of 8 — measured, not assumed).
 
+Plus per-query levels (local[2] vs local[8]) for the round-2-added
+headline operators — curation, pack assignments, decontamination, ANN
+index build/query — on an 8x-replicated fixture (the raw sf fixture
+finishes sub-second and would measure JVM constants, not scaling).
+
 Efficiency(N→4N) = throughput(4N) / (4 * throughput(N)).
 
-Usage: python scripts/bench_scaling.py [--docs 500000] [--out BENCH_SCALING.json]
-Each Spark level runs in a subprocess (fresh JVM per master).
+Usage: python scripts/bench_scaling.py [--docs 500000] [--levels 2,8]
+       [--pipeline-trials 2] [--out BENCH_SCALING.json]
+Each Spark level runs in a subprocess (fresh JVM per master).  The 2,8
+axis is the hardware-valid N-vs-4N evidence on this host (the probe
+shows 32 advertised vCPUs deliver only ~2x the throughput of 8).
 """
 
 from __future__ import annotations
@@ -71,10 +79,24 @@ print(__import__("json").dumps({{"wall_sec": round(best,3), "n_tokens": int(n_to
 QUERY_JOB = """
 import sys, time, json, tempfile, shutil; sys.path.insert(0, {repo!r})
 from repurpose_spark.session import get_spark
+from pyspark.sql import functions as F
 spark = get_spark(master="local[{cpus}]", shuffle_partitions=2*{cpus})
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as entry
-sf = {sf_dir!r}
+# blow the fixture up {scale_k}x with distinct ids (untimed prep): the raw
+# sf fixture finishes sub-second at local[2], which measures JVM constants,
+# not distributed work — scaling evidence needs minutes-of-work inputs
+orig = {sf_dir!r}
+sf = tempfile.mkdtemp(prefix="qscale_")
+for tbl, idc in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    d = spark.read.parquet(orig + "/" + tbl + ".parquet")
+    n = d.agg(F.max(idc)).first()[0] + 1
+    big = (
+        d.crossJoin(spark.range({scale_k}).withColumnRenamed("id", "__k"))
+        .withColumn(idc, F.col(idc) + F.col("__k") * n).drop("__k")
+    )
+    # FIXED split count across parallelism levels (identical input layout)
+    big.repartition(64).write.parquet(sf + "/" + tbl + ".parquet")
 qs = entry.queries()
 names = ["doc_curation", "doc_pack_assignments", "doc_contamination"]
 # warm-up pass (JIT + python workers), untimed
@@ -109,12 +131,15 @@ for _ in range({trials}):
     per.append(round(time.time() - t0, 3))
 out["ann_query_indexed"] = min(per)
 shutil.rmtree(root, ignore_errors=True)
+shutil.rmtree(sf, ignore_errors=True)
 print(json.dumps(out))
 """
 
 
-def run_queries(cpus: int, sf_dir: str, trials: int) -> dict:
-    code = QUERY_JOB.format(repo=REPO, cpus=cpus, sf_dir=sf_dir, trials=trials)
+def run_queries(cpus: int, sf_dir: str, trials: int, scale_k: int = 8) -> dict:
+    code = QUERY_JOB.format(
+        repo=REPO, cpus=cpus, sf_dir=sf_dir, trials=trials, scale_k=scale_k
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=1800, cwd=REPO,
@@ -133,15 +158,25 @@ def run_compute(cpus: int, docs: int, trials: int) -> dict:
     return json.loads(line)
 
 
-def run_pipeline(cpus: int, docs: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "run_tiers.py"),
-         "--docs", str(docs), "--cpus", str(cpus), "--batches", "2",
-         "--cells", "64", "--parts", "64", "--json"],
-        capture_output=True, text=True, timeout=1200,
-    )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+def run_pipeline(cpus: int, docs: int, trials: int = 1) -> dict:
+    """Best-of-N full durable runs (fresh JVM + warehouse each): the host
+    shows multi-second steal bursts, and a single long run can absorb one
+    whole (BASELINE.md noise narrative) — min-of-N is the same estimator
+    the compute/query levels already use."""
+    best = None
+    for _ in range(trials):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "run_tiers.py"),
+             "--docs", str(docs), "--cpus", str(cpus), "--batches", "2",
+             "--cells", "64", "--parts", "64", "--json"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        rec = json.loads(line)
+        if best is None or rec["wall_sec"] < best["wall_sec"]:
+            best = rec
+    return best
 
 
 def _burn(n: int) -> int:
@@ -171,6 +206,11 @@ def main() -> None:
                     help="doc count for the durable-pipeline levels "
                          "(default: same as --docs)")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--pipeline-trials", type=int, default=1)
+    ap.add_argument("--levels", default="2,8,32",
+                    help="comma-separated local[N] levels; the 2,8 axis is "
+                         "the hardware-valid N-vs-4N evidence on this host "
+                         "(32 vCPUs deliver only ~2x of 8 — see probe)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1",
                     help="fixture for the per-query scaling levels")
     ap.add_argument("--no-queries", action="store_true",
@@ -178,16 +218,17 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
-    res: dict = {"docs": args.docs, "levels": [2, 8, 32]}
-    for c in (2, 8, 32):
+    levels = [int(x) for x in args.levels.split(",")]
+    res: dict = {"docs": args.docs, "levels": levels}
+    for c in levels:
         res[f"hardware_{c}"] = run_hardware(c)
-    for c in (2, 8, 32):
+    for c in levels:
         res[f"compute_{c}"] = run_compute(c, args.docs, args.trials)
         print(f"compute local[{c}]: {res[f'compute_{c}']}", flush=True)
     pdocs = args.pipeline_docs or args.docs
     res["pipeline_docs"] = pdocs
-    for c in (2, 8, 32):
-        res[f"pipeline_{c}"] = run_pipeline(c, pdocs)
+    for c in levels:
+        res[f"pipeline_{c}"] = run_pipeline(c, pdocs, args.pipeline_trials)
         print(f"pipeline local[{c}]: {res[f'pipeline_{c}']}", flush=True)
     if not args.no_queries:
         # per-query scaling for the r2-added headline ops (VERDICT r2 #8):
@@ -196,17 +237,19 @@ def main() -> None:
             res[f"queries_{c}"] = run_queries(c, args.sf_dir, args.trials)
             print(f"queries local[{c}]: {res[f'queries_{c}']}", flush=True)
 
-    res["efficiency"] = {
-        "hardware_2_to_8": eff(res["hardware_2"], res["hardware_8"], "ops_per_sec"),
-        "hardware_8_to_32": eff(res["hardware_8"], res["hardware_32"], "ops_per_sec"),
-        "compute_2_to_8": eff(res["compute_2"], res["compute_8"], "tokens_per_sec"),
-        "compute_8_to_32": eff(res["compute_8"], res["compute_32"], "tokens_per_sec"),
-        "pipeline_2_to_8": eff(res["pipeline_2"], res["pipeline_8"], "tokens_per_sec"),
-        "pipeline_8_to_32": eff(res["pipeline_8"], res["pipeline_32"], "tokens_per_sec"),
-        "compute_2_to_8_vs_hw_ceiling": round(
+    res["efficiency"] = {}
+    for lo, hi in zip(levels, levels[1:]):
+        f = hi // lo
+        res["efficiency"][f"hardware_{lo}_to_{hi}"] = eff(
+            res[f"hardware_{lo}"], res[f"hardware_{hi}"], "ops_per_sec", f)
+        res["efficiency"][f"compute_{lo}_to_{hi}"] = eff(
+            res[f"compute_{lo}"], res[f"compute_{hi}"], "tokens_per_sec", f)
+        res["efficiency"][f"pipeline_{lo}_to_{hi}"] = eff(
+            res[f"pipeline_{lo}"], res[f"pipeline_{hi}"], "tokens_per_sec", f)
+    if 2 in levels and 8 in levels:
+        res["efficiency"]["compute_2_to_8_vs_hw_ceiling"] = round(
             eff(res["compute_2"], res["compute_8"], "tokens_per_sec")
-            / eff(res["hardware_2"], res["hardware_8"], "ops_per_sec"), 3),
-    }
+            / eff(res["hardware_2"], res["hardware_8"], "ops_per_sec"), 3)
     if "queries_2" in res:
         for q, t2 in res["queries_2"].items():
             t8 = res["queries_8"][q]

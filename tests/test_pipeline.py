@@ -319,3 +319,62 @@ def test_file_sliced_plan_balances_bytes(spark, tmp_path):
     # the big file is isolated; all three small files share the other batch
     assert len(plan[big_batch]) == 1
     assert len(plan[1 - big_batch]) == 3
+
+
+def test_incremental_ingest_appends_new_files(spark, seqs, tmp_path):
+    """run_incremental: files that appear after the planned run become
+    NEW ledgered batches (old batches untouched — never re-read), tiers
+    re-derive, and the result equals a single shot over all files."""
+    path = _write_input(spark, seqs, tmp_path, n_files=4)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.run(input_path=path, n_batches=2)
+
+    extra = synth_sequences(spark, N_DOCS + 50).where(
+        F.col("doc_id") >= f"doc{N_DOCS:08d}"
+    )
+    extra.repartition(2).write.mode("append").parquet(path)
+    out = pipe.run_incremental(path)
+    assert out["n_new_files"] == 2
+    assert pipe.completed_batches() == {0, 1, 2}  # one new batch (2 files)
+    hourly = wh.read(pipe.hourly_table())
+    assert hourly.select("doc_id").distinct().count() == N_DOCS + 50
+
+    # nothing new → no-op on data
+    n = hourly.count()
+    out2 = pipe.run_incremental(path)
+    assert out2["n_new_files"] == 0
+    assert wh.read(pipe.hourly_table()).count() == n
+
+    # single-shot equivalence over the full file set
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    TierPipeline(spark, wh2, CFG, job_id="t").run(input_path=path, n_batches=3)
+    assert _sorted(wh2.read("t_hourly"), TIER_COLS) == _sorted(
+        hourly, TIER_COLS
+    )
+
+
+def test_incremental_ingest_crash_resume(spark, seqs, tmp_path):
+    """A crash mid-increment resumes from the ledgered increment plan."""
+    path = _write_input(spark, seqs, tmp_path, n_files=4)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.run(input_path=path, n_batches=2)
+    extra = synth_sequences(spark, N_DOCS + 60).where(
+        F.col("doc_id") >= f"doc{N_DOCS:08d}"
+    )
+    extra.repartition(2).write.mode("append").parquet(path)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.run_incremental(path, files_per_batch=1, fail_after_batch=1)
+    assert pipe.completed_batches() == {0, 1, 2}
+    pipe.run_incremental(path)  # resume completes batch 3
+    assert pipe.completed_batches() == {0, 1, 2, 3}
+    hourly = wh.read(pipe.hourly_table())
+    assert hourly.select("doc_id").distinct().count() == N_DOCS + 60
+
+
+def test_incremental_requires_prior_plan(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    with pytest.raises(ValueError, match="no ledgered batch plan"):
+        pipe.run_incremental(str(tmp_path / "nope"))

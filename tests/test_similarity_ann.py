@@ -189,3 +189,21 @@ def test_bucket_guard_bounds_adversarial_bucket(spark):
     u = {(r["vec_a"], r["vec_b"]) for r in unguarded.collect()}
     assert g == u
     assert {(i, 1000 + i) for i in range(5)} <= g
+
+
+def test_materialized_index_one_file_per_bucket(spark, emb, tmp_path):
+    """The partitioned index write clusters rows by bucket first: one
+    right-sized file per sig dir, not one per (task x bucket) — the
+    pre-fix layout made the build SLOWER with more cores."""
+    import glob
+    import os
+
+    from repurpose_spark.operators.similarity import materialize_ann_index
+
+    path = str(tmp_path / "idx")
+    materialize_ann_index(emb, path, n_planes=4)
+    dirs = glob.glob(path + "/sig=*")
+    assert dirs
+    for d in dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
