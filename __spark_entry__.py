@@ -1750,9 +1750,9 @@ SELECT doc_id,
        mean_word_len,
        round(punct, 4) AS punct_ratio,
        length(text) AS len,
-       round(0.4 * least(length(text) / 200.0, 1.0)
-             + 0.3 * (1 - least(punct * 4, 1.0))
-             + 0.3 * least(sw * 3, 1.0), 4) AS q
+       floor((0.4 * least(length(text) / 200.0, 1.0)
+              + 0.3 * (1 - least(punct * 4, 1.0))
+              + 0.3 * least(sw * 3, 1.0)) * 10000 + 0.5 + 1e-9) / 10000 AS q
 FROM s
 """,
         "doc_rolling_fingerprint": """
@@ -1841,9 +1841,9 @@ s AS (
   FROM f
 )
 SELECT doc_id,
-       round(0.4 * length_ok
-             + 0.3 * (1 - least(punct * 4, 1.0))
-             + 0.3 * least(sw * 3, 1.0), 4) AS q
+       floor((0.4 * length_ok
+              + 0.3 * (1 - least(punct * 4, 1.0))
+              + 0.3 * least(sw * 3, 1.0)) * 10000 + 0.5 + 1e-9) / 10000 AS q
 FROM s
 """,
         "doc_bpe_tokens": r"""
@@ -2092,7 +2092,7 @@ lp AS (
 ),
 qf AS (
   SELECT doc_id, text, lang_pred,
-         round(0.4 * least(length(text) / 200.0, 1.0)
+         floor((0.4 * least(length(text) / 200.0, 1.0)
                + 0.3 * (1 - least(
                    ((length(text) -
                      length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
@@ -2111,8 +2111,7 @@ qf AS (
                                'were','be','this'], x)))
                          / len(list_filter(
                              string_split_regex(lower(trim(text)), '\s+'),
-                             x -> length(x) > 0))::DOUBLE END) * 3, 1.0),
-               4) AS q
+                             x -> length(x) > 0))::DOUBLE END) * 3, 1.0)) * 10000 + 0.5 + 1e-9) / 10000 AS q
   FROM lp
 ),
 kept AS (
@@ -2193,7 +2192,7 @@ ann AS (
               WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
               WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
               ELSE 'de' END AS lang_pred,
-         round(0.4 * least(length(text) / 200.0, 1.0)
+         floor((0.4 * least(length(text) / 200.0, 1.0)
                + 0.3 * (1 - least(
                    ((length(text) -
                      length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
@@ -2212,8 +2211,7 @@ ann AS (
                                'were','be','this'], x)))
                          / len(list_filter(
                              string_split_regex(lower(trim(text)), '\s+'),
-                             x -> length(x) > 0))::DOUBLE END) * 3, 1.0),
-               4) AS q,
+                             x -> length(x) > 0))::DOUBLE END) * 3, 1.0)) * 10000 + 0.5 + 1e-9) / 10000 AS q,
          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm
   FROM sc
 ),

@@ -85,15 +85,23 @@ def stopword_ratio(text: str | Column) -> Column:
 
 def quality_score(text: str | Column) -> Column:
     """Composite [0,1] quality heuristic: long enough, not punct-heavy,
-    some stopwords, sane word length."""
+    some stopwords, sane word length.
+
+    Rounded to 4 decimals via epsilon-stable floor(q·1e4 + 0.5 + 1e-9):
+    the components are ratios of small integers, so q regularly lands
+    EXACTLY on a .xxxx5 rounding tie, and ±1-ulp evaluation-order noise
+    then flips engines in different directions (observed: 0.83125 →
+    Spark 0.8312 vs DuckDB 0.8313 at sf0.1).  The 1e-9 margin swamps
+    float noise (~1e-12 at this scale) without moving any non-tie value;
+    the SQL twin uses the identical formula."""
     t = _c(text)
     length_ok = F.least(F.length(t) / F.lit(200.0), F.lit(1.0))
-    return F.round(
+    q = (
         0.4 * length_ok
         + 0.3 * (1 - F.least(punct_ratio(t) * 4, F.lit(1.0)))
-        + 0.3 * F.least(stopword_ratio(t) * 3, F.lit(1.0)),
-        4,
+        + 0.3 * F.least(stopword_ratio(t) * 3, F.lit(1.0))
     )
+    return F.floor(q * 10000.0 + 0.5 + 1e-9) / 10000.0
 
 
 def lang_id(text: str | Column) -> Column:
