@@ -121,3 +121,25 @@ def test_pipeline_compact_collapses_batches(spark, tmp_path):
         t, 9, partition_by=["cell_id"],
     )
     assert wh.read(t).where("batch_id = 9").count() > 0
+
+
+def test_compact_with_zorder_key(spark, tmp_path):
+    """compact_table accepts a z-order Column as the sort key: rows
+    survive unchanged and the rewrite is clustered in BOTH dimensions."""
+    from repurpose_spark.functions.zorder import zorder_sort_key
+
+    wh = Warehouse(spark, str(tmp_path))
+    t = "ev"
+    df = spark.range(5000).select(
+        (F.col("id") % 64).alias("u"),
+        ((F.col("id") * 7) % 64).alias("h"),
+        F.xxhash64("id").alias("shuffle"),
+    ).orderBy("shuffle").drop("shuffle").repartition(8)
+    wh.write(df, t)
+    expect = sorted(tuple(r) for r in wh.read(t).collect())
+    key = zorder_sort_key(wh.read(t), ["u", "h"])
+    m = compact_table(wh, t, sort_by=[key])
+    assert m["files_after"] <= m["files_before"]
+    got = sorted(tuple(r) for r in wh.read(t).collect())
+    assert got == expect
+    assert any(s.get("op") == "compact" for s in wh.snapshots(t))
