@@ -1990,8 +1990,9 @@ WITH c AS (
 SELECT source, doc_id, n_chars,
        CAST((cum - n_chars) // 4096 AS BIGINT) AS pack_id,
        CAST((cum - n_chars) % 4096 AS BIGINT) AS pack_offset,
-       CAST((cum - 1) // 4096 - (cum - n_chars) // 4096 + 1 AS BIGINT)
-         AS n_chunks
+       CAST(CASE WHEN n_chars = 0 THEN 0
+            ELSE (cum - 1) // 4096 - (cum - n_chars) // 4096 + 1 END
+            AS BIGINT) AS n_chunks
 FROM c
 """,
         "doc_split_counts": """

@@ -106,16 +106,22 @@ def pack_sequences(
         .withColumn("start", F.col("cum") - F.col("len"))
     )
     # exact integer division (`div`) — float division would lose
-    # precision past 2^53 cumulative tokens
+    # precision past 2^53 cumulative tokens.  n_chunks: 0 for empty docs
+    # by definition (they span no chunks) — also sidesteps the one place
+    # `cum - 1` goes negative (a zero-len doc at stream offset 0), where
+    # Spark's truncating div and floor semantics disagree (found by
+    # hypothesis fuzz)
     return cum.select(
         F.col("g").alias(by),
         F.col("id").alias(id_col),
         F.col("len").alias(len_col),
         F.expr(f"start div {budget}").alias("pack_id"),
         F.pmod(F.col("start"), F.lit(budget)).cast("long").alias("pack_offset"),
-        F.expr(f"(cum - 1) div {budget} - start div {budget} + 1").alias(
-            "n_chunks"
-        ),
+        F.when(F.col("len") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(f"(cum - 1) div {budget} - start div {budget} + 1")
+        )
+        .alias("n_chunks"),
     )
 
 

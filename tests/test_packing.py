@@ -25,7 +25,7 @@ def _expected(rows, budget):
         out[doc] = (
             start // budget,
             start % budget,
-            (cum - 1) // budget - start // budget + 1,
+            0 if n == 0 else (cum - 1) // budget - start // budget + 1,
         )
         by_src[src] = cum
     return out

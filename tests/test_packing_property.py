@@ -29,8 +29,7 @@ def _expected(rows, budget):
         out[doc] = (
             start // budget,
             start % budget,
-            max((cum - 1) // budget - start // budget + 1, 0) if n else
-            (cum - 1) // budget - start // budget + 1,
+            0 if n == 0 else (cum - 1) // budget - start // budget + 1,
         )
         acc[src] = cum
     return out
