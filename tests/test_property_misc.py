@@ -1,0 +1,97 @@
+"""Property fuzzes for chunking and gap-fill against pure-python
+references (same strategy that caught the packing offset-0 edge)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from repurpose_spark.operators.gapfill import gap_fill
+from repurpose_spark.operators.packing import chunk_documents
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA),
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=texts, size=st.sampled_from([1, 5, 32]),
+       stride=st.sampled_from([None, 1, 4, 40]))
+def test_chunk_documents_fuzz(spark, docs, size, stride):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (
+            r["chunk_start"], r["chunk_len"], r["chunk"]
+        )
+        for r in chunk_documents(df, size, stride=stride).collect()
+    }
+    step = stride or size
+    expect = {}
+    for i, t in enumerate(docs):
+        starts = list(range(0, max(len(t), 1), step))
+        for k, s in enumerate(starts):
+            c = t[s:s + size]
+            expect[(i, k)] = (s, len(c), c)
+    assert got == expect
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key
+            st.integers(min_value=0, max_value=40),  # hour offset
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    bounds=st.sampled_from([(None, None), (-3, None), (None, 45), (-3, 45)]),
+)
+def test_gap_fill_fuzz(spark, obs, bounds):
+    base = dt.datetime(2021, 6, 1)
+    rows = [
+        (f"k{k}", base + dt.timedelta(hours=h), (k + 1) * 100 + h)
+        for k, h in obs
+    ]
+    df = spark.createDataFrame(rows, "key string, tick timestamp, v long")
+    s, e = bounds
+    start = base + dt.timedelta(hours=s) if s is not None else None
+    end = base + dt.timedelta(hours=e) if e is not None else None
+    dense = gap_fill(
+        df, "hour", key_cols=["key"], start=start, end=end,
+        fill_values={"v": -1},
+    )
+    got = {
+        (r["key"], r["tick"]): r["v"] for r in dense.collect()
+    }
+    lo = start if start is not None else min(r[1] for r in rows)
+    hi = end if end is not None else max(r[1] for r in rows)
+    keys = {f"k{k}" for k, _ in obs}
+    vals = {(k, t): v for k, t, v in rows}
+    expect = {}
+    t = lo
+    while t <= hi:
+        for k in keys:
+            expect[(k, t)] = vals.get((k, t), -1)
+        t += dt.timedelta(hours=1)
+    assert got == expect
