@@ -238,15 +238,38 @@ class TierPipeline:
         fresh-ingest files mixed).  LPT is deterministic given the sorted
         listing: ties break on file path.  Falls back to round-robin over
         the sorted listing if size metadata is unavailable."""
+        # ONE recursive listing for all sizes (listFiles iterator) — a
+        # per-file getFileStatus would be one RPC per file, ~1.6M calls
+        # at the design scale's input; object stores bill and throttle
+        # those
         sizes = None
         try:
             jvm = self.spark._jvm  # noqa: SLF001
             conf = self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
-            sizes = {}
-            for f in files:
-                p = jvm.org.apache.hadoop.fs.Path(f)
-                fs = p.getFileSystem(conf)
-                sizes[f] = fs.getFileStatus(p).getLen()
+            # list from the deepest common ANCESTOR DIRECTORY of all
+            # files (whole path components — a string prefix like /a/b
+            # vs /a/bd would lie)
+            prefix = files[0].rsplit("/", 1)[0]
+            while not all(f.startswith(prefix + "/") for f in files):
+                prefix = prefix.rsplit("/", 1)[0]
+            p = jvm.org.apache.hadoop.fs.Path(prefix)
+            fs = p.getFileSystem(conf)
+            it = fs.listFiles(p, True)
+            # normalize URIs: Hadoop Path.toString() renders file:/x
+            # where inputFiles() gives file:///x — key on (netloc, path)
+            from urllib.parse import urlparse
+
+            def _k(u):
+                q = urlparse(u)
+                return (q.netloc, q.path)
+
+            raw = {}
+            while it.hasNext():
+                st = it.next()
+                raw[_k(st.getPath().toString())] = st.getLen()
+            sizes = {f: raw.get(_k(f)) for f in files}
+            if any(v is None for v in sizes.values()):
+                sizes = None
         except Exception:
             sizes = None
         if sizes is None:
