@@ -95,3 +95,73 @@ def test_gap_fill_fuzz(spark, obs, bounds):
             expect[(k, t)] = vals.get((k, t), -1)
         t += dt.timedelta(hours=1)
     assert got == expect
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),     # key
+            st.integers(min_value=0, max_value=7200),  # obs offset sec
+            st.integers(min_value=0, max_value=99),    # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    ticks=st.one_of(
+        st.just(list(range(0, 7201, 600))),            # regular
+        st.lists(
+            st.integers(min_value=0, max_value=7200),
+            min_size=2, max_size=12, unique=True,
+        ).map(sorted),                                  # irregular
+    ),
+    tol=st.sampled_from([None, 60, 450, 3600]),
+    strategy=st.sampled_from(["auto", "array", "binned"]),
+)
+def test_collocate_fuzz_all_strategies(spark, obs, ticks, tol, strategy):
+    """As-of collocation fuzz: every strategy must match the pure-python
+    reference (largest tick <= ts within tolerance; earliest obs wins a
+    slot) on random irregular axes, observations, and tolerances."""
+    from repurpose_spark.operators.collocate import (
+        collocate,
+        max_gap_seconds,
+    )
+
+    base = dt.datetime(2021, 6, 1)
+    rows = [
+        (f"k{k}", base + dt.timedelta(seconds=s), v) for k, s, v in obs
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, obs_ts timestamp, v long")
+    axis = [base + dt.timedelta(seconds=t) for t in ticks]
+    got = {
+        (r["doc_id"], r["tick"]): (
+            r["timedelta_seconds"], r["obs_ts"], r["v"]
+        )
+        for r in collocate(
+            df, axis, ts_col="obs_ts", tolerance_seconds=tol,
+            strategy=strategy,
+        ).collect()
+    }
+    eff_tol = tol if tol is not None else max_gap_seconds(ticks)
+    best = {}
+    for k, s, v in obs:
+        cand = [t for t in ticks if t <= s and s - t <= eff_tol]
+        if not cand:
+            continue
+        t = max(cand)
+        key = (f"k{k}", t)
+        entry = (s, s - t, v)  # earliest obs wins, then delta, then value
+        if key not in best or entry < best[key]:
+            best[key] = entry
+    expect = {
+        (k, base + dt.timedelta(seconds=t)): (
+            float(e[1]), base + dt.timedelta(seconds=e[0]), e[2]
+        )
+        for (k, t), e in best.items()
+    }
+    assert got == expect
