@@ -165,3 +165,54 @@ def test_collocate_fuzz_all_strategies(spark, obs, ticks, tol, strategy):
         for (k, t), e in best.items()
     }
     assert got == expect
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),
+            st.lists(
+                st.integers(min_value=0, max_value=50256),
+                min_size=1,
+                max_size=40,
+            ),
+            st.sampled_from(["web", "code"]),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    parts=st.sampled_from([1, 5]),
+)
+def test_reorient_roundtrip_fuzz(spark, docs, parts):
+    """North-rule invariant under fuzz: per-row token-array equality
+    after reorientation there and back, under any repartitioning
+    (duplicate token values, singleton docs, ragged lengths)."""
+    from repurpose_spark.config import EngineConfig
+    from repurpose_spark.operators.reorient import (
+        points_to_sequences,
+        sequences_to_points,
+    )
+
+    cfg = EngineConfig(n_cells=4)
+    rows = [
+        (f"d{i:04d}", toks, len(toks), src) for i, toks, src in docs
+    ]
+    seqs = spark.createDataFrame(
+        rows,
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    pts = sequences_to_points(seqs, cfg).repartition(parts)
+    back = points_to_sequences(pts, cfg)
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+        for r in back.collect()
+    }
+    expect = {d: (t, n, s) for d, t, n, s in rows}
+    assert got == expect
