@@ -104,5 +104,8 @@ def compact_table(
         "files_after": after["n_files"],
         "bytes": after["total_bytes"],
     }
-    wh._commit(table, "compact", metrics)
+    # manifest rides the compact commit like write/append/batch commits:
+    # pre-compact snapshots expire (their files are gone — Iceberg keeps
+    # them until expiry), but the POST-compact state is time-travelable
+    wh._commit(table, "compact", {**metrics, **wh._snapshot_state(table)})
     return metrics

@@ -143,3 +143,28 @@ def test_compact_with_zorder_key(spark, tmp_path):
     got = sorted(tuple(r) for r in wh.read(t).collect())
     assert got == expect
     assert any(s.get("op") == "compact" for s in wh.snapshots(t))
+
+
+def test_compact_commits_snapshot_manifest(spark, tmp_path):
+    """The compact commit carries a file manifest: pre-compact snapshots
+    expire with a clear error (their files are rewritten), but the
+    post-compact state participates in time travel like any commit."""
+    import pytest as _pytest
+
+    wh = Warehouse(spark, str(tmp_path))
+    t = "tt"
+    wh.write(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("cell_id"),
+        ).repartition(8),
+        t, partition_by=["cell_id"],
+    )
+    pre_ids = wh.snapshot_ids(t)
+    compact_table(wh, t)
+    ids = wh.snapshot_ids(t)
+    assert len(ids) == len(pre_ids) + 1
+    snap = wh.read(t, snapshot_id=ids[-1])
+    assert snap.count() == 100
+    with _pytest.raises(ValueError, match="expired"):
+        wh.read(t, snapshot_id=pre_ids[-1])
