@@ -143,10 +143,20 @@ class Warehouse:
         w.parquet(f"{self.path(table)}/batch_id={batch_id}")
         # every batch write is a logged snapshot (reference: every append
         # gets a 000_log dir, img2ts.py:754) — batch-built tiers get the
-        # same time-travel/lineage surface as write/append tables
+        # same time-travel/lineage surface as write/append tables.
+        # DELTA manifest: only this batch's own files ride the commit —
+        # a full-table manifest per batch commit would be an O(table
+        # files) walk + sidecar line count QUADRATIC in n_batches (256
+        # batches × millions of files at design scale); readers
+        # reconstruct the full state by replaying deltas (Iceberg's
+        # incremental-manifest move)
         self._commit(
             table, "batch",
-            {"batch_id": batch_id, **self._snapshot_state(table)},
+            {
+                "batch_id": batch_id,
+                "snapshot_id": len(self.snapshot_ids(table)),
+                "batch_files": self._dir_files(table, f"batch_id={batch_id}"),
+            },
         )
 
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
@@ -165,20 +175,34 @@ class Warehouse:
             return r.table(self._ident(table))
         if snapshot_id is None:
             return self.spark.read.parquet(self.path(table))
-        snap = next(
-            (
-                s
-                for s in self.snapshots(table)
-                if s.get("snapshot_id") == snapshot_id
-            ),
-            None,
+        # reconstruct the file state AS OF the target commit by replaying
+        # manifests in commit order: full manifests (write/append/compact)
+        # reset the state, batch DELTA manifests replace their own
+        # batch_id=<b>/ subtree only
+        state = None
+        found = False
+        snaps = sorted(
+            (s for s in self.snapshots(table) if "snapshot_id" in s),
+            key=lambda s: s["snapshot_id"],
         )
-        if snap is None or "files" not in snap:
+        for s in snaps:
+            if s["snapshot_id"] > snapshot_id:
+                break
+            if "files" in s:
+                state = list(s["files"])
+            elif "batch_files" in s:
+                prefix = f"batch_id={s['batch_id']}/"
+                state = [
+                    f for f in (state or []) if not f.startswith(prefix)
+                ] + list(s["batch_files"])
+            if s["snapshot_id"] == snapshot_id:
+                found = True
+        if not found or state is None:
             raise ValueError(
                 f"no file-tracked snapshot {snapshot_id} for {table!r}"
             )
         base = self.path(table)
-        files = [os.path.join(base, f) for f in snap["files"]]
+        files = [os.path.join(base, f) for f in sorted(state)]
         if not files:
             raise ValueError(f"snapshot {snapshot_id} of {table!r} is empty")
         gone = [f for f in files if not os.path.exists(f)]
@@ -201,6 +225,21 @@ class Warehouse:
             for s in self.snapshots(table)
             if "snapshot_id" in s
         ]
+
+    def _dir_files(self, table: str, subdir: str) -> list:
+        """Relative parquet paths under one subdirectory — O(that dir),
+        not O(table)."""
+        base = self.path(table)
+        root_dir = os.path.join(base, subdir)
+        files = []
+        for root, _dirs, names in os.walk(root_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(root, n), base)
+                    )
+        files.sort()
+        return files
 
     def _snapshot_state(self, table: str) -> dict:
         """Manifest of the data files live right now + the next snapshot

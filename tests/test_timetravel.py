@@ -109,3 +109,27 @@ def test_tier_pipeline_hourly_time_travels(spark, tmp_path):
     full = wh.read(t)
     assert 0 < early.count() < full.count()
     assert early.select("batch_id").distinct().count() == 1
+
+
+def test_batch_manifests_are_deltas(spark, tmp_path):
+    """Each batch commit records only its OWN files — a full-table
+    manifest per batch would make the sidecar quadratic in n_batches at
+    design scale (256 batches x millions of files)."""
+    wh = Warehouse(spark, str(tmp_path))
+    t = "tiers_hourly"
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, "a") for i in range(5)], "k long, cell string"
+        )
+        wh.write_batch_partition(df, t, b, partition_by=["cell"])
+    recs = [s for s in wh.snapshots(t) if s.get("mode") == "batch"]
+    assert len(recs) == 3
+    for r in recs:
+        assert "files" not in r
+        assert all(
+            f.startswith(f"batch_id={r['batch_id']}/")
+            for f in r["batch_files"]
+        )
+    # replayed state at the last snapshot covers all three batches
+    full = wh.read(t, snapshot_id=wh.snapshot_ids(t)[-1])
+    assert full.count() == 15
