@@ -221,12 +221,38 @@ class TierPipeline:
                     for k, fs in sub.items()
                 ],
             )
-        out = self.run(
-            input_path=input_path,
-            n_batches=orig_n,
-            fail_after_batch=fail_after_batch,
-            pack=pack,
-        )
+            new_ids = [next_id + k for k in sub]
+            out = self.run(
+                input_path=input_path,
+                n_batches=orig_n,
+                fail_after_batch=fail_after_batch,
+                pack=pack,
+                _finalize=False,
+            )
+            # continuous-aggregate refresh: only cells the new batches
+            # touched get their daily/packed partitions recomputed (the
+            # batch_id filter prunes to the new partitions; the cell
+            # filter inside finalize prunes the partial re-read)
+            affected = [
+                r["cell_id"]
+                for r in self.wh.read(self.hourly_table())
+                .where(F.col("batch_id").isin(new_ids))
+                .select("cell_id")
+                .distinct()
+                .collect()
+            ]
+            out.update(self.finalize(pack=pack, cells=affected))
+            out["n_refreshed_cells"] = len(affected)
+        else:
+            # nothing new: complete any unfinished planned batches and do
+            # a FULL finalize — also heals a crash that landed between an
+            # increment's batch commits and its partial refresh
+            out = self.run(
+                input_path=input_path,
+                n_batches=orig_n,
+                fail_after_batch=fail_after_batch,
+                pack=pack,
+            )
         out["n_new_files"] = len(new)
         return out
 
@@ -299,6 +325,7 @@ class TierPipeline:
         fail_after_batch: int | None = None,
         pack: bool = True,
         input_path: str | None = None,
+        _finalize: bool = True,
     ) -> dict:
         """Process all batches (skipping ledgered ones), then finalize.
 
@@ -383,6 +410,8 @@ class TierPipeline:
             n_run += 1
             if fail_after_batch is not None and n_run >= fail_after_batch:
                 raise RuntimeError(f"injected crash after batch {b}")
+        if not _finalize:
+            return {}
         return self.finalize(pack=pack)
 
     def compact(
@@ -436,14 +465,35 @@ class TierPipeline:
             out[tier_name] = expire_tier(self.wh, table, horizon)
         return out
 
-    def finalize(self, pack: bool = True) -> dict:
-        """Daily (and packed) tiers from the hourly partials; overwrite —
-        deriving tiers is itself idempotent."""
+    def finalize(self, pack: bool = True, cells: list | None = None) -> dict:
+        """Daily (and packed) tiers from the hourly partials.
+
+        ``cells=None`` (full refresh): overwrite the whole tier —
+        deriving tiers is idempotent.  ``cells=[...]`` (incremental
+        continuous-aggregate refresh, used by :meth:`run_incremental`):
+        recompute ONLY those cells from their hourly partials
+        (cell-pruned scan) and dynamic-partition-overwrite exactly their
+        tier partitions — an increment touching one day's data must not
+        rebuild years of dailies.  Counts reported for an incremental
+        refresh cover the recomputed cells only.
+        """
         from pyspark.sql import Observation
 
         from repurpose_spark.operators.hooks import apply_batch_hooks
 
+        incremental = cells is not None
+        if incremental and not cells:
+            return {"n_daily": 0, **({"n_packed": 0} if pack else {})}
         hourly = self.wh.read(self.hourly_table()).drop("batch_id")
+        if incremental:
+            hourly = hourly.where(F.col("cell_id").isin(list(cells)))
+
+        def _write(df, table):
+            if incremental:
+                self.wh.overwrite_partitions(df, table, ["cell_id"])
+            else:
+                self.wh.write(df, table, partition_by=["cell_id"])
+
         daily = apply_batch_hooks(
             rollup_from_partials(hourly, "day"), self.postprocess
         )
@@ -451,15 +501,15 @@ class TierPipeline:
         # a tier just for its lineage row (the packed re-count would scan
         # every encoded blob again)
         obs_d = Observation()
-        self.wh.write(
+        _write(
             daily.observe(obs_d, F.count(F.lit(1)).alias("n")),
             self.daily_table(),
-            partition_by=["cell_id"],
         )
         n_daily = obs_d.get["n"]
         self.wh._commit(
             self.daily_table(), "metrics",
-            {"n_rows": n_daily, "tier": "daily"},
+            {"n_rows": n_daily, "tier": "daily",
+             "refresh": "incremental" if incremental else "full"},
         )
         out = {"n_daily": n_daily}
         if pack:
@@ -469,14 +519,15 @@ class TierPipeline:
                 float_cols=["avg_v"],
             )
             obs_p = Observation()
-            self.wh.write(
+            _write(
                 packed.observe(obs_p, F.count(F.lit(1)).alias("n")),
                 self.packed_table(),
             )
             n_packed = obs_p.get["n"]
             self.wh._commit(
                 self.packed_table(), "metrics",
-                {"n_rows": n_packed, "tier": "packed"},
+                {"n_rows": n_packed, "tier": "packed",
+                 "refresh": "incremental" if incremental else "full"},
             )
             out["n_packed"] = n_packed
         return out

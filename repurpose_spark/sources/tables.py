@@ -107,6 +107,41 @@ class Warehouse:
         self.write(df, table, mode="append", partition_by=partition_by,
                    metrics=metrics)
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list,
+        metrics: dict | None = None,
+    ) -> None:
+        """Replace exactly the hive partitions the incoming rows touch
+        (dynamic partition overwrite) — the continuous-aggregate refresh
+        primitive: an incremental finalize rewrites only affected cells'
+        tier partitions, never the whole tier.  Iceberg branch: native
+        ``overwritePartitions()`` (cluster-only)."""
+        if self.use_iceberg:
+            try:
+                df.writeTo(self._ident(table)).overwritePartitions()
+            except Exception:
+                from pyspark.sql import functions as F
+
+                wt = df.writeTo(self._ident(table))
+                wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+                wt.createOrReplace()
+            self._commit(table, "overwrite_partitions", metrics or {})
+            return
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self.path(table))
+        )
+        self._commit(
+            table,
+            "overwrite_partitions",
+            {**(metrics or {}), **self._snapshot_state(table)},
+        )
+
     def write_batch_partition(
         self,
         df: DataFrame,

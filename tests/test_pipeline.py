@@ -378,3 +378,65 @@ def test_incremental_requires_prior_plan(spark, tmp_path):
     pipe = TierPipeline(spark, wh, CFG, job_id="t")
     with pytest.raises(ValueError, match="no ledgered batch plan"):
         pipe.run_incremental(str(tmp_path / "nope"))
+
+
+def test_incremental_finalize_refreshes_only_affected_cells(spark, tmp_path):
+    """Continuous-aggregate refresh: an increment recomputes daily/packed
+    partitions ONLY for cells its new docs touch; every other cell's
+    tier files are byte-identical (not rewritten), and the result equals
+    a full recompute."""
+    import glob
+    import os
+
+    cfg = EngineConfig(n_cells=64)
+    path = str(tmp_path / "in")
+    synth_sequences(spark, 150).repartition(4).write.parquet(path)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, cfg, job_id="t")
+    pipe.run(input_path=path, n_batches=2)
+
+    def snap(table):
+        base = wh.path(table)
+        return {
+            os.path.relpath(f, base): os.path.getmtime(f)
+            for f in glob.glob(base + "/**/*.parquet", recursive=True)
+        }
+
+    daily_before = snap(pipe.daily_table())
+    # 3 new docs → at most 3 affected cells (cell = hash of doc_id)
+    extra = synth_sequences(spark, 153).where(F.col("doc_id") >= "doc00000150")
+    extra.repartition(1).write.mode("append").parquet(path)
+    out = pipe.run_incremental(path)
+    assert 0 < out["n_refreshed_cells"] <= 3
+    daily_after = snap(pipe.daily_table())
+    changed_cells = {
+        f.split("/")[0]
+        for f in (
+            set(daily_before) ^ set(daily_after)
+            | {
+                f
+                for f in set(daily_before) & set(daily_after)
+                if daily_before[f] != daily_after[f]
+            }
+        )
+    }
+    assert 0 < len(changed_cells) <= 3
+    # untouched cells: identical file names AND mtimes
+    untouched = {
+        f for f in daily_before if f.split("/")[0] not in changed_cells
+    }
+    assert untouched
+    for f in untouched:
+        assert daily_after[f] == daily_before[f]
+
+    # equality with a full recompute over the combined input
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    TierPipeline(spark, wh2, cfg, job_id="t").run(input_path=path, n_batches=3)
+    assert _sorted(wh2.read("t_daily"), TIER_COLS) == _sorted(
+        wh.read(pipe.daily_table()), TIER_COLS
+    )
+    assert (
+        wh2.read("t_packed").count()
+        == wh.read(pipe.packed_table()).count()
+        == 153
+    )
