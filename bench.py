@@ -54,7 +54,9 @@ HEADLINE = [
     "doc_contamination",
     "knn_resample_weighted",
     "emb_topk",
+    "emb_lsh_topk",
     "emb_near_dup_pairs",
+    "doc_mixture",
     "mm_decode_stats",
 ]
 
