@@ -216,3 +216,46 @@ def test_reorient_roundtrip_fuzz(spark, docs, parts):
     }
     expect = {d: (t, n, s) for d, t, n, s in rows}
     assert got == expect
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # key
+            st.integers(min_value=0, max_value=60 * 60 * 72),  # sec offset
+            st.integers(min_value=-50, max_value=50256),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_rollup_partials_fuzz(spark, pts):
+    """Core continuous-aggregate invariant under fuzz: re-aggregating
+    hourly partials into daily equals rolling raw points up to daily
+    directly (counts, sums, mins, maxes), for random sparse timestamps
+    spanning day boundaries and negative values."""
+    from repurpose_spark.operators.rollup import (
+        rollup,
+        rollup_from_partials,
+    )
+
+    base = dt.datetime(2022, 3, 1)
+    rows = [
+        (0, f"k{k}", base + dt.timedelta(seconds=s), v) for k, s, v in pts
+    ]
+    df = spark.createDataFrame(
+        rows, "cell_id int, doc_id string, ts timestamp, token int"
+    )
+    cols = ["cell_id", "doc_id", "tick", "n_points", "sum_v", "min_v", "max_v"]
+
+    def key(d):
+        return sorted(tuple(r) for r in d.select(*cols).collect())
+
+    hourly = rollup(df, "hour")
+    assert key(rollup_from_partials(hourly, "day")) == key(rollup(df, "day"))
