@@ -189,7 +189,7 @@ class Warehouse:
             table, "batch",
             {
                 "batch_id": batch_id,
-                "snapshot_id": len(self.snapshot_ids(table)),
+                "snapshot_id": self._next_snapshot_id(table),
                 "batch_files": self._dir_files(table, f"batch_id={batch_id}"),
             },
         )
@@ -290,8 +290,61 @@ class Warehouse:
                         os.path.relpath(os.path.join(root, n), base)
                     )
         files.sort()
-        n_prior = len(self.snapshot_ids(table))
-        return {"snapshot_id": n_prior, "files": files}
+        return {"snapshot_id": self._next_snapshot_id(table), "files": files}
+
+    def _next_snapshot_id(self, table: str) -> int:
+        """Monotonic, not count-based — expire_snapshots drops old
+        manifest lines, and a count-based id would then collide with a
+        kept snapshot."""
+        ids = self.snapshot_ids(table)
+        return (max(ids) + 1) if ids else 0
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> dict:
+        """Bound the sidecar: collapse every manifest older than the last
+        ``keep_last`` snapshots into ONE checkpoint line holding the
+        replayed file state at the cutoff (Iceberg's expire_snapshots
+        analog).  Later delta manifests keep replaying on top of the
+        checkpoint, so the current state is unaffected; snapshots before
+        the cutoff stop being travel targets.  Lineage/metrics rows
+        (no snapshot_id) are kept forever.  The rewrite is atomic
+        (tmp + rename)."""
+        recs = self.snapshots(table)
+        manifests = sorted(
+            (s for s in recs if "snapshot_id" in s),
+            key=lambda s: s["snapshot_id"],
+        )
+        if len(manifests) <= keep_last:
+            return {"expired": 0, "kept": len(manifests)}
+        cutoff = manifests[-keep_last]["snapshot_id"]
+        state: list | None = None
+        n_expired = 0
+        for s in manifests:
+            if s["snapshot_id"] > cutoff:
+                break
+            if "files" in s:
+                state = list(s["files"])
+            elif "batch_files" in s:
+                prefix = f"batch_id={s['batch_id']}/"
+                state = [
+                    f for f in (state or []) if not f.startswith(prefix)
+                ] + list(s["batch_files"])
+            if s["snapshot_id"] < cutoff:
+                n_expired += 1
+        checkpoint = {
+            "ts": time.time(),
+            "table": table,
+            "mode": "expire-checkpoint",
+            "snapshot_id": cutoff,
+            "files": sorted(state or []),
+        }
+        others = [s for s in recs if "snapshot_id" not in s]
+        tail = [s for s in manifests if s["snapshot_id"] > cutoff]
+        tmp = self._meta(table) + ".tmp"
+        with open(tmp, "w") as f:
+            for rec in others + [checkpoint] + tail:
+                f.write(json.dumps(rec) + "\n")
+        os.replace(tmp, self._meta(table))
+        return {"expired": n_expired, "kept": keep_last}
 
     def drop(self, table: str) -> None:
         shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)

@@ -133,3 +133,43 @@ def test_batch_manifests_are_deltas(spark, tmp_path):
     # replayed state at the last snapshot covers all three batches
     full = wh.read(t, snapshot_id=wh.snapshot_ids(t)[-1])
     assert full.count() == 15
+
+
+def test_expire_snapshots_checkpoints_deltas(spark, tmp_path):
+    """Expiring old snapshots collapses their delta manifests into one
+    checkpoint: the current state and every kept snapshot still read
+    exactly, older ids stop being travel targets, lineage rows survive."""
+    wh = Warehouse(spark, str(tmp_path))
+    t = "tiers_hourly"
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b * 10 + i, "a") for i in range(3)], "k long, cell string"
+        )
+        wh.write_batch_partition(df, t, b, partition_by=["cell"])
+    wh._commit(t, "metrics", {"n_rows": 12, "tier": "hourly"})
+    assert wh.snapshot_ids(t) == [0, 1, 2, 3]
+
+    out = wh.expire_snapshots(t, keep_last=2)
+    assert out["expired"] == 2
+    assert wh.snapshot_ids(t) == [2, 3]
+
+    def ks(df):
+        return sorted(r["k"] for r in df.collect())
+
+    # cutoff snapshot = checkpointed full manifest; latest = checkpoint
+    # + replayed tail delta
+    assert len(ks(wh.read(t, snapshot_id=2))) == 9
+    assert len(ks(wh.read(t, snapshot_id=3))) == 12
+    assert ks(wh.read(t)) == ks(wh.read(t, snapshot_id=3))
+    with pytest.raises(ValueError, match="no file-tracked snapshot"):
+        wh.read(t, snapshot_id=1)
+    # lineage/metrics rows kept
+    assert any(s.get("tier") == "hourly" for s in wh.snapshots(t))
+
+    # new batch writes continue on top of the checkpointed sidecar
+    wh.write_batch_partition(
+        spark.createDataFrame([(99, "a")], "k long, cell string"),
+        t, 4, partition_by=["cell"],
+    )
+    assert wh.snapshot_ids(t) == [2, 3, 4]
+    assert len(ks(wh.read(t, snapshot_id=4))) == 13
