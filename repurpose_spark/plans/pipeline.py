@@ -446,6 +446,21 @@ class TierPipeline:
             )
         }
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Sidecar maintenance across the pipeline's tables: bound each
+        tier's manifest history to the last ``keep_last`` snapshots
+        (checkpointed — see Warehouse.expire_snapshots).  Run it with
+        compact()/apply_retention() on the same maintenance cadence."""
+        out = {}
+        for table in (
+            self.hourly_table(),
+            self.daily_table(),
+            self.packed_table(),
+        ):
+            if self.wh.exists(table):
+                out[table] = self.wh.expire_snapshots(table, keep_last)
+        return out
+
     def apply_retention(self, horizons: dict) -> dict:
         """Expire each tier past its horizon: {'hourly': tick, 'daily':
         tick} — the TimescaleDB-style policy the tier design implies

@@ -440,3 +440,18 @@ def test_incremental_finalize_refreshes_only_affected_cells(spark, tmp_path):
         == wh.read(pipe.packed_table()).count()
         == 153
     )
+
+
+def test_pipeline_expire_snapshots(spark, seqs, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    pipe.run(seqs, n_batches=3)
+    out = pipe.expire_snapshots(keep_last=1)
+    assert out[pipe.hourly_table()]["expired"] >= 1
+    # current state still reads exactly
+    assert wh.read(pipe.hourly_table()).select("doc_id").distinct().count() == N_DOCS
+    ids = wh.snapshot_ids(pipe.hourly_table())
+    assert len(ids) == 1
+    assert wh.read(pipe.hourly_table(), snapshot_id=ids[-1]).count() == wh.read(
+        pipe.hourly_table()
+    ).count()
