@@ -259,3 +259,60 @@ def test_rollup_partials_fuzz(spark, pts):
 
     hourly = rollup(df, "hour")
     assert key(rollup_from_partials(hourly, "day")) == key(rollup(df, "day"))
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # doc
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=10000),  # tick hour
+                    st.integers(min_value=-(2**40), max_value=2**40),  # iv
+                    st.floats(
+                        min_value=-1e12,
+                        max_value=1e12,
+                        allow_nan=False,
+                        allow_infinity=False,
+                    ),  # fv
+                ),
+                min_size=1,
+                max_size=20,
+                unique_by=lambda t: t[0],
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_encode_decode_roundtrip_fuzz(spark, series):
+    """S9 cube export under fuzz: Gorilla DoD (ints) + XOR (floats)
+    streams round-trip bit-exactly for random irregular tick axes, huge
+    ints, and arbitrary doubles."""
+    from repurpose_spark.operators.encode import (
+        decode_series,
+        encode_series,
+    )
+
+    base = dt.datetime(2020, 1, 1)
+    rows = [
+        (1, f"d{doc}", base + dt.timedelta(hours=h), iv, fv)
+        for doc, pts in series
+        for h, iv, fv in pts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cell_id int, doc_id string, tick timestamp, iv long, fv double",
+    )
+    packed = encode_series(df, int_cols=["iv"], float_cols=["fv"])
+    back = decode_series(packed, int_cols=["iv"], float_cols=["fv"])
+    got = sorted(tuple(r) for r in back.select(*df.columns).collect())
+    expect = sorted(rows)
+    assert got == expect
