@@ -128,6 +128,7 @@ def run_durable_pipeline(spark, n_docs: int) -> dict:
     shutil.rmtree(os.path.dirname(in_path), ignore_errors=True)
     return {
         "durable_sec": round(dt, 3),
+        "n_tokens": n_tokens,
         "durable_tokens_per_sec": round(n_tokens / dt, 1),
     }
 
@@ -177,7 +178,7 @@ def main():
     all_passes = {"tier_pipeline": trials_f, "tier_pipeline_durable": trials_d}
     for name in HEADLINE:
         per = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -193,12 +194,15 @@ def main():
         "unit": "sec",
         "queries": times,
         "passes": all_passes,
-        "estimator": "median (pipelines n=5/3, queries n=2)",
+        "estimator": "median (pipelines n=5/3, queries n=3)",
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "bench_docs": N_DOCS,
         "tokens_per_sec": round(flag["n_tokens"] / t_flag, 1),
-        "durable_tokens_per_sec": round(flag["n_tokens"] / t_dur, 1),
+        # the durable runs' OWN token count — not the compute pipeline's
+        # (ADVICE r3 low #5: a drift between the two synth_sequences
+        # calls would silently skew the headline metric)
+        "durable_tokens_per_sec": round(runs_d[0]["n_tokens"] / t_dur, 1),
         "tier_rows": {
             "tokens": flag["n_tokens"],
             "hourly": flag["n_hourly"],

@@ -91,6 +91,21 @@ def _lsh_signature_range(vec_col: str, dim: int, lo: int, hi: int, seed: int):
     return sig
 
 
+_SIG_CACHE: list = []  # persisted signature frames from prior calls
+
+
+def _retire_sig_caches() -> None:
+    """Unpersist signature frames persisted by EARLIER near-dup / label-
+    vote calls (ADVICE r3 low #4: repeated calls leaked cached RDDs).
+    The current call's final frame stays persisted until the next call —
+    it backs the guard probe and both sides of the candidate self-join."""
+    while _SIG_CACHE:
+        try:
+            _SIG_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
 def bound_lsh_buckets(
     sig_df: DataFrame,
     cap: int | None,
@@ -118,10 +133,15 @@ def bound_lsh_buckets(
     Cost when no bucket exceeds cap (the common case): one counts
     aggregation over the signature frame — the frame should be persisted
     by the caller so the probe and the join sides share one computation.
+    Each refinement round persists ITS refined frame and unpersists the
+    predecessor once the new cache is seeded, so repeated rounds never
+    accumulate cached RDDs (ADVICE r3 low #4); the final frame is left
+    persisted for the caller's self-join.
     """
     if cap is None:
         return sig_df
     bits = n_planes
+    prev = None  # predecessor awaiting unpersist (cache seeded by probe)
     for _ in range(max_rounds):
         if bits >= max_total_planes:
             break
@@ -133,6 +153,11 @@ def bound_lsh_buckets(
         n_over, max_over = over.agg(
             F.count(F.lit(1)), F.max("n")
         ).collect()[0]
+        # the probe materialized sig_df's cache — its predecessor's
+        # blocks are now dead weight
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not n_over:
             break
         new_bits = min(
@@ -141,6 +166,7 @@ def bound_lsh_buckets(
         )
         ext = _lsh_signature_range(vec_col, dim, bits, new_bits, seed)
         flag = F.broadcast(over.select("sig").withColumn("__over", F.lit(1)))
+        prev = sig_df
         sig_df = (
             sig_df.join(flag, "sig", "left")
             .withColumn(
@@ -150,8 +176,13 @@ def bound_lsh_buckets(
                 ).otherwise(F.col("sig")),
             )
             .drop("__over")
-        )
+        ).persist()
         bits = new_bits
+    if prev is not None:
+        # loop ended without a probe of the last refined frame: seed its
+        # cache before dropping the predecessor it derives from
+        sig_df.count()
+        prev.unpersist()
     return sig_df
 
 
@@ -277,10 +308,12 @@ def embedding_near_dup_pairs(
         lsh_signature(vec_col, dim, n_planes, seed).alias("sig"),
     )
     if max_bucket is not None:
+        _retire_sig_caches()
         sig = sig.persist()
         sig = bound_lsh_buckets(
             sig, max_bucket, n_planes, dim, vec_col="v", seed=seed
         )
+        _SIG_CACHE.append(sig)
     cand = (
         sig.alias("a")
         .join(
@@ -455,10 +488,12 @@ def knn_label_vote(
         lsh_signature(vec_col, dim, n_planes, seed).alias("sig"),
     )
     if max_bucket is not None:
+        _retire_sig_caches()
         sig = sig.persist()
         sig = bound_lsh_buckets(
             sig, max_bucket, n_planes, dim, vec_col="v", seed=seed
         )
+        _SIG_CACHE.append(sig)
     cand = (
         sig.alias("a")
         .join(

@@ -56,6 +56,15 @@ class Warehouse:
     def _ident(self, table: str) -> str:
         return f"{self.catalog}.{table}"
 
+    def _require_missing(self, table: str, exc: Exception) -> None:
+        """Gate for the create-on-first-write fallbacks: only a genuinely
+        absent table may fall through to ``createOrReplace`` — if the
+        table exists, the failure was transient (commit conflict, FS
+        hiccup) and replacing the whole table with the partial incoming
+        frame would be silent data loss (ADVICE r3 medium #2)."""
+        if self.spark.catalog.tableExists(self._ident(table)):
+            raise exc
+
     # -- paths -------------------------------------------------------------
     def path(self, table: str) -> str:
         return os.path.join(self.root, table, "data")
@@ -122,7 +131,11 @@ class Warehouse:
         if self.use_iceberg:
             try:
                 df.writeTo(self._ident(table)).overwritePartitions()
-            except Exception:
+            except Exception as exc:  # noqa: BLE001 — gated below
+                # first-write only: the incoming frame holds just the
+                # refreshed partitions, so replacing an EXISTING table
+                # with it would drop every untouched cell
+                self._require_missing(table, exc)
                 from pyspark.sql import functions as F
 
                 wt = df.writeTo(self._ident(table))
@@ -164,8 +177,11 @@ class Warehouse:
             out = df.withColumn("batch_id", F.lit(int(batch_id)))
             try:
                 out.writeTo(self._ident(table)).overwritePartitions()
-            except Exception:
-                # first write: create the table with the partition spec
+            except Exception as exc:  # noqa: BLE001 — gated below
+                # first write: create the table with the partition spec;
+                # any failure against an EXISTING table re-raises (a
+                # createOrReplace here would erase every other batch)
+                self._require_missing(table, exc)
                 wt = out.writeTo(self._ident(table))
                 cols = ["batch_id"] + list(partition_by or [])
                 wt = wt.partitionedBy(*[F.col(c) for c in cols])

@@ -455,3 +455,77 @@ def test_pipeline_expire_snapshots(spark, seqs, tmp_path):
     assert wh.read(pipe.hourly_table(), snapshot_id=ids[-1]).count() == wh.read(
         pipe.hourly_table()
     ).count()
+
+
+def test_lpt_assign_heap_matches_naive_argmin():
+    """Heap-based LPT (VERDICT r3 #1) must be bit-identical to the naive
+    O(n·b) greedy argmin it replaced, on adversarial size mixes."""
+    import random
+
+    from repurpose_spark.plans.pipeline import lpt_assign
+
+    rng = random.Random(7)
+    files = [f"f{i:05d}" for i in range(500)]
+    sizes = {
+        f: rng.choice([1, 10, 1000, 10**6, 10**9]) + rng.randrange(100)
+        for f in files
+    }
+
+    def naive(files, sizes, n):
+        plan = {b: [] for b in range(n)}
+        load = [0] * n
+        for f in sorted(files, key=lambda f: (-sizes[f], f)):
+            b = min(range(n), key=lambda i: (load[i], i))
+            plan[b].append(f)
+            load[b] += sizes[f]
+        return plan
+
+    for n in (1, 2, 7, 32, 499, 600):
+        assert lpt_assign(files, sizes, n) == naive(files, sizes, n)
+    # balance: no batch exceeds avg + the largest file
+    plan = lpt_assign(files, sizes, 8)
+    loads = [sum(sizes[f] for f in fs) for fs in plan.values()]
+    assert max(loads) <= sum(loads) / 8 + max(sizes.values())
+
+
+def test_incremental_heals_crash_before_finalize(spark, seqs, tmp_path):
+    """ADVICE r3 medium #1: the original run crashes BEFORE its finalize
+    (some batches done, some not), then new files arrive.  The increment
+    must fold EVERY batch the daily tier has never seen — done-but-
+    unfinalized and resumed alike — into the refresh, matching a full
+    recompute."""
+    path = _write_input(spark, seqs, tmp_path, n_files=4)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.run(input_path=path, n_batches=2, fail_after_batch=1)
+    assert pipe.completed_batches() == {0}
+    assert pipe._finalized_batches() == set()  # finalize never ran
+
+    extra = synth_sequences(spark, N_DOCS + 50).where(
+        F.col("doc_id") >= f"doc{N_DOCS:08d}"
+    )
+    extra.repartition(2).write.mode("append").parquet(path)
+    pipe.run_incremental(path)
+    assert pipe.completed_batches() == {0, 1, 2}
+    assert pipe._finalized_batches() == {0, 1, 2}
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    TierPipeline(spark, wh2, CFG, job_id="t").run(input_path=path, n_batches=3)
+    assert _sorted(wh.read("t_daily"), TIER_COLS) == _sorted(
+        wh2.read("t_daily"), TIER_COLS
+    )
+    assert (
+        wh.read(pipe.packed_table()).count()
+        == wh2.read("t_packed").count()
+        == N_DOCS + 50
+    )
+
+
+def test_assign_files_mixed_schemes_falls_back_round_robin(spark, tmp_path):
+    """ADVICE r3 low #3: a listing with no common '/'-ancestor (mixed URI
+    schemes) must fall back to round-robin, not loop forever."""
+    pipe = TierPipeline(spark, Warehouse(spark, str(tmp_path)), CFG)
+    files = ["file:/a/p1.parquet", "s3a://bkt/p2.parquet", "hdfs://nn/p3.parquet"]
+    plan = pipe._assign_files(sorted(files), 2)
+    assert sorted(f for fs in plan.values() for f in fs) == sorted(files)

@@ -125,8 +125,13 @@ def test_gap_fill_fuzz(spark, obs, bounds):
 )
 def test_collocate_fuzz_all_strategies(spark, obs, ticks, tol, strategy):
     """As-of collocation fuzz: every strategy must match the pure-python
-    reference (largest tick <= ts within tolerance; earliest obs wins a
-    slot) on random irregular axes, observations, and tolerances."""
+    reference on random irregular axes, observations, and tolerances.
+
+    Pinned reference semantics (collocate.py docstring; pandas reindex
+    bfill oracle in test_collocate.py): each obs generates up to TWO
+    candidates — the tick it sits exactly on (delta 0, an exact match
+    does not consume the fill limit) and the greatest strictly-earlier
+    tick when within tolerance; earliest obs wins a slot."""
     from repurpose_spark.operators.collocate import (
         collocate,
         max_gap_seconds,
@@ -149,15 +154,19 @@ def test_collocate_fuzz_all_strategies(spark, obs, ticks, tol, strategy):
     }
     eff_tol = tol if tol is not None else max_gap_seconds(ticks)
     best = {}
+    tick_set = set(ticks)
     for k, s, v in obs:
-        cand = [t for t in ticks if t <= s and s - t <= eff_tol]
-        if not cand:
-            continue
-        t = max(cand)
-        key = (f"k{k}", t)
-        entry = (s, s - t, v)  # earliest obs wins, then delta, then value
-        if key not in best or entry < best[key]:
-            best[key] = entry
+        cands = []
+        if s in tick_set:
+            cands.append((s, 0))  # exact hit: does not consume the limit
+        prev = [t for t in ticks if t < s]
+        if prev and s - max(prev) <= eff_tol:
+            cands.append((max(prev), s - max(prev)))
+        for t, d in cands:
+            key = (f"k{k}", t)
+            entry = (s, d, v)  # earliest obs wins, then delta, then value
+            if key not in best or entry < best[key]:
+                best[key] = entry
     expect = {
         (k, base + dt.timedelta(seconds=t)): (
             float(e[1]), base + dt.timedelta(seconds=e[0]), e[2]
