@@ -2,12 +2,16 @@
 
 Real training-data pipelines carry media as binary columns and run
 decode / feature-extraction / resize / frame-sampling as Arrow-batched
-python stages.  The image/audio libraries are NOT in this container, so
-the *codec* here is a deterministic fake (`FAKE` raster format below) and
-the real-library hook raises ``NotImplementedError`` — but everything
-Spark-side is real and tested: schemas, ``mapInPandas`` batch iteration,
-multi-row emission (frame sampling), partition behavior, and the
-binary⇄numpy boundary.
+python stages.  Two REAL public containers decode here with stdlib +
+numpy only (no media libraries): uncompressed **BMP** (24/32-bit BI_RGB,
+the Windows DIB format) through the raster path, and PCM **WAV**
+(RIFF/WAVE via the stdlib ``wave`` module) through :func:`decode_audio`.
+Compressed formats (jpeg/png/mp3/…) need codec libraries that are NOT in
+this container, so those branches raise ``NotImplementedError`` — the
+deterministic `FAKE` raster/`FAKV` video formats below cover synthetic
+fixtures.  Everything Spark-side is real and tested either way: schemas,
+``mapInPandas`` batch iteration, multi-row emission (frame sampling),
+partition behavior, and the binary⇄numpy boundary.
 
 FAKE raster format (little-endian):
     magic b'FAKE' | u16 width | u16 height | u8 channels | payload
@@ -61,13 +65,71 @@ def encode_fake_video(seed: int, w: int, h: int, n_frames: int, c: int = 3) -> b
     return MAGIC_VID + struct.pack("<H", n_frames) + frames
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """RGB (h, w, 3) uint8 → uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding) — the standard Windows DIB
+    layout, writable/readable with stdlib struct only."""
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp wants (h, w, 3) uint8 RGB")
+    row_size = (3 * w + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    # bottom-up, BGR channel order
+    rows[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)
+    return header + rows.tobytes()
+
+
+def _decode_bmp(buf: bytes):
+    """Uncompressed BI_RGB BMP (24- or 32-bit, BITMAPINFOHEADER or
+    larger) → (w, h, 3, RGB uint8 array).  Raises on compressed or
+    palette BMPs — those need real codec tables."""
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h_raw = struct.unpack_from("<ii", buf, 18)
+    bits, comp = struct.unpack_from("<H", buf, 28)[0], struct.unpack_from(
+        "<I", buf, 30
+    )[0]
+    if comp != 0 or bits not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP decodes here "
+            f"(bits={bits}, compression={comp})"
+        )
+    h = abs(h_raw)
+    bpp = bits // 8
+    row_size = (bpp * w + 3) // 4 * 4
+    need = data_off + row_size * h
+    if len(buf) < need:
+        raise ValueError(f"truncated BMP pixel data ({len(buf)} < {need})")
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, offset=data_off, count=row_size * h
+    ).reshape(h, row_size)
+    px = rows[:, : bpp * w].reshape(h, w, bpp)
+    if h_raw > 0:  # bottom-up (the common case)
+        px = px[::-1]
+    rgb = px[:, :, 2::-1]  # BGR(A) → RGB, alpha dropped
+    return w, h, 3, np.ascontiguousarray(rgb)
+
+
 def _decode_raster(buf: bytes):
-    """→ (w, h, c, np.uint8 array).  Real-media hook: replace with
-    PIL.Image.open for jpeg/png — the rest of the pipeline is unchanged."""
+    """→ (w, h, c, np.uint8 array).  Dispatch: FAKE (synthetic fixture)
+    or real uncompressed BMP; jpeg/png hooks would slot in here (PIL /
+    turbojpeg) — the rest of the pipeline is unchanged."""
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
     if buf[:4] != MAGIC_IMG:
         raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "only the FAKE raster format is decodable"
+            "compressed image codecs are not available in this "
+            "environment; FAKE rasters and uncompressed BMP decode"
         )
     w, h, c = struct.unpack_from("<HHB", buf, 4)
     arr = np.frombuffer(buf, dtype=np.uint8, offset=9, count=w * h * c)
@@ -152,6 +214,93 @@ def decode_media(
 
     return df.mapInPandas(
         fn, DECODE_SCHEMA_SAFE if ignore_errors else DECODE_SCHEMA
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id string, n_samples long, sample_rate int, channels int, "
+    "sample_width int, n_bytes long, rms double"
+)
+AUDIO_SCHEMA_SAFE = AUDIO_SCHEMA + ", error string"
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """int16 PCM samples (interleaved if multi-channel) → RIFF/WAVE
+    bytes via the stdlib ``wave`` module."""
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return bio.getvalue()
+
+
+def _decode_wav(buf: bytes):
+    """PCM RIFF/WAVE → (n_frames, rate, channels, sample_width,
+    float64 array normalized to [-1, 1])."""
+    import io
+    import wave
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio codecs are not available in this "
+            "environment; PCM WAV decodes"
+        )
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        n, rate, ch, sw = (
+            w.getnframes(), w.getframerate(), w.getnchannels(),
+            w.getsampwidth(),
+        )
+        raw = w.readframes(n)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"sample width {sw} not supported")
+    return n, rate, ch, sw, x
+
+
+def decode_audio(
+    df: DataFrame, media_col: str = "media", ignore_errors: bool = False
+) -> DataFrame:
+    """Per-clip audio stats via mapInPandas — the audio twin of
+    :func:`decode_media`, same Arrow-batched shape and the same
+    status-row error isolation (``ignore_errors``)."""
+    cols = [
+        "doc_id", "n_samples", "sample_rate", "channels", "sample_width",
+        "n_bytes", "rms",
+    ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf[media_col]):
+                try:
+                    n, rate, ch, sw, x = _decode_wav(bytes(buf))
+                    row = (
+                        doc_id, n, rate, ch, sw, len(buf),
+                        float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+                    )
+                except Exception as ex:  # noqa: BLE001
+                    if not ignore_errors:
+                        raise
+                    row = (doc_id, None, None, None, None, len(buf), None)
+                    out.append((*row, f"{type(ex).__name__}: {ex}"[:200]))
+                    continue
+                out.append((*row, None) if ignore_errors else row)
+            yield pd.DataFrame(
+                out, columns=cols + (["error"] if ignore_errors else [])
+            )
+
+    return df.mapInPandas(
+        fn, AUDIO_SCHEMA_SAFE if ignore_errors else AUDIO_SCHEMA
     )
 
 

@@ -97,3 +97,131 @@ def test_ignore_errors_status_rows(spark):
     # strict mode still raises
     with pytest.raises(Exception, match="NotImplementedError|FAKE|raster"):
         decode_media(mixed, ignore_errors=False).collect()
+
+
+# ------------------------------------------------------- real containers
+def _gradient_rgb(w, h):
+    """Deterministic RGB test card: distinct per-pixel, per-channel."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 3) % 256, (y * 5) % 256, (x + y) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_bmp_roundtrip_local():
+    """encode_bmp → _decode_raster recovers the exact RGB array — real
+    uncompressed BMP (bottom-up rows, BGR order, 4-byte padding) with
+    a non-multiple-of-4 width to exercise the padding math."""
+    from repurpose_spark.operators.multimodal import _decode_bmp, encode_bmp
+
+    arr = _gradient_rgb(13, 7)  # 13*3=39 bytes/row → 1 pad byte
+    blob = encode_bmp(arr)
+    assert blob[:2] == b"BM"
+    w, h, c, got = _decode_bmp(blob)
+    assert (w, h, c) == (13, 7, 3)
+    np.testing.assert_array_equal(got, arr)
+    # dispatcher routes BMP automatically
+    w2, h2, c2, got2 = _decode_raster(blob)
+    np.testing.assert_array_equal(got2, arr)
+
+
+def test_bmp_through_decode_media_and_resize(spark):
+    """A crafted real BMP flows end-to-end through the Spark stages:
+    decode_media stats match numpy; resize_pooled equals the block-mean
+    computed independently."""
+    import pandas as pd
+
+    from repurpose_spark.operators.multimodal import encode_bmp
+
+    arr = _gradient_rgb(16, 12)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": ["bmp0"], "media": [encode_bmp(arr)],
+             "kind": ["image"]}
+        )
+    )
+    r = decode_media(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (16, 12, 3)
+    assert r["mean_intensity"] == pytest.approx(float(arr.mean()))
+
+    p = resize_pooled(df, out_w=4, out_h=4).collect()[0]
+    pooled = np.frombuffer(p["pooled"], dtype=np.uint8).reshape(4, 4)
+    gray = arr.astype(np.float64).mean(axis=2)
+    expect = np.array(
+        [
+            [int(gray[y * 3:(y + 1) * 3, x * 4:(x + 1) * 4].mean())
+             for x in range(4)]
+            for y in range(4)
+        ],
+        dtype=np.uint8,
+    )
+    np.testing.assert_array_equal(pooled, expect)
+
+
+def test_bmp_error_isolation(spark):
+    """Truncated / compressed BMPs become status rows next to good BMP
+    and FAKE rows — the mixed-container, log-and-continue path."""
+    import pandas as pd
+
+    from repurpose_spark.operators.multimodal import encode_bmp
+
+    good_bmp = encode_bmp(_gradient_rgb(8, 8))
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["ok_bmp", "trunc", "fake", "rle"],
+            "media": [
+                good_bmp,
+                good_bmp[:40],            # truncated header/pixels
+                encode_fake_image(3, 8, 8),
+                # compression field (offset 30) forced to BI_RLE8
+                good_bmp[:30] + b"\x01\x00\x00\x00" + good_bmp[34:],
+            ],
+            "kind": ["image"] * 4,
+        }
+    )
+    out = {r["doc_id"]: r for r in decode_media(
+        spark.createDataFrame(rows), ignore_errors=True
+    ).collect()}
+    assert out["ok_bmp"]["error"] is None and out["ok_bmp"]["width"] == 8
+    assert out["fake"]["error"] is None
+    assert out["trunc"]["width"] is None and "truncated" in out["trunc"]["error"]
+    assert out["rle"]["width"] is None and out["rle"]["error"].startswith(
+        "NotImplementedError"
+    )
+
+
+def test_wav_roundtrip_and_decode_audio(spark):
+    """Real PCM WAV (stdlib wave container) through decode_audio: frame
+    counts, rate, channels and RMS match numpy; non-RIFF bytes become a
+    status row under ignore_errors."""
+    import pandas as pd
+
+    from repurpose_spark.operators.multimodal import decode_audio, encode_wav
+
+    t = np.arange(1600)
+    mono = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype("<i2")
+    stereo = np.stack([mono, (mono // 2)], axis=1).reshape(-1)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["mono", "stereo", "bad"],
+                "media": [
+                    encode_wav(mono, 16000, 1),
+                    encode_wav(stereo, 8000, 2),
+                    b"ID3\x04mp3-ish bytes",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in decode_audio(df, ignore_errors=True).collect()}
+    m = out["mono"]
+    assert (m["n_samples"], m["sample_rate"], m["channels"]) == (1600, 16000, 1)
+    x = mono.astype(np.float64) / 32768.0
+    assert m["rms"] == pytest.approx(float(np.sqrt((x * x).mean())))
+    s = out["stereo"]
+    assert (s["n_samples"], s["sample_rate"], s["channels"]) == (1600, 8000, 2)
+    assert out["bad"]["n_samples"] is None
+    assert out["bad"]["error"].startswith("NotImplementedError")
+    # strict mode raises through the task
+    with pytest.raises(Exception, match="NotImplementedError|PCM"):
+        decode_audio(df, ignore_errors=False).collect()
