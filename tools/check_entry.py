@@ -2,7 +2,12 @@
 on Spark and its oracle_sql() twin on DuckDB at the given sf, compare
 row count, column names, and order-insensitive normalized values.
 
-Usage: python tools/check_entry.py [sf_dir] [query ...]
+Usage: python tools/check_entry.py [sf_dir] [query ...] [--extra]
+       [--only-extra] [--json OUT.json]
+
+--json writes the per-query results as a JSON artifact (the per-round
+certification record for the extras registry, VERDICT r3 missing #1).
+--only-extra restricts the run to the extra_queries() overflow registry.
 """
 
 from __future__ import annotations
@@ -47,8 +52,17 @@ def _rows_to_set(cols, rows):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--extra"]
-    with_extra = "--extra" in sys.argv[1:]
+    import json
+
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    flags = {a for a in argv if a.startswith("--")}
+    args = [a for a in argv if not a.startswith("--")]
+    with_extra = "--extra" in flags or "--only-extra" in flags
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark(master="local[8]", app_name="check_entry")
@@ -64,9 +78,13 @@ def main():
     if with_extra or (only and not only <= set(qs)):
         # the driver-window overflow registry (subsumed queries) is still
         # locally checkable: --extra, or naming one of them explicitly
-        qs = {**qs, **entrymod.extra_queries()}
+        if "--only-extra" in flags:
+            qs = entrymod.extra_queries()
+        else:
+            qs = {**qs, **entrymod.extra_queries()}
         oracles = {**oracles, **entrymod.extra_oracle_sql()}
     n_pass = n_fail = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,10 +94,12 @@ def main():
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "detail": f"spark error {type(e).__name__}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
+            results[name] = {"status": "rows-only", "rows": len(srows)}
             continue
         try:
             res = con.sql(oracles[name])
@@ -87,14 +107,17 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
+            results[name] = {"status": "fail", "detail": "duckdb error"}
             n_fail += 1
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            results[name] = {"status": "fail", "detail": "column mismatch"}
             n_fail += 1
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            results[name] = {"status": "fail", "detail": f"rowcount {len(srows)} vs {len(drows)}"}
             n_fail += 1
             continue
         a = _rows_to_set(scols, [[r[c] for c in scols] for r in srows])
@@ -102,6 +125,7 @@ def main():
         if a != b:
             bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
+            results[name] = {"status": "fail", "detail": "value mismatch"}
             n_fail += 1
             continue
         # driver-hash risk audit: the driver's value hash is encoding
@@ -118,8 +142,23 @@ def main():
         ]
         flag = f"  [TYPE-RISK {risky}]" if risky else ""
         print(f"PASS {name}: {len(srows)} rows{flag}")
+        results[name] = {
+            "status": "pass", "rows": len(srows),
+            "checks": ["rowcount", "columns", "values"],
+        }
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "queries": results,
+                },
+                f, indent=1,
+            )
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
