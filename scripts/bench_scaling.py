@@ -142,7 +142,7 @@ def run_queries(cpus: int, sf_dir: str, trials: int, scale_k: int = 8) -> dict:
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=1800, cwd=REPO,
+        timeout=5400, cwd=REPO,
     )
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
@@ -215,11 +215,32 @@ def main() -> None:
                     help="fixture for the per-query scaling levels")
     ap.add_argument("--no-queries", action="store_true",
                     help="skip the per-query scaling levels")
+    ap.add_argument("--scale-k", type=int, default=8,
+                    help="fixture replication for the per-query levels; "
+                         "raise until the slowest query runs >=30s at "
+                         "local[2] so JVM constants stop dominating "
+                         "(VERDICT r3 next #6)")
+    ap.add_argument("--only-queries", action="store_true",
+                    help="run ONLY the per-query scaling levels")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SCALING.json"))
     args = ap.parse_args()
 
     levels = [int(x) for x in args.levels.split(",")]
-    res: dict = {"docs": args.docs, "levels": levels}
+    res: dict = {"docs": args.docs, "levels": levels,
+                 "scale_k": args.scale_k}
+    if args.only_queries:
+        for c in (2, 8):
+            res[f"queries_{c}"] = run_queries(
+                c, args.sf_dir, args.trials, args.scale_k)
+            print(f"queries local[{c}]: {res[f'queries_{c}']}", flush=True)
+        res["efficiency"] = {}
+        for q, t2 in res["queries_2"].items():
+            t8 = res["queries_8"][q]
+            res["efficiency"][f"q_{q}_2_to_8"] = round(t2 / (4 * t8), 3)
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=2)
+        print(json.dumps(res["efficiency"]))
+        return
     for c in levels:
         res[f"hardware_{c}"] = run_hardware(c)
     for c in levels:
@@ -234,7 +255,8 @@ def main() -> None:
         # per-query scaling for the r2-added headline ops (VERDICT r2 #8):
         # fixed sf0.1 input, so efficiency = t_lo / (4 * t_hi)
         for c in (2, 8):
-            res[f"queries_{c}"] = run_queries(c, args.sf_dir, args.trials)
+            res[f"queries_{c}"] = run_queries(
+                c, args.sf_dir, args.trials, args.scale_k)
             print(f"queries local[{c}]: {res[f'queries_{c}']}", flush=True)
 
     res["efficiency"] = {}

@@ -1,0 +1,141 @@
+"""Skew-salting benefit measurement (VERDICT r3 next #7).
+
+Adversarial fixture: ~20% of all docs (hence ~20% of all token points)
+forced into ONE cell.  Two workloads, salted vs unsalted, identical
+results asserted, walls compared at one parallelism level:
+
+1. ``rollup``  — the tier rollup (groupBy(cell, tick) sums) via
+   ``rollup_points`` vs ``rollup_points_salted``.  Expected: ~no delta.
+   The aggregation is associative, so Spark's map-side partial agg
+   collapses each map task's rows to one row per (cell, tick) BEFORE
+   the shuffle — the hot cell never reaches a reducer as raw rows.
+   Salting is pure overhead here; measuring it keeps us honest about
+   when NOT to salt (skew.py's docstring makes exactly this claim).
+
+2. ``distinct`` — per-cell exact distinct (doc, token) count.  This is
+   the high-cardinality-within-hot-key shape where partial agg cannot
+   compress (every row is a distinct pair): the physical plan partially
+   dedups on (cell, doc, token), then shuffles BY CELL for the final
+   count — the hot cell's ~20% of all pairs lands on ONE reducer.  The
+   salted twin groups by (cell, salt(doc, token)) first and sums the
+   per-salt distinct counts — exact (the salt is a pure function of the
+   distinct-key), and the hot cell fans out over ``buckets`` reducers.
+
+Usage: python scripts/bench_skew.py [--docs 400000] [--cpus 8]
+       [--buckets 16] [--trials 2] [--out BENCH_SKEW.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+JOB = """
+import sys, time, json; sys.path.insert(0, {repo!r})
+from repurpose_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(master="local[{cpus}]", shuffle_partitions=2*{cpus})
+spark.sparkContext.setLogLevel("ERROR")
+from repurpose_spark.config import EngineConfig
+from repurpose_spark.sources.synthetic import synth_sequences
+from repurpose_spark.operators.reorient import sequences_to_points
+from repurpose_spark.operators.rollup import rollup_points
+from repurpose_spark.operators.skew import rollup_points_salted, salt_for
+
+cfg = EngineConfig(n_cells=64)
+seqs = synth_sequences(spark, {docs}, numPartitions=64)
+pts = sequences_to_points(seqs, cfg, with_ts=False)
+# adversarial skew: every 5th doc (~20% of points) lands in cell 0
+pts = pts.withColumn(
+    "cell_id",
+    F.when(F.pmod(F.xxhash64("doc_id", F.lit("hot")), F.lit(5)) == 0,
+           F.lit(0)).otherwise(F.col("cell_id")),
+)
+share = (
+    pts.groupBy("cell_id").count()
+    .orderBy(F.desc("count")).limit(1)
+    .crossJoin(pts.select(F.count("*").alias("total")))
+    .select((F.col("count") / F.col("total")).alias("s")).first()["s"]
+)
+
+hot = [{{"cell_id": 0}}]
+
+def rollup_unsalted():
+    return rollup_points(pts, 3600, key_cols=["cell_id"],
+                         dt_seconds=cfg.dt_seconds, epoch=cfg.epoch)
+
+def rollup_salted():
+    return rollup_points_salted(
+        pts, 3600, key_cols=["cell_id"], fine_col="pos",
+        buckets={buckets}, hot_keys=hot,
+        dt_seconds=cfg.dt_seconds, epoch=cfg.epoch)
+
+def distinct_unsalted():
+    return pts.groupBy("cell_id").agg(
+        F.count_distinct("doc_id", "token").alias("n_pairs"))
+
+def distinct_salted():
+    salt = F.pmod(F.xxhash64("doc_id", "token", F.lit("salt")),
+                  F.lit({buckets})).cast("int")
+    per = (
+        pts.withColumn("__salt", salt)
+        .groupBy("cell_id", "__salt")
+        .agg(F.count_distinct("doc_id", "token").alias("n"))
+    )
+    return per.groupBy("cell_id").agg(F.sum("n").alias("n_pairs"))
+
+pairs = {{"rollup": (rollup_unsalted, rollup_salted),
+          "distinct": (distinct_unsalted, distinct_salted)}}
+
+out = {{"hot_share": round(float(share), 4)}}
+for name, (plain, salted) in pairs.items():
+    # equality first (exact, order-insensitive)
+    a = sorted(map(tuple, plain().collect()))
+    b = sorted(map(tuple, salted().collect()))
+    assert a == b, f"{{name}}: salted != unsalted"
+    rec = {{}}
+    for variant, fn in (("unsalted", plain), ("salted", salted)):
+        fn().write.format("noop").mode("overwrite").save()  # warm-up
+        per = []
+        for _ in range({trials}):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            per.append(round(time.time() - t0, 3))
+        rec[variant] = min(per)
+    rec["speedup"] = round(rec["unsalted"] / rec["salted"], 3)
+    out[name] = rec
+print(json.dumps(out))
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=400000)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SKEW.json"))
+    args = ap.parse_args()
+    code = JOB.format(repo=REPO, cpus=args.cpus, docs=args.docs,
+                      buckets=args.buckets, trials=args.trials)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600)
+    lines = [ln for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-3000:])
+    res = json.loads(lines[-1])
+    res.update({"docs": args.docs, "cpus": args.cpus,
+                "buckets": args.buckets, "trials": args.trials})
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
