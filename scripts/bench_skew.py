@@ -12,14 +12,21 @@ results asserted, walls compared at one parallelism level:
    Salting is pure overhead here; measuring it keeps us honest about
    when NOT to salt (skew.py's docstring makes exactly this claim).
 
-2. ``distinct`` — per-cell exact distinct (doc, token) count.  This is
-   the high-cardinality-within-hot-key shape where partial agg cannot
-   compress (every row is a distinct pair): the physical plan partially
-   dedups on (cell, doc, token), then shuffles BY CELL for the final
-   count — the hot cell's ~20% of all pairs lands on ONE reducer.  The
-   salted twin groups by (cell, salt(doc, token)) first and sums the
-   per-salt distinct counts — exact (the salt is a pure function of the
-   distinct-key), and the hot cell fans out over ``buckets`` reducers.
+2. ``distinct`` — per-cell exact distinct (doc, token) count.
+   Measured outcome (r4): ~no delta EITHER — Catalyst rewrites distinct
+   aggregates to dedup on the FINE tuple (cell, doc, token) before the
+   per-cell count, so the hot cell never lands on one reducer.  Another
+   honest negative: Spark's planner already two-phases this shape.
+
+3. ``ordered_write`` — the shape where skew genuinely bites: per-cell
+   clustered output (the pipeline's ``repartition("cell_id")`` +
+   sort-within-partition before cell-partitioned writes; also O4
+   ordered export).  Partitioning is BY CELL ALONE, so the hot cell's
+   ~20% of all rows is ONE task's sort+write.  The salted twin
+   repartitions on (cell, salt(pos)) — the hot cell fans out over
+   ``buckets`` sorted slices; each output slice is still internally
+   tick-clustered, so parquet row-group min/max pruning is preserved
+   (files-per-hot-cell grows from 1 to ≤buckets — the standard trade).
 
 Usage: python scripts/bench_skew.py [--docs 400000] [--cpus 8]
        [--buckets 16] [--trials 2] [--out BENCH_SKEW.json]
@@ -89,8 +96,21 @@ def distinct_salted():
     )
     return per.groupBy("cell_id").agg(F.sum("n").alias("n_pairs"))
 
+def ordered_unsalted():
+    return (
+        pts.repartition(64, "cell_id")
+        .sortWithinPartitions("cell_id", "doc_id", "pos")
+    )
+
+def ordered_salted():
+    return (
+        pts.repartition(64, "cell_id", salt_for("pos", {buckets}, hot))
+        .sortWithinPartitions("cell_id", "doc_id", "pos")
+    )
+
 pairs = {{"rollup": (rollup_unsalted, rollup_salted),
           "distinct": (distinct_unsalted, distinct_salted)}}
+ordered = {{"ordered_write": (ordered_unsalted, ordered_salted)}}
 
 out = {{"hot_share": round(float(share), 4)}}
 for name, (plain, salted) in pairs.items():
@@ -108,6 +128,37 @@ for name, (plain, salted) in pairs.items():
             per.append(round(time.time() - t0, 3))
         rec[variant] = min(per)
     rec["speedup"] = round(rec["unsalted"] / rec["salted"], 3)
+    out[name] = rec
+# ordered-export contract: same multiset of rows, every output slice
+# internally sorted (the pruning property) — checked once, untimed
+from pyspark.sql import Window
+def assert_sliced_sorted(df):
+    # every output slice internally sorted on the cluster key (the
+    # row-group pruning property) and row multiset size preserved
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    key = F.struct("cell_id", "doc_id", "pos")
+    d = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .select((key < F.lag(key).over(w)).cast("int").alias("bad"))
+        .agg(F.sum("bad")).first()[0]
+    )
+    assert not d, f"unsorted slices: {{d}} inversions"
+
+for name, (plain, salted) in ordered.items():
+    n_plain = plain().count()
+    assert salted().count() == n_plain
+    assert_sliced_sorted(salted())
+    rec = {{}}
+    for variant, fn in (("unsalted", plain), ("salted", salted)):
+        fn().write.format("noop").mode("overwrite").save()  # warm-up
+        per = []
+        for _ in range({trials}):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            per.append(round(time.time() - t0, 3))
+        rec[variant] = min(per)
+    rec["speedup"] = round(rec["unsalted"] / rec["salted"], 3)
+    rec["n_rows"] = n_plain
     out[name] = rec
 print(json.dumps(out))
 """
