@@ -88,13 +88,28 @@ import __spark_entry__ as entry
 # not distributed work — scaling evidence needs minutes-of-work inputs
 orig = {sf_dir!r}
 sf = tempfile.mkdtemp(prefix="qscale_")
-for tbl, idc in (("documents", "doc_id"), ("embeddings", "vec_id")):
+# embeddings scale 8x harder: per-vector work is tiny, so matching the
+# documents factor leaves the ANN legs constant-dominated
+for tbl, idc, k in (("documents", "doc_id", {scale_k}),
+                    ("embeddings", "vec_id", {scale_k} * 8)):
     d = spark.read.parquet(orig + "/" + tbl + ".parquet")
     n = d.agg(F.max(idc)).first()[0] + 1
     big = (
-        d.crossJoin(spark.range({scale_k}).withColumnRenamed("id", "__k"))
-        .withColumn(idc, F.col(idc) + F.col("__k") * n).drop("__k")
+        d.crossJoin(spark.range(k).withColumnRenamed("id", "__k"))
+        .withColumn(idc, F.col(idc) + F.col("__k") * n)
     )
+    if tbl == "documents":
+        # replicas must NOT be byte-identical: exact dedup would
+        # otherwise collapse the corpus back to its original size
+        # before the heavy near-dup stage (measured r4: doc_curation
+        # wall was flat from 8x to 64x for exactly this reason).  A
+        # replica suffix keeps fingerprints distinct while replicas
+        # stay near-dups of each other — the realistic crawl-corpus
+        # shape (families of near-identical documents).
+        big = big.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" v"),
+                             F.col("__k").cast("string")))
+    big = big.drop("__k")
     # FIXED split count across parallelism levels (identical input layout)
     big.repartition(64).write.parquet(sf + "/" + tbl + ".parquet")
 qs = entry.queries()
