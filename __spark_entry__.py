@@ -872,6 +872,21 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: REAL PCM-WAV containers (stdlib wave format)
+    decoded via the Arrow-batched decode_audio; the payload is the
+    closed-form integer waveform so DuckDB regenerates every stat —
+    including RMS — exactly."""
+    from repurpose_spark.operators.multimodal import decode_audio, synth_media
+
+    media = synth_media(spark, 200, kind="audio")
+    out = decode_audio(media)
+    return out.select(
+        "doc_id", "n_samples", "sample_rate", "channels", "sample_width",
+        "n_bytes", F.round("rms", 6).alias("rms"),
+    )
+
+
 def q_doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring, signals + composite in one certified row
     (consolidated with the former doc_quality and doc_quality_score per
@@ -1096,6 +1111,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_stats": q_doc_lang_stats,
         "doc_minhash_sig": q_doc_minhash_sig,
         "emb_cosine_scores": q_emb_cosine_scores,
+        "mm_audio_stats": q_mm_audio_stats,
     }
 
 
@@ -2266,6 +2282,24 @@ SELECT printf('doc%08d', i) AS doc_id,
               FROM unnest(generate_series(0, w * h * 3 - 1)) j(x)), 6)
          AS mean_intensity
 FROM fr
+""",
+        "mm_audio_stats": """
+WITH d AS (
+  SELECT i, 400 + 100 * (i % 4) AS n FROM range(200) r(i)
+),
+s AS (
+  SELECT i, n, ((i * 31 + j.x * 7) % 32003 - 16001) AS v
+  FROM d, unnest(generate_series(0, n - 1)) j(x)
+)
+SELECT printf('doc%08d', i) AS doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       16000 AS sample_rate,
+       1 AS channels,
+       2 AS sample_width,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       round(sqrt(avg((v / 32768.0) * (v / 32768.0))), 6) AS rms
+FROM s
+GROUP BY i, n
 """,
         "emb_cosine_scores": """
 WITH q AS (

@@ -169,6 +169,16 @@ def synth_media(
                 w, h = 16 + i % 8, 16 + (i * 3) % 8
                 if kind == "image":
                     blob = encode_fake_image(i, w, h)
+                elif kind == "audio":
+                    # real PCM WAV container; the waveform is the
+                    # closed-form integer family (not a sine: libm sin
+                    # differs across engines at 1 ulp, which could flip
+                    # an int16 truncation and break the DuckDB oracle)
+                    t = np.arange(400 + 100 * (i % 4), dtype=np.int64)
+                    blob = encode_wav(
+                        ((i * 31 + t * 7) % 32003 - 16001).astype("<i2"),
+                        16000, 1,
+                    )
                 else:
                     blob = encode_fake_video(i, w, h, n_frames=2 + i % 4)
                 rows.append((f"doc{i:08d}", blob, kind))
