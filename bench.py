@@ -133,7 +133,31 @@ def run_durable_pipeline(spark, n_docs: int) -> dict:
     }
 
 
+def _hw_probe(workers: int = 8, total_ops: int = 6_400_000) -> dict:
+    """Spark-free sha256 probe (same as scripts/bench_scaling.py): this
+    VM shows minute-scale steal oscillations that can double a pass;
+    bracketing probes ride in the output JSON so a reader can tell a
+    regression from a bad host window."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(workers) as p:
+        p.map(_hw_burn, [total_ops // workers] * workers)
+    dt = time.time() - t0
+    return {"workers": workers, "ops_per_sec": round(total_ops / dt, 1)}
+
+
+def _hw_burn(n):
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
 def main():
+    probe_open = _hw_probe()
     spark = get_spark(
         app_name="repurpose_spark_bench", master=f"local[{CPUS}]"
     )
@@ -211,6 +235,8 @@ def main():
         },
     }
     spark.stop()
+    out["hw_probe_open"] = probe_open
+    out["hw_probe_close"] = _hw_probe()
     print(json.dumps(out))
 
 
