@@ -887,6 +887,33 @@ def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_daily_uniques_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count continuous aggregate: daily unique users per
+    event_type via HLL sketch tiers (hourly sketches → hll_union_agg
+    day merge — never re-reads raw).  NO oracle_sql twin BY DESIGN:
+    sketch estimates are error-bounded, not byte-stable (see
+    rollup.py::rollup_distinct_sketch's determinism caveat), and
+    DuckDB's approx_count_distinct is a different HLL implementation —
+    the driver records the weaker rows-only check; exactness-adjacent
+    guarantees are pytest-enforced (test_rollup.py)."""
+    from repurpose_spark.operators.rollup import (
+        rollup_distinct_sketch,
+        rollup_sketch_from_partials,
+        with_distinct_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup_distinct_sketch(
+        ev, "hour", "user_id", key_cols=["event_type"]
+    )
+    daily = with_distinct_estimate(
+        rollup_sketch_from_partials(hourly, "day", key_cols=["event_type"])
+    )
+    return daily.select(
+        "event_type", "tick", "n_points", "n_distinct_est"
+    ).orderBy("event_type", "tick")
+
+
 def q_doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring, signals + composite in one certified row
     (consolidated with the former doc_quality and doc_quality_score per
@@ -1112,6 +1139,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": q_doc_minhash_sig,
         "emb_cosine_scores": q_emb_cosine_scores,
         "mm_audio_stats": q_mm_audio_stats,
+        "ev_daily_uniques_sketch": q_ev_daily_uniques_sketch,
     }
 
 

@@ -120,3 +120,67 @@ def rollup_from_partials(
 def with_avg(tier: DataFrame) -> DataFrame:
     """Derive mean at read time — exact under re-aggregation."""
     return tier.withColumn("avg_v", F.col("sum_v") / F.col("n_points"))
+
+
+# ---------------------------------------------------- distinct-count tiers
+def rollup_distinct_sketch(
+    points: DataFrame,
+    unit: str,
+    distinct_col: str,
+    key_cols: list = ("cell_id",),
+    ts_col: str = "ts",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Finest distinct-count tier: one HLL sketch per (keys, tick).
+
+    Exact ``count_distinct`` does NOT re-aggregate (distinct counts are
+    not mergeable partials), so an exact daily-uniques tier would have
+    to re-read raw — the one aggregate the partial+final architecture
+    cannot carry.  Apache DataSketches HLL closes the gap: sketches ARE
+    mergeable (union-of-hourly ≈ sketch-of-raw-day within the sketch
+    error — test-enforced), ~2^lg_k bytes each, relative standard error
+    ~1.04/sqrt(2^lg_k) (~1.6% at the default lg_k=12).  The TimescaleDB
+    continuous-aggregate pattern for distinct counts, on Spark's
+    built-in ``hll_sketch_agg`` (JVM, map-side partial merge — no UDF).
+
+    Determinism caveat (deliberate exception to SURVEY §7.3): Spark
+    builds per-partition partial sketches and merges them, and HLL_4
+    merge results vary with the partition layout WITHIN the error
+    bound — estimates are error-bounded, not byte-stable.  This is the
+    engine's one approximate, partitioning-sensitive aggregate; use
+    exact ``count_distinct`` (or the salted two-phase distinct) where
+    byte-stable answers are required and a raw re-read is affordable.
+    """
+    key_cols = list(key_cols)
+    return points.groupBy(
+        *key_cols, F.date_trunc(unit, F.col(ts_col)).alias("tick")
+    ).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("uniq_sketch"),
+        F.count(distinct_col).alias("n_points"),
+    )
+
+
+def rollup_sketch_from_partials(
+    tier: DataFrame,
+    unit: str,
+    key_cols: list = ("cell_id",),
+    tick_col: str = "tick",
+) -> DataFrame:
+    """Coarser distinct tier from finer sketches — ``hll_union_agg``
+    merges without touching raw (sketch union is exact: the merged
+    registers equal the registers a direct coarse sketch would hold)."""
+    key_cols = list(key_cols)
+    return tier.groupBy(
+        *key_cols, F.date_trunc(unit, F.col(tick_col)).alias("tick")
+    ).agg(
+        F.hll_union_agg("uniq_sketch", F.lit(False)).alias("uniq_sketch"),
+        F.sum("n_points").alias("n_points"),
+    )
+
+
+def with_distinct_estimate(tier: DataFrame) -> DataFrame:
+    """Read-time estimate column from the sketch (keeps the sketch for
+    further unions — estimates themselves never re-aggregate)."""
+    return tier.withColumn(
+        "n_distinct_est", F.hll_sketch_estimate("uniq_sketch")
+    )

@@ -103,3 +103,89 @@ def test_gap_fill_partial_bounds(spark):
     )
     rows = {r["tick"].hour: r["n_points"] for r in end_only.collect()}
     assert rows == {1: 5, 2: 0, 3: 7, 4: 0, 5: 0}
+
+
+def test_distinct_sketch_tiers_merge_within_error(spark):
+    """HLL distinct-count tiers: union of hourly sketches agrees with a
+    sketch built directly from raw at the daily grain to within the
+    sketch error (estimates are partition-layout-sensitive within the
+    bound — documented caveat), n_points partials re-aggregate exactly,
+    and both estimates stay within the published HLL error of exact."""
+    from pyspark.sql import functions as F
+
+    from repurpose_spark.operators.rollup import (
+        rollup_distinct_sketch,
+        rollup_sketch_from_partials,
+        with_distinct_estimate,
+    )
+
+    # 2 cells x 3 days, users recur across hours (the shape where
+    # sum-of-hourly-distincts would badly overcount)
+    pts = spark.range(200_000).select(
+        (F.col("id") % 2).alias("cell_id"),
+        F.timestamp_seconds(
+            F.lit(1_600_000_000) + (F.col("id") % 259_200)
+        ).alias("ts"),
+        (F.xxhash64("id") % 5000).alias("user"),
+    )
+    hourly = rollup_distinct_sketch(pts, "hour", "user").cache()
+    daily_merged = with_distinct_estimate(
+        rollup_sketch_from_partials(hourly, "day")
+    )
+    daily_direct = with_distinct_estimate(
+        rollup_distinct_sketch(pts, "day", "user")
+    )
+    a = {
+        (r["cell_id"], r["tick"]): (r["n_distinct_est"], r["n_points"])
+        for r in daily_merged.collect()
+    }
+    b = {
+        (r["cell_id"], r["tick"]): (r["n_distinct_est"], r["n_points"])
+        for r in daily_direct.collect()
+    }
+    assert set(a) == set(b)
+    exact = {
+        (r["cell_id"], r["tick"]): r["n"]
+        for r in pts.groupBy(
+            "cell_id", F.date_trunc("day", "ts").alias("tick")
+        ).agg(F.count_distinct("user").alias("n")).collect()
+    }
+    assert set(a) == set(exact)
+    for k, (est, n_pts) in a.items():
+        est_d, n_pts_d = b[k]
+        assert n_pts == n_pts_d  # count partials re-aggregate EXACTLY
+        # merged vs direct: same value set, estimates within 2x rse
+        assert abs(est - est_d) / exact[k] < 0.033
+        # both within the published bound of the exact answer
+        assert abs(est - exact[k]) / exact[k] < 0.05  # lg_k=12 ~1.6% rse
+        assert abs(est_d - exact[k]) / exact[k] < 0.05
+    hourly.unpersist()
+
+
+def test_distinct_sketch_survives_parquet_roundtrip(spark, tmp_path):
+    """The sketch column is plain binary: tiers persist and re-merge
+    after a parquet round trip (the retention-tier storage contract)."""
+    from pyspark.sql import functions as F
+
+    from repurpose_spark.operators.rollup import (
+        rollup_distinct_sketch,
+        rollup_sketch_from_partials,
+        with_distinct_estimate,
+    )
+
+    pts = spark.range(50_000).select(
+        F.lit(0).alias("cell_id"),
+        # midnight-aligned base so the day tier holds exactly one tick
+        F.timestamp_seconds(
+            F.lit(1_599_955_200) + (F.col("id") % 86_400)
+        ).alias("ts"),
+        (F.col("id") % 777).alias("user"),
+    )
+    p = str(tmp_path / "hourly")
+    rollup_distinct_sketch(pts, "hour", "user").write.parquet(p)
+    daily = with_distinct_estimate(
+        rollup_sketch_from_partials(spark.read.parquet(p), "day")
+    ).collect()
+    assert len(daily) == 1
+    est = daily[0]["n_distinct_est"]
+    assert abs(est - 777) / 777 < 0.05
