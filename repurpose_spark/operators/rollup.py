@@ -53,8 +53,15 @@ def rollup_points(
     value_col: str = "token",
     dt_seconds: int = 60,
     epoch: str = EPOCH_STR,
+    sketch_distinct: bool = False,
+    sketch_lg_k: int = 12,
 ) -> DataFrame:
     """Rollup for the derived positional time axis (ts = epoch + pos*dt).
+
+    ``sketch_distinct=True`` adds a ``uniq_sketch`` HLL partial of
+    ``value_col`` per group (distinct-vocabulary tiers; see
+    :func:`rollup_distinct_sketch` for semantics and the determinism
+    caveat).
 
     Groups on the integer bucket ``floor(pos*dt / unit)`` and converts to a
     tick timestamp only after aggregation (160k groups instead of 8M rows
@@ -70,23 +77,32 @@ def rollup_points(
     bucket = F.floor(
         (F.col(pos_col).cast("long") * dt_seconds) / unit_seconds
     ).alias("__b")
+    aggs = [
+        F.count(value_col).alias("n_points"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    ]
+    out_cols = ["n_points", "sum_v", "min_v", "max_v"]
+    if sketch_distinct:
+        # mergeable uniques partial (see rollup_distinct_sketch): the
+        # only way a non-key column's distinct count survives the
+        # partial+final tier architecture without raw re-reads
+        aggs.append(
+            F.hll_sketch_agg(value_col, F.lit(sketch_lg_k)).alias(
+                "uniq_sketch"
+            )
+        )
+        out_cols.append("uniq_sketch")
     return (
         points.groupBy(*key_cols, bucket)
-        .agg(
-            F.count(value_col).alias("n_points"),
-            F.sum(value_col).alias("sum_v"),
-            F.min(value_col).alias("min_v"),
-            F.max(value_col).alias("max_v"),
-        )
+        .agg(*aggs)
         .select(
             *key_cols,
             F.timestamp_seconds(
                 F.lit(epoch_sec) + F.col("__b") * unit_seconds
             ).alias("tick"),
-            "n_points",
-            "sum_v",
-            "min_v",
-            "max_v",
+            *out_cols,
         )
     )
 
@@ -104,16 +120,22 @@ def rollup_from_partials(
     key_cols: list = ("cell_id", "doc_id"),
     tick_col: str = "tick",
 ) -> DataFrame:
-    """Coarser tier from a finer tier's mergeable partials (exact re-agg)."""
+    """Coarser tier from a finer tier's mergeable partials (exact re-agg;
+    a ``uniq_sketch`` column, when present, merges via sketch union)."""
     key_cols = list(key_cols)
+    aggs = [
+        F.sum("n_points").alias("n_points"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    ]
+    if "uniq_sketch" in tier.columns:
+        aggs.append(
+            F.hll_union_agg("uniq_sketch", F.lit(False)).alias("uniq_sketch")
+        )
     return (
         tier.groupBy(*key_cols, F.date_trunc(unit, F.col(tick_col)).alias("tick"))
-        .agg(
-            F.sum("n_points").alias("n_points"),
-            F.sum("sum_v").alias("sum_v"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
-        )
+        .agg(*aggs)
     )
 
 

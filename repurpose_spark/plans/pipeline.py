@@ -74,17 +74,24 @@ class TierPipeline:
         cfg: EngineConfig = DEFAULT,
         job_id: str = "tiers",
         postprocess: list | None = None,
+        sketch_distinct: bool = False,
     ):
         """``postprocess``: F2 hooks — fn(DataFrame) -> DataFrame applied
         to each derived tier before it is written (the reference applies
         its postprocess list to the finished stacked batch,
         ts2img.py:304-320); plan-level transforms, see
-        operators.hooks.apply_batch_hooks."""
+        operators.hooks.apply_batch_hooks.
+
+        ``sketch_distinct``: carry a mergeable HLL ``uniq_sketch`` of
+        the token column through the tiers (hourly partial sketches →
+        daily sketch union; rollup.py determinism caveat applies) —
+        distinct-vocabulary continuous aggregates with no raw re-read."""
         self.spark = spark
         self.wh = warehouse
         self.cfg = cfg
         self.job_id = job_id
         self.postprocess = postprocess or []
+        self.sketch_distinct = sketch_distinct
 
     # -- ledger --------------------------------------------------------------
     def _ledger_table(self) -> str:
@@ -431,6 +438,7 @@ class TierPipeline:
                 key_cols=["cell_id", "doc_id"],
                 dt_seconds=self.cfg.dt_seconds,
                 epoch=self.cfg.epoch,
+                sketch_distinct=self.sketch_distinct,
             ).cache()
             # idempotent commit: the batch owns its own partition and
             # overwrites it wholesale — no dynamic-overwrite staging or

@@ -529,3 +529,40 @@ def test_assign_files_mixed_schemes_falls_back_round_robin(spark, tmp_path):
     files = ["file:/a/p1.parquet", "s3a://bkt/p2.parquet", "hdfs://nn/p3.parquet"]
     plan = pipe._assign_files(sorted(files), 2)
     assert sorted(f for fs in plan.values() for f in fs) == sorted(files)
+
+
+def test_pipeline_sketch_distinct_tier(spark, seqs, tmp_path):
+    """Opt-in distinct-vocabulary tier: the hourly tier carries an HLL
+    uniq_sketch partial and the daily tier unions it — per (cell, day)
+    the estimated distinct-token count sits within the sketch error of
+    the exact answer computed from raw (which the tiers never re-read)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from repurpose_spark.operators.reorient import sequences_to_points
+    from repurpose_spark.operators.rollup import with_distinct_estimate
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t", sketch_distinct=True)
+    pipe.run(seqs, n_batches=2)
+    hourly = wh.read(pipe.hourly_table())
+    assert "uniq_sketch" in hourly.columns
+    daily = with_distinct_estimate(
+        wh.read(pipe.daily_table())
+        .groupBy("cell_id", F.date_trunc("day", "tick").alias("day"))
+        .agg(F.hll_union_agg("uniq_sketch", F.lit(False)).alias("uniq_sketch"))
+    )
+    est = {(r["cell_id"], r["day"]): r["n_distinct_est"] for r in daily.collect()}
+    pts = sequences_to_points(seqs, CFG, with_ts=True)
+    exact = {
+        (r["cell_id"], r["day"]): r["n"]
+        for r in pts.groupBy(
+            "cell_id", F.date_trunc("day", "ts").alias("day")
+        ).agg(F.count_distinct("token").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) / exact[k] < 0.05
+    # default-off: schema of a plain run is unchanged
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    TierPipeline(spark, wh2, CFG, job_id="t").run(seqs, n_batches=2)
+    assert "uniq_sketch" not in wh2.read("t_hourly").columns
