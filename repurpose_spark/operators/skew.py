@@ -109,6 +109,38 @@ def merge_partials(
     )
 
 
+def ordered_export_salted(
+    df: DataFrame,
+    key_cols: list = ("cell_id",),
+    order_cols: list = ("doc_id", "pos"),
+    fine_col: str = "pos",
+    buckets: int = 16,
+    hot_keys: list | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-key clustered export with hot keys fanned out — the shape
+    where salting measurably wins (BENCH_SKEW.json: 1.35× at a 21% hot
+    cell; rollups DON'T need it, map-side combine absorbs them).
+
+    ``repartition(key)`` + sort-within-partition puts a hot key's
+    entire row set into ONE task's sort; here hot keys (from
+    :func:`detect_hot_keys`; None = salt everything) spread over
+    ``buckets`` slices, each still internally sorted on
+    (key, *order_cols) — parquet row-group min/max pruning is preserved
+    per output file, at the cost of ≤``buckets`` files per hot key (the
+    standard files-vs-stragglers trade).  Cold keys keep salt 0: one
+    slice each, exactly the unsalted layout."""
+    key_cols = list(key_cols)
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    parts = [F.col(c) for c in key_cols] + [
+        salt_for(fine_col, buckets, hot_keys, key_cols)
+    ]
+    return df.repartition(n, *parts).sortWithinPartitions(
+        *key_cols, *order_cols
+    )
+
+
 def rollup_points_salted(
     points: DataFrame,
     unit_seconds: int,

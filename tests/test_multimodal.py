@@ -225,3 +225,29 @@ def test_wav_roundtrip_and_decode_audio(spark):
     # strict mode raises through the task
     with pytest.raises(Exception, match="NotImplementedError|PCM"):
         decode_audio(df, ignore_errors=False).collect()
+
+
+def test_bmp_roundtrip_fuzz():
+    """Property fuzz of the BMP codec: arbitrary small RGB arrays (odd
+    widths exercise the 4-byte row padding) survive encode→decode
+    byte-exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from repurpose_spark.operators.multimodal import _decode_bmp, encode_bmp
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=37),
+        h=st.integers(min_value=1, max_value=23),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got_w, got_h, c, got = _decode_bmp(encode_bmp(arr))
+        assert (got_w, got_h, c) == (w, h, 3)
+        np.testing.assert_array_equal(got, arr)
+
+    check()

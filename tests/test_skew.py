@@ -99,3 +99,51 @@ def test_salted_partials_fan_out(skewed_points):
             assert n_salts > 1, f"hot cell {c} did not fan out"
         else:
             assert n_salts == 1, f"cold cell {c} was salted"
+
+
+def test_ordered_export_salted_spreads_hot_key_and_stays_sorted(spark):
+    """The salted clustered export: hot key fans over several slices,
+    every slice is internally sorted on (key, order), row multiset
+    unchanged, and cold keys keep exactly one slice (salt 0)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from repurpose_spark.operators.skew import ordered_export_salted
+
+    # key 0 hot (half of all rows), keys 1..7 cold
+    df = spark.range(80_000).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise((F.col("id") % 7) + 1)
+        .cast("int")
+        .alias("cell_id"),
+        (F.col("id") * 37 % 9973).alias("doc_id"),
+        (F.col("id") % 1000).alias("pos"),
+        F.col("id").alias("v"),
+    )
+    out = ordered_export_salted(
+        df, key_cols=["cell_id"], order_cols=["doc_id", "pos"],
+        fine_col="pos", buckets=8, hot_keys=[{"cell_id": 0}],
+        num_partitions=64,
+    )
+    tagged = out.withColumn("__pid", F.spark_partition_id()).cache()
+    # multiset preserved
+    assert tagged.count() == 80_000
+    # hot key spread over >1 slice; every cold key in exactly 1
+    spread = {
+        r["cell_id"]: r["n"]
+        for r in tagged.groupBy("cell_id")
+        .agg(F.count_distinct("__pid").alias("n"))
+        .collect()
+    }
+    assert spread[0] > 1
+    assert all(v == 1 for k, v in spread.items() if k != 0)
+    # every slice internally sorted on (cell_id, doc_id, pos)
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    key = F.struct("cell_id", "doc_id", "pos")
+    bad = (
+        tagged.select((key < F.lag(key).over(w)).cast("int").alias("b"))
+        .agg(F.sum("b"))
+        .first()[0]
+    )
+    assert not bad
+    tagged.unpersist()
