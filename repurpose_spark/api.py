@@ -42,6 +42,7 @@ class Img2Ts:
         cfg: EngineConfig | None = None,
         job_id: str = "img2ts",
         spark: SparkSession | None = None,
+        sketch_distinct: bool = False,
     ):
         """``input_df`` may be a DataFrame (hash-sliced batches) or a
         parquet path string — the scale path: batches slice by whole
@@ -55,6 +56,7 @@ class Img2Ts:
         self.batches = imgbuffer
         self.cfg = cfg or EngineConfig(n_cells=cellsize)
         self.job_id = job_id
+        self.sketch_distinct = sketch_distinct
 
     def calc(self, pack: bool = True) -> dict:
         spark = (
@@ -63,7 +65,10 @@ class Img2Ts:
             else (self._spark or SparkSession.active())
         )
         wh = Warehouse(spark, self.outputpath)
-        pipe = TierPipeline(spark, wh, self.cfg, job_id=self.job_id)
+        pipe = TierPipeline(
+            spark, wh, self.cfg, job_id=self.job_id,
+            sketch_distinct=self.sketch_distinct,
+        )
         return pipe.run(
             self.input_df,
             n_batches=self.batches,
