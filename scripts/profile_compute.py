@@ -142,6 +142,87 @@ print(json.dumps({{
 """
 
 
+DURABLE_JOB = """
+import sys, time, json, tempfile, shutil; sys.path.insert(0, {repo!r})
+from repurpose_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(master="local[{cpus}]", shuffle_partitions=2*{cpus})
+spark.sparkContext.setLogLevel("ERROR")
+from repurpose_spark.config import EngineConfig
+from repurpose_spark.plans.pipeline import TierPipeline
+from repurpose_spark.sources.synthetic import synth_sequences
+from repurpose_spark.sources.tables import Warehouse
+
+mf = spark._jvm.java.lang.management.ManagementFactory
+
+def gc_ms():
+    return sum(b.getCollectionTime()
+               for b in mf.getGarbageCollectorMXBeans())
+
+import urllib.request
+
+def stage_totals():
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{{base}}/api/v1/applications/{{app}}/stages?status=complete", timeout=10) as r:
+        stages = json.load(r)
+    t = {{"run_ms": 0, "cpu_ms": 0, "tasks": 0}}
+    for s in stages:
+        t["run_ms"] += s.get("executorRunTime", 0)
+        t["cpu_ms"] += s.get("executorCpuTime", 0) // 1_000_000
+        t["tasks"] += s.get("numCompleteTasks", 0)
+    return t
+
+cfg = EngineConfig(n_cells=64)
+in_path = tempfile.mkdtemp(prefix="prof_in_") + "/seqs"
+seqs = synth_sequences(spark, {docs}, skew=True, numPartitions=64)
+seqs.write.parquet(in_path)
+n_tokens = seqs.agg(F.sum("n_tok")).collect()[0][0]
+# warm-up (untimed): miniature durable run
+wroot = tempfile.mkdtemp(prefix="prof_w_")
+TierPipeline(spark, Warehouse(spark, wroot), cfg, job_id="w").run(
+    synth_sequences(spark, 2000), n_batches=1)
+shutil.rmtree(wroot, ignore_errors=True)
+
+trials = []
+for trial in range({trials}):
+    root = tempfile.mkdtemp(prefix="prof_wh_")
+    pipe = TierPipeline(spark, Warehouse(spark, root), cfg, job_id="bench")
+    rec = {{}}
+    t_all = time.time()
+    for name, act in (
+        ("batches", lambda: pipe.run(input_path=in_path, n_batches=2,
+                                     _finalize=False)),
+        ("finalize", lambda: pipe.finalize(pack=True)),
+    ):
+        s0, g0, t0 = stage_totals(), gc_ms(), time.time()
+        act()
+        wall = time.time() - t0
+        s1 = stage_totals()
+        rec[name] = {{
+            "wall": round(wall, 3),
+            "gc_ms": gc_ms() - g0,
+            "task_run_ms": s1["run_ms"] - s0["run_ms"],
+            "task_cpu_ms": s1["cpu_ms"] - s0["cpu_ms"],
+            "tasks": s1["tasks"] - s0["tasks"],
+            "core_util": round(
+                (s1["run_ms"] - s0["run_ms"]) / (wall * 1000 * {cpus}), 3),
+        }}
+    rec["total_wall"] = round(time.time() - t_all, 3)
+    shutil.rmtree(root, ignore_errors=True)
+    trials.append(rec)
+shutil.rmtree(in_path.rsplit("/", 1)[0], ignore_errors=True)
+
+best = min(trials, key=lambda r: r["total_wall"])
+print(json.dumps({{
+    "n_tokens": int(n_tokens),
+    "tokens_per_sec": round(n_tokens / best["total_wall"], 1),
+    "best": best,
+    "trials": trials,
+}}))
+"""
+
+
 def _memburn(args) -> float:
     """Stream-copy 256 MB ten times — pure memory-bandwidth load."""
     import numpy as np
@@ -174,10 +255,14 @@ def run_bandwidth(workers: int, mb_each: int = 256) -> dict:
 
 
 def run_level(cpus: int, docs: int, trials: int, pin: bool,
-              shuffle_mult: int = 2) -> dict:
-    code = JOB.format(
-        repo=REPO, cpus=cpus, docs=docs, trials=trials,
-        pin="True" if pin else "False", shuffle_mult=shuffle_mult,
+              shuffle_mult: int = 2, durable: bool = False) -> dict:
+    code = (
+        DURABLE_JOB.format(repo=REPO, cpus=cpus, docs=docs, trials=trials)
+        if durable
+        else JOB.format(
+            repo=REPO, cpus=cpus, docs=docs, trials=trials,
+            pin="True" if pin else "False", shuffle_mult=shuffle_mult,
+        )
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -198,6 +283,9 @@ def main() -> None:
     ap.add_argument("--shuffle-mult", type=int, default=2,
                     help="shuffle partitions = mult * cores; 4 packs "
                          "short stages into finer waves (less tail)")
+    ap.add_argument("--durable", action="store_true",
+                    help="profile the DURABLE pipeline (TierPipeline.run "
+                         "batches + finalize) instead of the compute job")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -214,7 +302,7 @@ def main() -> None:
     for c in levels:
         res[f"compute_{c}"] = run_level(
             c, args.docs, args.trials, args.pin_jvm_threads,
-            args.shuffle_mult,
+            args.shuffle_mult, args.durable,
         )
         print(f"local[{c}]: {json.dumps(res[f'compute_{c}']['best'])}",
               flush=True)
@@ -228,11 +316,16 @@ def main() -> None:
             res[f"bandwidth_{hi}"]["agg_gb_per_sec"]
             / (f * res[f"bandwidth_{lo}"]["agg_gb_per_sec"]), 3)
         # per-stage efficiency: fixed work → eff = t_lo / (f * t_hi)
+        stages = (
+            ("batches", "finalize")
+            if args.durable
+            else ("hourly", "daily", "packed")
+        )
         res["per_stage_efficiency"] = {
             s: round(
                 res[f"compute_{lo}"]["best"][s]["wall"]
                 / (f * res[f"compute_{hi}"]["best"][s]["wall"]), 3)
-            for s in ("hourly", "daily", "packed")
+            for s in stages
         }
         print(json.dumps({k: res[k] for k in
                           ("efficiency_raw", "per_stage_efficiency")}))
