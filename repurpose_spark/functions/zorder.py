@@ -57,7 +57,16 @@ def parquet_footer_bounds(path: str, cols: list) -> dict:
                     if st is None or not st.has_min_max:
                         complete[c] = False
                         break
-                    lo, hi = float(st.min), float(st.max)
+                    try:
+                        # non-numeric stats (string/bytes/decimal objects)
+                        # aren't float-convertible — mark the column
+                        # incomplete so the caller's 1-row aggregate scan
+                        # (cast-to-double, null→rank 0) takes over instead
+                        # of raising out of compact_table (ADVICE r4 low)
+                        lo, hi = float(st.min), float(st.max)
+                    except (TypeError, ValueError):
+                        complete[c] = False
+                        break
                     cur = bounds[c]
                     bounds[c] = (
                         (lo, hi)
@@ -96,9 +105,12 @@ def zorder_sort_key(
         exprs = []
         for c in missing:
             col = F.col(c) if isinstance(c, str) else c
+            # try_cast: under ANSI mode (Spark 4 default) a plain cast on
+            # a non-numeric column RAISES mid-scan; try_cast yields null
+            # → (0, 0) bounds → rank 0, the documented degradation
             exprs += [
-                F.min(col.cast("double")),
-                F.max(col.cast("double")),
+                F.min(col.try_cast("double")),
+                F.max(col.try_cast("double")),
             ]
         row = df.agg(*exprs).collect()[0]
         for i, c in enumerate(missing):
@@ -110,7 +122,7 @@ def zorder_sort_key(
     top = (1 << bits) - 1
     ranks = []
     for c, n in zip(cols, names):
-        col = (F.col(c) if isinstance(c, str) else c).cast("double")
+        col = (F.col(c) if isinstance(c, str) else c).try_cast("double")
         lo, hi = bounds[n]
         if hi <= lo:
             ranks.append(F.lit(0).cast("long"))

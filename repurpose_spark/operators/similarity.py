@@ -92,16 +92,32 @@ def _lsh_signature_range(vec_col: str, dim: int, lo: int, hi: int, seed: int):
 
 
 _SIG_CACHE: list = []  # persisted signature frames from prior calls
+_SIG_CACHE_LOCK = __import__("threading").Lock()
+# How many prior calls' signature frames stay persisted.  1 would
+# unpersist the frame backing the PREVIOUS call's returned-but-not-yet-
+# executed DataFrame (silent recompute of its LSH probe work — ADVICE r4
+# low); keeping a couple of generations makes the common
+# build-then-materialize-later pattern safe while still bounding the
+# leak from long-lived drivers issuing many similarity calls.  Callers
+# interleaving >_SIG_KEEP similarity builds before materializing should
+# materialize (or .persist() themselves) first.
+_SIG_KEEP = 2
 
 
 def _retire_sig_caches() -> None:
-    """Unpersist signature frames persisted by EARLIER near-dup / label-
-    vote calls (ADVICE r3 low #4: repeated calls leaked cached RDDs).
-    The current call's final frame stays persisted until the next call —
-    it backs the guard probe and both sides of the candidate self-join."""
-    while _SIG_CACHE:
+    """Unpersist signature frames persisted by OLDER near-dup / label-
+    vote calls (ADVICE r3 low #4: repeated calls leaked cached RDDs),
+    keeping the most recent ``_SIG_KEEP`` generations so lazily-held
+    results from recent calls don't lose their cache (ADVICE r4 low).
+    Lock-guarded: concurrent jobs on one driver mutate the list safely."""
+    with _SIG_CACHE_LOCK:
+        doomed, _SIG_CACHE[:] = (
+            _SIG_CACHE[:-_SIG_KEEP],
+            _SIG_CACHE[-_SIG_KEEP:],
+        )
+    for df in doomed:
         try:
-            _SIG_CACHE.pop().unpersist()
+            df.unpersist()
         except Exception:
             pass
 

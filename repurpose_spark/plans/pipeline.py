@@ -279,18 +279,24 @@ class TierPipeline:
             )
             # continuous-aggregate refresh: only cells the new batches —
             # plus any earlier batches no finalize has covered yet —
-            # touched get their daily/packed partitions recomputed (the
-            # batch_id filter prunes to those partitions; the cell
-            # filter inside finalize prunes the partial re-read)
+            # touched get their daily/packed partitions recomputed.  The
+            # affected-cell set comes from the LEDGER's per-cell lineage
+            # rows, not a batch_id filter on the hourly tier: compact()
+            # remaps completed batches' partitions to batch_id=-1, so a
+            # compaction landing in the crash-before-finalize window
+            # would make stale batches match no hourly rows — their cells
+            # silently dropped from the refresh while the coverage row
+            # still claimed them (ADVICE r4 medium).  Ledger rows survive
+            # compaction by construction; no Spark job needed either.
             refresh_ids = new_ids + stale
-            affected = [
-                r["cell_id"]
-                for r in self.wh.read(self.hourly_table())
-                .where(F.col("batch_id").isin(refresh_ids))
-                .select("cell_id")
-                .distinct()
-                .collect()
-            ]
+            want = set(refresh_ids)
+            affected = sorted(
+                {
+                    r["cell_id"]
+                    for r in self.ledger_rows()
+                    if r.get("status") == "cell" and r["batch_id"] in want
+                }
+            )
             out.update(
                 self.finalize(
                     pack=pack, cells=affected, covered_batches=refresh_ids

@@ -522,6 +522,43 @@ def test_incremental_heals_crash_before_finalize(spark, seqs, tmp_path):
     )
 
 
+def test_incremental_heals_despite_compaction(spark, seqs, tmp_path):
+    """ADVICE r4 medium: compact() remaps completed batches' hourly
+    partitions to batch_id=-1; if it runs inside the crash-before-
+    finalize window, a batch_id-based refresh would match no hourly rows
+    and silently drop the stale batches' cells from the daily/packed
+    refresh while still marking them covered.  The affected-cell set now
+    comes from ledger lineage rows, which compaction never rewrites."""
+    path = _write_input(spark, seqs, tmp_path, n_files=4)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.run(input_path=path, n_batches=2, fail_after_batch=2)
+    assert pipe.completed_batches() == {0, 1}
+    assert pipe._finalized_batches() == set()  # crash before finalize
+    pipe.compact()  # maintenance lands in the crash window
+    hourly = wh.read(pipe.hourly_table())
+    assert hourly.select("batch_id").distinct().collect()[0][0] == -1
+
+    extra = synth_sequences(spark, N_DOCS + 50).where(
+        F.col("doc_id") >= f"doc{N_DOCS:08d}"
+    )
+    extra.repartition(2).write.mode("append").parquet(path)
+    pipe.run_incremental(path)
+    assert pipe._finalized_batches() == {0, 1, 2}
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    TierPipeline(spark, wh2, CFG, job_id="t").run(input_path=path, n_batches=3)
+    assert _sorted(wh.read("t_daily"), TIER_COLS) == _sorted(
+        wh2.read("t_daily"), TIER_COLS
+    )
+    assert (
+        wh.read(pipe.packed_table()).count()
+        == wh2.read("t_packed").count()
+        == N_DOCS + 50
+    )
+
+
 def test_assign_files_mixed_schemes_falls_back_round_robin(spark, tmp_path):
     """ADVICE r3 low #3: a listing with no common '/'-ancestor (mixed URI
     schemes) must fall back to round-robin, not loop forever."""

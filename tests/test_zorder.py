@@ -131,6 +131,25 @@ def test_footer_bounds_missing_column_falls_back(spark, grid, tmp_path):
     assert len(keys) == df.count()
 
 
+def test_footer_bounds_non_numeric_stats_fall_back(spark, grid, tmp_path):
+    """ADVICE r4 low: string/timestamp footer stats aren't float()-able —
+    the column must come back None (→ aggregate-scan fallback), not raise
+    out of compact_table(zorder_by=...)."""
+    from repurpose_spark.functions.zorder import parquet_footer_bounds
+
+    path = str(tmp_path / "g")
+    grid.withColumn("s", F.concat(F.lit("k"), F.col("a").cast("string"))).withColumn(
+        "ts", F.timestamp_seconds(F.col("a") * 3600)
+    ).write.parquet(path)
+    b = parquet_footer_bounds(path, ["a", "s", "ts"])
+    assert b["s"] is None and b["ts"] is None and b["a"] is not None
+    # df-backed key still works: the non-numeric cols ride the aggregate
+    # fallback (cast-to-double; string → null → rank 0)
+    df = spark.read.parquet(path)
+    keys = df.select(zorder_sort_key(df, ["a", "s"], bounds=b)).collect()
+    assert len(keys) == df.count()
+
+
 def test_compact_zorder_by_is_one_pass_and_identical(spark, tmp_path):
     """compact_table(zorder_by=...) — footer-stat bounds — must produce
     byte-identical output to the two-pass sort_by=[zorder_sort_key(scan)]

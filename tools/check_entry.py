@@ -58,6 +58,10 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        # require a non-flag value: '--json' last or '--json --extra'
+        # would otherwise IndexError / silently eat the next flag
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("usage: --json OUT.json (a non-flag path must follow)")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     flags = {a for a in argv if a.startswith("--")}
