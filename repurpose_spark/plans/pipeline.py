@@ -75,6 +75,8 @@ class TierPipeline:
         job_id: str = "tiers",
         postprocess: list | None = None,
         sketch_distinct: bool = False,
+        hot_cell_threshold: float = 0.2,
+        salt_buckets: int = 16,
     ):
         """``postprocess``: F2 hooks — fn(DataFrame) -> DataFrame applied
         to each derived tier before it is written (the reference applies
@@ -85,13 +87,23 @@ class TierPipeline:
         ``sketch_distinct``: carry a mergeable HLL ``uniq_sketch`` of
         the token column through the tiers (hourly partial sketches →
         daily sketch union; rollup.py determinism caveat applies) —
-        distinct-vocabulary continuous aggregates with no raw re-read."""
+        distinct-vocabulary continuous aggregates with no raw re-read.
+
+        ``hot_cell_threshold`` / ``salt_buckets``: finalize's clustered
+        tier writes fan any cell holding more than ``threshold`` of the
+        refresh scope's points over ``salt_buckets`` write slices
+        (operators.skew.ordered_export_salted) — without this a 30 %-hot
+        cell funnels through ONE task's sort (BENCH_SKEW.json measured
+        1.35× at 21 % skew, growing with hot share; VERDICT r4 #1).
+        ``salt_buckets=0`` disables salting."""
         self.spark = spark
         self.wh = warehouse
         self.cfg = cfg
         self.job_id = job_id
         self.postprocess = postprocess or []
         self.sketch_distinct = sketch_distinct
+        self.hot_cell_threshold = hot_cell_threshold
+        self.salt_buckets = salt_buckets
 
     # -- ledger --------------------------------------------------------------
     def _ledger_table(self) -> str:
@@ -542,6 +554,31 @@ class TierPipeline:
             out[tier_name] = expire_tier(self.wh, table, horizon)
         return out
 
+    def _hot_cells(self, cells: list | None = None) -> list:
+        """Cells holding > ``hot_cell_threshold`` of the refresh scope's
+        points — from the LEDGER's per-cell lineage rows, so detection
+        costs zero Spark jobs (detect_hot_keys' count sketch would re-scan
+        the hourly tier; the ledger already IS that aggregate, and unlike
+        hourly batch_id partitions it survives compaction).  ``cells``
+        scopes the shares to an incremental refresh's cell set."""
+        per: dict = {}
+        want = set(cells) if cells is not None else None
+        for r in self.ledger_rows():
+            if r.get("status") != "cell":
+                continue
+            c = r["cell_id"]
+            if want is not None and c not in want:
+                continue
+            per[c] = per.get(c, 0) + (r["n_points"] or 0)
+        total = sum(per.values())
+        if not total:
+            return []
+        return [
+            {"cell_id": c}
+            for c in sorted(per)
+            if per[c] > self.hot_cell_threshold * total
+        ]
+
     def finalize(
         self,
         pack: bool = True,
@@ -591,15 +628,38 @@ class TierPipeline:
         if incremental:
             hourly = hourly.where(F.col("cell_id").isin(list(cells)))
 
-        def _write(df, table):
+        hot = self._hot_cells(cells) if self.salt_buckets else []
+
+        def _write(df, table, order_cols=("doc_id",)):
             # cluster rows by their output partition BEFORE the
             # partitionBy write — without this every task holds an open
             # writer per cell it sees: O(tasks × cells) files and
             # writer-memory pressure, and the write stage scales
             # NEGATIVELY with parallelism (same defect, same fix as the
             # r3 ANN index build; measured r4: finalize was the durable
-            # pipeline's weakest stage at 0.60 eff before this)
-            df = df.repartition(F.col("cell_id"))
+            # pipeline's weakest stage at 0.60 eff before this).
+            # When the ledger says a cell is HOT (> threshold of the
+            # scope's points), plain repartition('cell_id') makes that
+            # cell ONE task's sort+write; ordered_export_salted fans it
+            # over ≤salt_buckets slices, each still internally sorted —
+            # identical rows, ≤buckets files for the hot cell, no
+            # straggler (VERDICT r4 #1; cold cells keep salt 0 = one
+            # slice, exactly the unsalted layout)
+            if hot:
+                from repurpose_spark.operators.skew import (
+                    ordered_export_salted,
+                )
+
+                df = ordered_export_salted(
+                    df,
+                    key_cols=["cell_id"],
+                    order_cols=list(order_cols),
+                    fine_col="doc_id",
+                    buckets=self.salt_buckets,
+                    hot_keys=hot,
+                )
+            else:
+                df = df.repartition(F.col("cell_id"))
             if incremental:
                 self.wh.overwrite_partitions(df, table, ["cell_id"])
             else:
@@ -615,6 +675,7 @@ class TierPipeline:
         _write(
             daily.observe(obs_d, F.count(F.lit(1)).alias("n")),
             self.daily_table(),
+            order_cols=("doc_id", "tick"),
         )
         n_daily = obs_d.get["n"]
         self.wh._commit(
