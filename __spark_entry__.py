@@ -1143,6 +1143,32 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def error_bound_oracles() -> dict[str, dict]:
+    """Value oracles for estimate-typed queries (VERDICT r4 #2 — the HLL
+    sketch tier was the one rows-only registry entry).  The SQL computes
+    the EXACT answer on DuckDB; the checker aligns rows on the exact
+    columns (everything except ``est_col``), requires those to match
+    byte-for-byte, and asserts |est − exact| ≤ rel_err·exact + 1 per row.
+
+    ``rel_err``: hll_sketch_agg at lg_k=12 has relative standard error
+    ~1.04/sqrt(2^12) ≈ 1.6 %; 0.08 is a 5σ bound — a wrong pipeline
+    (e.g. sum-of-hourly-distincts, the overcount this tier exists to
+    avoid) overshoots by the recurrence factor, far outside it."""
+    return {
+        "ev_daily_uniques_sketch": {
+            "sql": """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS tick,
+       COUNT(user_id) AS n_points,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_est
+FROM events GROUP BY 1, 2
+""",
+            "est_col": "n_distinct_est",
+            "rel_err": 0.08,
+        },
+    }
+
+
 # SQL fragments shared by the synthetic-sequence oracles: regenerate the
 # closed-form table (FIXTURES.md §1) inside DuckDB.
 _SEQ_CTE = f"""

@@ -102,8 +102,70 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows")
-            results[name] = {"status": "rows-only", "rows": len(srows)}
+            spec = getattr(entrymod, "error_bound_oracles", dict)().get(name)
+            if spec is None:
+                print(f"ROWS-ONLY {name}: {len(srows)} rows")
+                results[name] = {"status": "rows-only", "rows": len(srows)}
+                continue
+            # error-bound value oracle (VERDICT r4 #2): exact columns must
+            # match byte-for-byte; the estimate column must sit within
+            # rel_err of DuckDB's exact answer, row by row
+            est, rel = spec["est_col"], spec["rel_err"]
+            try:
+                res = con.sql(spec["sql"])
+                dcols = res.columns
+                drows = res.fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error {e}")
+                results[name] = {"status": "fail", "detail": "duckdb error"}
+                n_fail += 1
+                continue
+            if sorted(scols) != sorted(dcols) or len(srows) != len(drows):
+                print(
+                    f"FAIL {name}: shape {sorted(scols)}x{len(srows)} "
+                    f"vs {sorted(dcols)}x{len(drows)}"
+                )
+                results[name] = {"status": "fail", "detail": "shape mismatch"}
+                n_fail += 1
+                continue
+            exact_cols = sorted(c for c in scols if c != est)
+
+            def _aligned(cols, rows, get):
+                return sorted(
+                    (
+                        tuple(_norm(get(r, c)) for c in exact_cols),
+                        float(get(r, est)),
+                    )
+                    for r in rows
+                )
+
+            a = _aligned(scols, srows, lambda r, c: r[c])
+            didx = {c: i for i, c in enumerate(dcols)}
+            b = _aligned(dcols, drows, lambda r, c: r[didx[c]])
+            bad = [
+                (ka, ea, eb_)
+                for (ka, ea), (kb, eb_) in zip(a, b)
+                if ka != kb or abs(ea - eb_) > rel * eb_ + 1
+            ]
+            if bad:
+                print(f"FAIL {name}: error-bound mismatch, first: {bad[:3]}")
+                results[name] = {"status": "fail", "detail": "error-bound"}
+                n_fail += 1
+                continue
+            worst = max(
+                (abs(ea - eb_) / eb_ if eb_ else 0.0)
+                for (_, ea), (_, eb_) in zip(a, b)
+            ) if a else 0.0
+            print(
+                f"PASS {name}: {len(srows)} rows "
+                f"[error-bound ≤{rel}, worst {worst:.4f}]"
+            )
+            results[name] = {
+                "status": "pass", "rows": len(srows),
+                "checks": ["rowcount", "columns", f"values(|err|<={rel})"],
+                "worst_rel_err": round(worst, 6),
+            }
+            n_pass += 1
             continue
         try:
             res = con.sql(oracles[name])
