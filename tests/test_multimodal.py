@@ -27,7 +27,12 @@ def test_fake_codec_roundtrip_local():
 
 
 def test_real_codec_gate():
+    # jpeg stays gated (needs codec libs absent from this container)...
     with pytest.raises(NotImplementedError):
+        _decode_raster(b"\xff\xd8\xff\xe0....jpeg....")
+    # ...while a PNG signature now routes to the real decoder, which
+    # rejects garbage with a typed ValueError, not a codec gate
+    with pytest.raises(ValueError, match="PNG"):
         _decode_raster(b"\x89PNG\r\n\x1a\n....")
 
 
@@ -251,3 +256,131 @@ def test_bmp_roundtrip_fuzz():
         np.testing.assert_array_equal(got, arr)
 
     check()
+
+
+def test_png_roundtrip_all_filters_local():
+    """encode_png → _decode_png recovers the exact array for every
+    scanline filter (0-4) and a per-row cycling mix, across greyscale /
+    RGB / RGBA (alpha dropped on decode, like the BMP 32-bit path).
+    Width 13 keeps strides non-aligned; the value pattern has enough
+    local structure that Paeth's three predictor branches all fire."""
+    from repurpose_spark.operators.multimodal import _decode_png, encode_png
+
+    h, w = 11, 13
+    for c in (1, 3, 4):
+        y, x, ch = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(c), indexing="ij"
+        )
+        arr = ((3 * y + 5 * x + 11 * ch + (x * y) % 7) * 37 % 256).astype(
+            np.uint8
+        )
+        for ft in (0, 1, 2, 3, 4, [0, 1, 2, 3, 4]):
+            blob = encode_png(arr, filter_type=ft)
+            assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+            got_w, got_h, got_c, got = _decode_png(blob)
+            assert (got_w, got_h) == (w, h)
+            assert got_c == (1 if c == 1 else 3)
+            np.testing.assert_array_equal(got, arr[:, :, : got_c])
+    # dispatcher routes PNG automatically
+    rgb = ((np.arange(5 * 6 * 3) * 29) % 256).astype(np.uint8).reshape(5, 6, 3)
+    w2, h2, c2, got2 = _decode_raster(encode_png(rgb, filter_type=4))
+    np.testing.assert_array_equal(got2, rgb)
+
+
+def test_png_palette_and_unsupported_shapes():
+    """Hand-built palette PNG resolves through PLTE; 16-bit and Adam7
+    raise typed NotImplementedError (status-row isolation upstream)."""
+    import struct as _struct
+    import zlib
+
+    from repurpose_spark.operators.multimodal import (
+        PNG_SIG,
+        _decode_png,
+        _png_chunk,
+        encode_png,
+    )
+
+    h, w = 4, 6
+    idx = (np.arange(h * w) % 4).astype(np.uint8).reshape(h, w)
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8
+    )
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    blob = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, got_c, got = _decode_png(blob)
+    assert (got_w, got_h, got_c) == (w, h, 3)
+    np.testing.assert_array_equal(got, pal[idx])
+
+    good = encode_png(pal[idx])
+    deep = good[:24] + b"\x10" + good[25:]  # IHDR depth byte → 16
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        _decode_png(deep)
+    adam7 = good[:28] + b"\x01" + good[29:]  # IHDR interlace byte → 1
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        _decode_png(adam7)
+
+
+def test_png_through_decode_media_and_resize(spark):
+    """Crafted real PNGs flow end-to-end through the Spark stages with
+    status-row isolation: stats match numpy, resize_pooled equals the
+    independent block-mean, corrupt/unsupported blobs become error rows."""
+    import pandas as pd
+
+    from repurpose_spark.operators.multimodal import encode_png
+
+    arr = _gradient_rgb(16, 12)
+    good = encode_png(arr, filter_type=[0, 1, 2, 3, 4])
+    deep = good[:24] + b"\x10" + good[25:]
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["ok_png", "trunc", "deep16"],
+            "media": [good, good[:30], deep],
+            "kind": ["image"] * 3,
+        }
+    )
+    out = {r["doc_id"]: r for r in decode_media(
+        spark.createDataFrame(rows), ignore_errors=True
+    ).collect()}
+    ok = out["ok_png"]
+    assert ok["error"] is None
+    assert (ok["width"], ok["height"], ok["channels"]) == (16, 12, 3)
+    assert ok["mean_intensity"] == pytest.approx(float(arr.mean()))
+    assert out["trunc"]["width"] is None and out["trunc"]["error"]
+    assert out["deep16"]["error"].startswith("NotImplementedError")
+
+    df = spark.createDataFrame(rows[rows.doc_id == "ok_png"])
+    p = resize_pooled(df, out_w=4, out_h=4).collect()[0]
+    pooled = np.frombuffer(p["pooled"], dtype=np.uint8).reshape(4, 4)
+    gray = arr.astype(np.float64).mean(axis=2)
+    expect = np.array(
+        [
+            [int(gray[y * 3:(y + 1) * 3, x * 4:(x + 1) * 4].mean())
+             for x in range(4)]
+            for y in range(4)
+        ],
+        dtype=np.uint8,
+    )
+    np.testing.assert_array_equal(pooled, expect)
+
+
+def test_png_synth_media_kind(spark):
+    """synth_media(kind='png') emits real PNG blobs over the closed-form
+    pixels — decode_media recovers the formula's mean for every row."""
+    from repurpose_spark.operators.multimodal import synth_media
+
+    media = synth_media(spark, 24, kind="png")
+    out = decode_media(media).collect()
+    assert len(out) == 24
+    for r in out:
+        i = int(r["doc_id"][3:])
+        w, h = 16 + i % 8, 16 + (i * 3) % 8
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        px = (i + 7 * np.arange(w * h * 3, dtype=np.int64)) % 251
+        assert r["mean_intensity"] == pytest.approx(float(px.mean()))
