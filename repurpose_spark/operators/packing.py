@@ -15,10 +15,10 @@ instead:
 
 1. range-partition by (group, id) — Spark samples split points, so the
    global order is materialized WITHOUT a single-task sort;
-2. per-(partition, group) partial sums → collected to the driver
-   (bounded: one row per partition per group-run, ~O(partitions));
-3. exclusive prefix offsets computed driver-side and broadcast-joined
-   back;
+2. per-(partition, group) partial sums — one row per partition per
+   group-run, ~O(partitions) — stay a DataFrame;
+3. exclusive prefix offsets via a window over that tiny partials frame
+   (in-plan, nothing collected), broadcast-joined back;
 4. within-partition running sum via a window over the PARTITION id —
    each task sorts only its own slice.
 
@@ -67,34 +67,35 @@ def pack_sequences(
     # silently corrupt the prefix sums (ADVICE r2, high).  The
     # checkpoint materializes only (g, id, len, pid) triples — the token
     # payload never passes through here.
+    # the checkpoint stays REQUIRED even with the in-plan offsets below:
+    # the offsets frame is a self-join of d against its own aggregate,
+    # and without frozen pids the two subtree evaluations could range-
+    # partition boundary rows differently (execution-dependent sample
+    # seed) and silently corrupt the prefix sums (ADVICE r2 high)
     d = d.localCheckpoint(eager=True)
-    # partial sums per (physical partition, group run) — tiny
-    partials = (
-        d.groupBy("pid", "g").agg(F.sum("len").alias("psum")).collect()
+    # exclusive per-group prefix over the per-(partition, group) partial
+    # sums — a window over O(partitions × groups) ROWS, computed in-plan
+    # (VERDICT r4 #4: the former driver-side collect/sort/accumulate was
+    # a per-job constant; this keeps the partials frame distributed and
+    # drops the collect entirely).  The window's per-group task sees only
+    # ~n_partitions rows, so it never becomes the single-task funnel the
+    # two-phase design exists to avoid.
+    woff = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    partials.sort(key=lambda r: (r["g"], r["pid"]))
-    offsets, acc = [], {}
-    for r in partials:
-        prev = acc.get(r["g"], 0)
-        offsets.append((r["pid"], r["g"], prev))
-        acc[r["g"]] = prev + r["psum"]
-    # offsets schema follows the caller's group-key dtype (a string
-    # literal 'g string' broke non-string by= columns — ADVICE r2)
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
+    off = F.broadcast(
+        d.groupBy("pid", "g")
+        .agg(F.sum("len").alias("psum"))
+        .select(
+            "pid",
+            "g",
+            F.coalesce(F.sum("psum").over(woff), F.lit(0).cast("long")).alias(
+                "goff"
+            ),
+        )
     )
-
-    off_schema = StructType(
-        [
-            StructField("pid", IntegerType()),
-            StructField("g", seqs.schema[by].dataType),
-            StructField("goff", LongType()),
-        ]
-    )
-    off = F.broadcast(spark.createDataFrame(offsets, off_schema))
     w = (
         Window.partitionBy("pid", "g")
         .orderBy("id")
