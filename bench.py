@@ -156,7 +156,80 @@ def _hw_burn(n):
     return h[0]
 
 
+# probe-gated measurement windows (VERDICT r4 #5): a window is healthy
+# when its bracketing probes agree within PROBE_AGREE and neither sits
+# below PROBE_BAND of the best probe seen this run (the band is
+# run-relative — absolute floors are brittle across host generations;
+# the absolute M ops/s still rides in the JSON for cross-round reads).
+# Unhealthy windows re-run up to PROBE_RETRIES extra times; a final
+# sweep re-checks every window against the END-of-run reference, so an
+# early window measured before the host recovered gets re-run too.
+# thresholds sized to catch what actually corrupted past rounds' cites
+# (multi-second steal bursts ~2x and 60%-speed host windows), NOT this
+# VM's chronic minute-scale ±10-20% wobble — at 0.15/0.85 nearly every
+# window on a wobbly-but-fine host flags and the gate stops meaning
+# anything (measured while building: probes 9.0-11.9 M ops/s within one
+# sf0.01 run)
+PROBE_AGREE = float(os.environ.get("SPARK_GRAFT_PROBE_AGREE", "0.25"))
+PROBE_BAND = float(os.environ.get("SPARK_GRAFT_PROBE_BAND", "0.75"))
+PROBE_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+
+
+class _ProbeGate:
+    def __init__(self):
+        self.all = []  # every probe seen this run (ops/s)
+        self.records = {}
+
+    @property
+    def ref(self):
+        """Run reference = MEDIAN of all probes — a single steal-free
+        spike must not poison the band for an otherwise self-consistent
+        run (observed while building: one 14.5 M ops/s probe in a run
+        whose typical probe was ~9 flagged every window under a
+        max-based reference)."""
+        import statistics
+
+        return statistics.median(self.all) if self.all else 0.0
+
+    def _window(self, p0, p1):
+        self.all += [p0, p1]
+        lo, hi = min(p0, p1), max(p0, p1)
+        return {
+            "open_mops": round(p0 / 1e6, 2),
+            "close_mops": round(p1 / 1e6, 2),
+            "agree": (hi - lo) <= PROBE_AGREE * hi,
+            "min_mops": round(lo / 1e6, 2),
+        }
+
+    def healthy(self, rec):
+        return rec["agree"] and rec["min_mops"] * 1e6 >= PROBE_BAND * self.ref
+
+    def measure(self, label, fn, n_passes, max_attempts=PROBE_RETRIES + 1):
+        """Run ``fn`` n_passes times inside bracketing probes; re-run the
+        whole set while the window is unhealthy (bounded).  Cites the
+        attempt with the healthiest window (highest min probe) — never a
+        mix of passes from different windows."""
+        best = None
+        for attempt in range(max_attempts):
+            p0 = _hw_probe()["ops_per_sec"]
+            vals = [fn() for _ in range(n_passes)]
+            rec = self._window(p0, _hw_probe()["ops_per_sec"])
+            rec["attempts"] = attempt + 1
+            cand = {"passes": vals, "probe": rec}
+            if best is None or rec["min_mops"] > best["probe"]["min_mops"]:
+                best = cand
+            if self.healthy(rec):
+                best = cand
+                break
+        best["probe"]["healthy"] = self.healthy(best["probe"])
+        best["probe"]["attempts"] = rec["attempts"]
+        self.records[label] = best
+        return best
+
+
 def main():
+    import statistics
+
     probe_open = _hw_probe()
     spark = get_spark(
         app_name="repurpose_spark_bench", master=f"local[{CPUS}]"
@@ -167,7 +240,6 @@ def main():
     # the driver's 50-entry certification window; overflow in extras)
     qs = {**entry.queries(), **entry.extra_queries()}
     times = {}
-    total = 0.0
 
     # JIT/codegen warm-up on a miniature pipeline (untimed): local-mode
     # cold-start compilation otherwise dominates the first measurement.
@@ -181,36 +253,59 @@ def main():
     # Spark-free sha256 probe stays healthy between them) that can double
     # a single sustained run.  VERDICT r2 bench hygiene: record ALL
     # passes and headline the MEDIAN, same pass count every round, so
-    # round-over-round comparisons are like-for-like.
-    import statistics
+    # round-over-round comparisons are like-for-like; VERDICT r4 #5:
+    # every cited median carries an in-band bracketing probe.
+    gate = _ProbeGate()
 
-    trials_f = [
-        run_tier_pipeline(spark, N_DOCS)["pipeline_sec"] for _ in range(4)
-    ]
-    flag = run_tier_pipeline(spark, N_DOCS)  # row counts from a 5th pass
-    trials_f.append(flag["pipeline_sec"])
-    t_flag = statistics.median(trials_f)
-    times["tier_pipeline"] = round(t_flag, 3)
-    total += t_flag
+    flag_holder = {}
 
-    runs_d = [run_durable_pipeline(spark, N_DOCS) for _ in range(3)]
-    trials_d = [r["durable_sec"] for r in runs_d]
-    t_dur = statistics.median(trials_d)
-    times["tier_pipeline_durable"] = round(t_dur, 3)
-    total += t_dur
+    def one_flag():
+        r = run_tier_pipeline(spark, N_DOCS)
+        flag_holder.update(r)
+        return r["pipeline_sec"]
 
-    all_passes = {"tier_pipeline": trials_f, "tier_pipeline_durable": trials_d}
-    for name in HEADLINE:
-        per = []
-        for _ in range(3):
+    dur_holder = {}
+
+    def one_durable():
+        r = run_durable_pipeline(spark, N_DOCS)
+        dur_holder.update(r)
+        return r["durable_sec"]
+
+    def one_query(name):
+        def fn():
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            per.append(round(time.time() - t0, 3))
-        dt = statistics.median(per)
-        all_passes[name] = per
-        times[name] = round(dt, 3)
-        total += dt
+            return round(time.time() - t0, 3)
+
+        return fn
+
+    gate.measure("tier_pipeline", one_flag, 5)
+    gate.measure("tier_pipeline_durable", one_durable, 3)
+    for name in HEADLINE:
+        gate.measure(name, one_query(name), 3)
+
+    # final sweep: the reference may have risen after a label was
+    # measured — anything now out of band gets ONE more bracketed set
+    for label in list(gate.records):
+        if not gate.healthy(gate.records[label]["probe"]):
+            fn = {
+                "tier_pipeline": one_flag,
+                "tier_pipeline_durable": one_durable,
+            }.get(label) or one_query(label)
+            n = {"tier_pipeline": 5, "tier_pipeline_durable": 3}.get(label, 3)
+            gate.measure(label, fn, n, max_attempts=1)
+
+    total = 0.0
+    all_passes, probes = {}, {}
+    for label, rec in gate.records.items():
+        t = statistics.median(rec["passes"])
+        times[label] = round(t, 3)
+        total += t
+        all_passes[label] = rec["passes"]
+        probes[label] = rec["probe"]
+    t_flag, t_dur = times["tier_pipeline"], times["tier_pipeline_durable"]
+    flag, runs_d = flag_holder, [dur_holder]
 
     out = {
         "metric": "total_sec_headline",
@@ -218,7 +313,14 @@ def main():
         "unit": "sec",
         "queries": times,
         "passes": all_passes,
-        "estimator": "median (pipelines n=5/3, queries n=3)",
+        "probes": probes,
+        "probe_reference_mops": round(gate.ref / 1e6, 2),
+        "probes_all_healthy": all(
+            p.get("healthy") for p in probes.values()
+        ),
+        "estimator": (
+            "median (pipelines n=5/3, queries n=3), probe-gated windows"
+        ),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "bench_docs": N_DOCS,
