@@ -902,6 +902,60 @@ def q_mm_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming incremental rollup, oracle-certified against
+    the batch semantics (VERDICT r4 #7 — streaming gains a driver-contract
+    surface): the closed-form points drain through an AvailableNow
+    readStream → watermarked window agg → parquet sink; a far-future
+    sentinel row (written last, so the file source orders it into the
+    final micro-batch) advances the watermark past every real window and
+    the no-data flush batch emits them all — the drained output equals
+    the batch hourly rollup EXACTLY, which is what the shared
+    seq_hourly_rollup DuckDB oracle asserts.  Result is materialized
+    before the temp dirs are removed."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from repurpose_spark.streaming.incremental import (
+        incremental_hourly_rollup,
+        run_available_now,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        pts = sequences_to_points(synth_sequences(spark, N_SYNTH), CFG).select(
+            "doc_id", "ts", "token"
+        )
+        pts.repartition(4).write.parquet(src)
+        import time as _time
+
+        _time.sleep(1.05)  # sentinel must sort after the data files (mtime)
+        spark.createDataFrame(
+            [("__sentinel__", datetime(2021, 1, 1), 0)],
+            "doc_id string, ts timestamp, token int",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = incremental_hourly_rollup(
+            spark, src, CFG, watermark="30 minutes", max_files_per_trigger=4
+        )
+        run_available_now(stream, out, ckpt)
+        res = spark.read.parquet(out).where(
+            F.col("doc_id") != "__sentinel__"
+        ).select(
+            "doc_id",
+            "tick",
+            "n_points",
+            F.col("sum_v").cast("long").alias("sum_v"),
+            F.col("min_v").cast("long").alias("min_v"),
+            F.col("max_v").cast("long").alias("max_v"),
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_ev_daily_uniques_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count continuous aggregate: daily unique users per
     event_type via HLL sketch tiers (hourly sketches → hll_union_agg
@@ -1155,6 +1209,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_scores": q_emb_cosine_scores,
         "mm_audio_stats": q_mm_audio_stats,
         "mm_png_stats": q_mm_png_stats,
+        "seq_stream_hourly": q_seq_stream_hourly,
         "ev_daily_uniques_sketch": q_ev_daily_uniques_sketch,
     }
 
@@ -1386,6 +1441,19 @@ SELECT printf('doc%08d', i) AS doc_id,
 FROM pts GROUP BY i, n_tok
 """,
         "seq_hourly_rollup": _SEQ_CTE
+        + """
+SELECT printf('doc%08d', i) AS doc_id,
+       TIMESTAMP '2020-01-01' + ((j*60) // 3600) * INTERVAL 1 HOUR AS tick,
+       COUNT(*) AS n_points,
+       CAST(SUM(token) AS BIGINT) AS sum_v,
+       CAST(MIN(token) AS BIGINT) AS min_v,
+       CAST(MAX(token) AS BIGINT) AS max_v
+FROM pts GROUP BY i, (j*60) // 3600
+""",
+        # the streaming drain is value-identical to the batch hourly
+        # rollup BY CONSTRUCTION (sentinel-advanced watermark flushes
+        # every real window) — it shares that oracle verbatim
+        "seq_stream_hourly": _SEQ_CTE
         + """
 SELECT printf('doc%08d', i) AS doc_id,
        TIMESTAMP '2020-01-01' + ((j*60) // 3600) * INTERVAL 1 HOUR AS tick,
