@@ -28,8 +28,16 @@ results asserted, walls compared at one parallelism level:
    tick-clustered, so parquet row-group min/max pruning is preserved
    (files-per-hot-cell grows from 1 to ≤buckets — the standard trade).
 
+4. ``--pipeline`` — the ENGINE path (VERDICT r4 #1 done-criterion): a
+   durable TierPipeline run on a corpus whose doc_ids are remapped so
+   ~25% of points hash into ONE cell (the pipeline derives cells from
+   doc_id itself — the fixture speaks its language instead of patching
+   internals).  finalize() is timed with ledger-driven auto-salting on
+   (engine default) vs salt_buckets=0, identical tier contents asserted
+   via full-column checksums.
+
 Usage: python scripts/bench_skew.py [--docs 400000] [--cpus 8]
-       [--buckets 16] [--trials 2] [--out BENCH_SKEW.json]
+       [--buckets 16] [--trials 2] [--pipeline] [--out BENCH_SKEW.json]
 """
 
 from __future__ import annotations
@@ -164,16 +172,106 @@ print(json.dumps(out))
 """
 
 
+PIPELINE_JOB = """
+import sys, time, json, tempfile, shutil; sys.path.insert(0, {repo!r})
+from repurpose_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(master="local[{cpus}]", shuffle_partitions=2*{cpus})
+spark.sparkContext.setLogLevel("ERROR")
+from repurpose_spark.config import EngineConfig
+from repurpose_spark.plans.pipeline import TierPipeline
+from repurpose_spark.sources.synthetic import synth_sequences
+from repurpose_spark.sources.tables import Warehouse
+
+cfg = EngineConfig(n_cells=64)
+seqs = synth_sequences(spark, {docs}, numPartitions=64)
+# remap ~25% of doc_ids onto suffixed ids that hash into cell 0 under
+# the engine's own cell derivation (pmod(xxhash64(doc_id), n_cells) —
+# functions/cells.py), so TierPipeline sees one genuinely hot cell
+# without any internal patching.  256 candidate suffixes leave a
+# (63/64)^256 ~ 1.8% remap miss rate (those docs just stay cold).
+cand = F.transform(
+    F.sequence(F.lit(0), F.lit(255)),
+    lambda k: F.concat(F.col("doc_id"), F.lit("#"), k.cast("string")),
+)
+hot_id = F.element_at(
+    F.filter(cand, lambda c: F.pmod(F.xxhash64(c), F.lit(64)) == 0), 1
+)
+want = F.pmod(F.xxhash64("doc_id", F.lit("hot")), F.lit(4)) == 0
+seqs = seqs.withColumn(
+    "doc_id",
+    F.when(want & hot_id.isNotNull(), hot_id).otherwise(F.col("doc_id")),
+)
+in_path = tempfile.mkdtemp(prefix="skewpipe_in_") + "/seqs"
+seqs.write.parquet(in_path)
+
+# warm-up (untimed): miniature durable run spins up Arrow workers + JIT
+wroot = tempfile.mkdtemp(prefix="skewpipe_w_")
+TierPipeline(spark, Warehouse(spark, wroot), cfg, job_id="w").run(
+    synth_sequences(spark, 2000), n_batches=1)
+shutil.rmtree(wroot, ignore_errors=True)
+
+def checksum(df, cols):
+    return df.select(
+        F.sum(F.xxhash64(*cols)).alias("h"), F.count("*").alias("n")
+    ).first()
+
+out = {{}}
+sums = {{}}
+for variant, buckets in (("unsalted", 0), ("salted", {buckets})):
+    walls = []
+    for trial in range({trials}):
+        root = tempfile.mkdtemp(prefix="skewpipe_wh_")
+        pipe = TierPipeline(
+            spark, Warehouse(spark, root), cfg, job_id="sk",
+            hot_cell_threshold=0.2, salt_buckets=buckets,
+        )
+        pipe.run(input_path=in_path, n_batches=2, _finalize=False)
+        t0 = time.time()
+        pipe.finalize(pack=True)
+        walls.append(round(time.time() - t0, 3))
+        if trial == 0:
+            wh = Warehouse(spark, root)
+            tier_cols = ["cell_id", "doc_id", "tick", "n_points",
+                         "sum_v", "min_v", "max_v"]
+            sums[variant] = {{
+                "hot_cells": [r["cell_id"] for r in pipe._hot_cells()],
+                "daily": tuple(checksum(wh.read("sk_daily"), tier_cols)),
+                "packed_n": wh.read("sk_packed").count(),
+            }}
+            if variant == "unsalted":
+                rows = [r for r in pipe.ledger_rows()
+                        if r.get("status") == "cell"]
+                tot = sum(r["n_points"] for r in rows)
+                hot_pts = sum(r["n_points"] for r in rows
+                              if r["cell_id"] == 0)
+                out["hot_share"] = round(hot_pts / tot, 4)
+        shutil.rmtree(root, ignore_errors=True)
+    out[variant] = min(walls)
+assert sums["salted"]["daily"] == sums["unsalted"]["daily"], sums
+assert sums["salted"]["packed_n"] == sums["unsalted"]["packed_n"]
+assert sums["salted"]["hot_cells"] == [0], sums["salted"]["hot_cells"]
+out["speedup"] = round(out["unsalted"] / out["salted"], 3)
+out["hot_cells_detected"] = sums["salted"]["hot_cells"]
+shutil.rmtree(in_path.rsplit("/", 1)[0], ignore_errors=True)
+print(json.dumps({{"pipeline_finalize": out}}))
+"""
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=400000)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--pipeline", action="store_true",
+                    help="measure the TierPipeline.finalize auto-salt "
+                         "path instead of the operator-level shapes")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SKEW.json"))
     args = ap.parse_args()
-    code = JOB.format(repo=REPO, cpus=args.cpus, docs=args.docs,
-                      buckets=args.buckets, trials=args.trials)
+    tmpl = PIPELINE_JOB if args.pipeline else JOB
+    code = tmpl.format(repo=REPO, cpus=args.cpus, docs=args.docs,
+                       buckets=args.buckets, trials=args.trials)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3600)
     lines = [ln for ln in out.stdout.strip().splitlines()
