@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from repurpose_spark.operators import gifcodec
+
 MAGIC_IMG = b"FAKE"
 MAGIC_VID = b"FAKV"
 
@@ -281,17 +283,20 @@ def _decode_png(buf: bytes):
 
 def _decode_raster(buf: bytes):
     """→ (w, h, c, np.uint8 array).  Dispatch: FAKE (synthetic fixture),
-    real uncompressed BMP, or real PNG (stdlib zlib decode); a jpeg hook
-    would slot in here (PIL / turbojpeg) — the rest of the pipeline is
-    unchanged."""
+    real uncompressed BMP, real PNG (stdlib zlib decode), or real GIF
+    (first frame, stdlib LZW decode); a jpeg hook would slot in here
+    (PIL / turbojpeg) — the rest of the pipeline is unchanged."""
     if buf[:2] == b"BM":
         return _decode_bmp(buf)
     if buf[:8] == PNG_SIG:
         return _decode_png(buf)
+    if buf[:6] in gifcodec.GIF_SIGS:
+        w, h, frames = gifcodec.decode_gif_frames(buf)
+        return w, h, 3, frames[0]
     if buf[:4] != MAGIC_IMG:
         raise NotImplementedError(
             "jpeg/webp codecs are not available in this environment; "
-            "FAKE rasters, uncompressed BMP, and 8-bit PNG decode"
+            "FAKE rasters, uncompressed BMP, 8-bit PNG, and GIF decode"
         )
     w, h, c = struct.unpack_from("<HHB", buf, 4)
     arr = np.frombuffer(buf, dtype=np.uint8, offset=9, count=w * h * c)
@@ -308,6 +313,20 @@ def _iter_frames(buf: bytes):
         end = off + 9 + w * h * c
         yield i, buf[off:end]
         off = end
+
+
+def _iter_frame_arrays(buf: bytes):
+    """Multi-frame dispatch → yields (idx, w, h, c, (h, w, c) uint8).
+    Real animated GIF (stdlib LZW, composited frames) or the synthetic
+    FAKV fixture container."""
+    if buf[:6] in gifcodec.GIF_SIGS:
+        w, h, frames = gifcodec.decode_gif_frames(buf)
+        for i, arr in enumerate(frames):
+            yield i, w, h, 3, arr
+        return
+    for i, frame in _iter_frames(buf):
+        w, h, c, arr = _decode_raster(frame)
+        yield i, w, h, c, arr
 
 
 # -------------------------------------------------------------- generators
@@ -349,6 +368,20 @@ def synth_media(
                         ((i * 31 + t * 7) % 32003 - 16001).astype("<i2"),
                         16000, 1,
                     )
+                elif kind == "gif":
+                    # real animated GIF89a (stdlib LZW encode).  The
+                    # grayscale palette makes each composited frame's RGB
+                    # mean equal the closed-form index mean, so DuckDB
+                    # regenerates every frame stat exactly.
+                    pal = np.repeat(
+                        np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+                    )
+                    frames = [
+                        ((i + k + 7 * np.arange(w * h, dtype=np.int64)) % 251)
+                        .astype(np.uint8).reshape(h, w)
+                        for k in range(2 + i % 4)
+                    ]
+                    blob = gifcodec.encode_gif(frames, pal)
                 else:
                     blob = encode_fake_video(i, w, h, n_frames=2 + i % 4)
                 rows.append((f"doc{i:08d}", blob, kind))
@@ -515,15 +548,15 @@ def sample_frames(
     df: DataFrame, every: int = 2, media_col: str = "media"
 ) -> DataFrame:
     """Frame sampling: one input row → one output row per kept frame
-    (multi-row emission through mapInPandas)."""
+    (multi-row emission through mapInPandas).  Containers: real animated
+    GIF (stdlib LZW, composited frames) or the synthetic FAKV fixture."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, buf in zip(pdf["doc_id"], pdf[media_col]):
-                for idx, frame in _iter_frames(bytes(buf)):
+                for idx, w, h, c, arr in _iter_frame_arrays(bytes(buf)):
                     if idx % every:
                         continue
-                    w, h, c, arr = _decode_raster(frame)
                     out.append((doc_id, idx, w, h, float(arr.mean())))
             yield pd.DataFrame(
                 out,

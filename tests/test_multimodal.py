@@ -384,3 +384,193 @@ def test_png_synth_media_kind(spark):
         assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
         px = (i + 7 * np.arange(w * h * 3, dtype=np.int64)) % 251
         assert r["mean_intensity"] == pytest.approx(float(px.mean()))
+
+
+def test_gif_roundtrip_local():
+    """encode_gif → decode_gif_frames recovers every frame exactly.  The
+    big frame (96×80 = 7680 px of varied data) drives the LZW dictionary
+    past the 12-bit ceiling, so the encoder's CLEAR-on-overflow and the
+    decoder's width-escalation paths both fire — not just literal codes."""
+    from repurpose_spark.operators.gifcodec import decode_gif_frames, encode_gif
+
+    h, w = 80, 96
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    frames = [
+        ((k * 17 + 13 * np.arange(h * w, dtype=np.int64) ** 2) % 251)
+        .astype(np.uint8).reshape(h, w)
+        for k in range(3)
+    ]
+    blob = encode_gif(frames, pal)
+    assert blob[:6] == b"GIF89a"
+    got_w, got_h, got = decode_gif_frames(blob)
+    assert (got_w, got_h) == (w, h)
+    assert len(got) == 3
+    for k in range(3):
+        np.testing.assert_array_equal(got[k], pal[frames[k]])
+
+
+def test_gif_transparency_and_disposal():
+    """Hand-built animation: a sub-canvas frame 2 lands at its (left,
+    top) offset, its transparent pixels keep the underlying composited
+    canvas, and disposal=2 clears its rectangle back to the background
+    color before frame 3."""
+    import struct as _struct
+
+    from repurpose_spark.operators.gifcodec import (
+        _lzw_encode,
+        _sub_blocks,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[0] = (10, 20, 30)   # background (bg_index=0)
+    pal[1] = (200, 0, 0)
+    pal[2] = (0, 200, 0)
+    pal[3] = (0, 0, 200)
+
+    w = h = 6
+    base = np.full((h, w), 1, dtype=np.uint8)            # frame 1: all red
+    sub = np.array([[2, 3], [3, 2]], dtype=np.uint8)      # frame 2: 2×2 patch
+    sub[0, 1] = 0                                          # transparent hole
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0b1111_0111, 0, 0)
+    out += pal.tobytes()
+    # frame 1: full canvas, no GCE
+    out += _struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(8)
+    out += _sub_blocks(_lzw_encode(base.reshape(-1), 8))
+    # frame 2: 2×2 at (3, 2), transparent_index=0, disposal=2
+    out += _struct.pack("<BBBBHBB", 0x21, 0xF9, 4, (2 << 2) | 1, 0, 0, 0)
+    out += _struct.pack("<BHHHHB", 0x2C, 3, 2, 2, 2, 0)
+    out.append(8)
+    out += _sub_blocks(_lzw_encode(sub.reshape(-1), 8))
+    # frame 3: full canvas again
+    out += _struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(8)
+    out += _sub_blocks(_lzw_encode(base.reshape(-1), 8))
+    out.append(0x3B)
+
+    got_w, got_h, frames = decode_gif_frames(bytes(out))
+    assert (got_w, got_h, len(frames)) == (w, h, 3)
+    np.testing.assert_array_equal(frames[0], pal[base])
+    # frame 2: patch composited at (3,2); transparent cell kept frame 1's red
+    exp2 = pal[base].copy()
+    exp2[2, 3] = pal[2]
+    exp2[2, 4] = pal[1]   # transparent → underlying red
+    exp2[3, 3] = pal[3]
+    exp2[3, 4] = pal[2]
+    np.testing.assert_array_equal(frames[1], exp2)
+    # frame 3 overwrites the whole canvas, so disposal-2's background
+    # restore is invisible there; assert it via a 3-frame variant where
+    # frame 3 is itself a disjoint sub-canvas patch
+    out2 = bytes(out[: len(out) - 1 - (10 + 1 + len(
+        _sub_blocks(_lzw_encode(base.reshape(-1), 8))))])
+    patch = np.array([[1]], dtype=np.uint8)
+    out3 = bytearray(out2)
+    out3 += _struct.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+    out3.append(8)
+    out3 += _sub_blocks(_lzw_encode(patch.reshape(-1), 8))
+    out3.append(0x3B)
+    _, _, fr3 = decode_gif_frames(bytes(out3))
+    # frame 2's rectangle was restored to background before frame 3
+    assert tuple(fr3[2][2, 3]) == (10, 20, 30)
+    assert tuple(fr3[2][3, 4]) == (10, 20, 30)
+    # untouched canvas (and the 1×1 patch itself) keeps frame-1's red
+    assert tuple(fr3[2][0, 0]) == (200, 0, 0)
+
+
+def test_gif_unsupported_shapes():
+    """Interlaced images and disposal=3 raise typed NotImplementedError
+    (status-row isolation upstream); garbage raises ValueError."""
+    import struct as _struct
+
+    from repurpose_spark.operators.gifcodec import decode_gif_frames, encode_gif
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    frame = (np.arange(12, dtype=np.uint8) % 7).reshape(3, 4)
+    good = encode_gif([frame], pal)
+
+    interlaced = bytearray(good)
+    # image descriptor: 6-byte header + LSD(7) + GCT(768) → descriptor at 781
+    idesc = 6 + 7 + 768
+    assert interlaced[idesc] == 0x2C
+    interlaced[idesc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif_frames(bytes(interlaced))
+
+    disp3 = bytearray(b"GIF89a")
+    disp3 += _struct.pack("<HHBBB", 4, 3, 0b1111_0111, 0, 0)
+    disp3 += pal.tobytes()
+    disp3 += _struct.pack("<BBBBHBB", 0x21, 0xF9, 4, (3 << 2), 0, 0, 0)
+    disp3 += good[idesc:]
+    with pytest.raises(NotImplementedError, match="restore-to-previous"):
+        decode_gif_frames(bytes(disp3))
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif_frames(b"NOTAGIF....")
+    with pytest.raises(ValueError):
+        decode_gif_frames(good[:40])  # truncated mid-color-table
+
+
+def test_gif_through_spark_stages(spark):
+    """Real GIFs flow through decode_media (first frame), sample_frames
+    (every composited frame), and the ignore_errors status-row path."""
+    import pandas as pd
+
+    from repurpose_spark.operators.gifcodec import encode_gif
+
+    h, w = 10, 14
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    frames = [
+        ((k + 3 * np.arange(h * w, dtype=np.int64)) % 200)
+        .astype(np.uint8).reshape(h, w)
+        for k in range(4)
+    ]
+    good = encode_gif(frames, pal)
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["ok_gif", "trunc"],
+            "media": [good, good[:50]],
+            "kind": ["video"] * 2,
+        }
+    )
+    df = spark.createDataFrame(rows)
+
+    out = {r["doc_id"]: r for r in decode_media(df, ignore_errors=True).collect()}
+    ok = out["ok_gif"]
+    assert ok["error"] is None
+    assert (ok["width"], ok["height"], ok["channels"]) == (w, h, 3)
+    assert ok["mean_intensity"] == pytest.approx(float(pal[frames[0]].mean()))
+    assert out["trunc"]["width"] is None and out["trunc"]["error"]
+
+    got = sample_frames(
+        spark.createDataFrame(rows[rows.doc_id == "ok_gif"]), every=1
+    ).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in got] == [0, 1, 2, 3]
+    for k, r in enumerate(got):
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_intensity"] == pytest.approx(float(pal[frames[k]].mean()))
+
+
+def test_gif_synth_media_kind(spark):
+    """synth_media(kind='gif') emits real animated GIFs over the
+    closed-form indices — sample_frames recovers the formula's per-frame
+    mean for every row (the mm_gif_frames oracle contract)."""
+    media = synth_media(spark, 24, kind="gif")
+    out = sample_frames(media, every=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 24
+    for doc_id, rs in by_doc.items():
+        i = int(doc_id[3:])
+        w, h = 16 + i % 8, 16 + (i * 3) % 8
+        nf = 2 + i % 4
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, nf, 2))
+        for r in rs:
+            k = r["frame_idx"]
+            assert (r["width"], r["height"]) == (w, h)
+            px = (i + k + 7 * np.arange(w * h, dtype=np.int64)) % 251
+            assert r["mean_intensity"] == pytest.approx(float(px.mean()))
