@@ -43,7 +43,16 @@ def incremental_hourly_rollup(
     NB: append mode emits a window only once a *later* micro-batch runs
     with the advanced watermark — a drain whose data fits one micro-batch
     flushes nothing until the next drain (standard watermark semantics);
-    size max_files_per_trigger accordingly."""
+    size max_files_per_trigger accordingly.
+
+    Ingest contract: the watermark bounds EVENT-TIME DISORDER ACROSS
+    MICRO-BATCHES, and with a file source each file is a batch — so
+    files must arrive roughly time-ordered, with cross-file disorder
+    under ``watermark``.  An uncoalesced multi-file append violates
+    this (every part-file spans the chunk's whole time range; the
+    watermark ratchets past the later files' older rows and drops them
+    as late — correctly, per the lateness bound).  Real feeds append
+    one time-ordered file per ingest step; fixtures must do the same."""
     pts = (
         spark.readStream.schema(POINTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

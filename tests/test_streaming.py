@@ -28,11 +28,18 @@ def test_incremental_drains_match_batch(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     # points stream, fed in event-time order: first hours 0-1 (pos<128),
-    # then the rest — the natural incremental-ingest pattern
+    # then the rest — the natural incremental-ingest pattern.  Each
+    # ingest step is ONE file (coalesce): a doc's rows span multiple
+    # part-files of an uncoalesced write and every file starts at the
+    # chunk's first timestamp, so multi-file appends carry hours of
+    # cross-file disorder — far beyond the 30-minute watermark bound —
+    # and the source may legitimately drop the later files' rows as
+    # late.  The watermark contract bounds INGEST disorder; the fixture
+    # must honor it the way a real time-ordered feed does.
     pts = sequences_to_points(synth_sequences(spark, 200), CFG).select(
         "doc_id", "ts", "token"
     )
-    pts.where(F.col("pos") < 128).write.mode("append").parquet(src)
+    pts.where(F.col("pos") < 128).coalesce(1).write.mode("append").parquet(src)
 
     stream = incremental_hourly_rollup(spark, src, CFG, watermark="30 minutes", max_files_per_trigger=1)
     run_available_now(stream, out, ckpt)
@@ -52,8 +59,14 @@ def test_incremental_drains_match_batch(spark, tmp_path):
     ticks1 = {r[2] for r in got1_set}
     assert min(batch_by_key)[2] in ticks1
 
-    # feed the remaining positions; resume from the checkpoint
-    pts.where(F.col("pos") >= 128).write.mode("append").parquet(src)
+    # feed the remaining positions as two event-time-ordered single-file
+    # ingest steps (separate appends → distinct mtimes → fed in order);
+    # resume from the checkpoint.  Chunk 2 starts 1 minute after chunk
+    # 1's max, so the advancing watermark never crosses unseen rows.
+    for lo, hi in ((128, 192), (192, 10**9)):
+        pts.where(
+            (F.col("pos") >= lo) & (F.col("pos") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
     stream2 = incremental_hourly_rollup(spark, src, CFG, watermark="30 minutes", max_files_per_trigger=1)
     run_available_now(stream2, out, ckpt)
     got2_set = _rows(spark.read.parquet(out))
