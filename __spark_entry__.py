@@ -917,6 +917,21 @@ def q_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: REAL baseline JPEG containers (stdlib Huffman decode,
+    numpy IDCT, 4:4:4 / 4:2:0 alternating) over the closed-form pixels.
+    JPEG is LOSSY, so this rides the error-bound oracle: DuckDB computes
+    the exact pre-encode mean; the decoded mean must land within the
+    codec's measured tolerance (exact columns still byte-matched)."""
+    from repurpose_spark.operators.multimodal import decode_media, synth_media
+
+    media = synth_media(spark, 200, kind="jpeg")
+    out = decode_media(media)
+    return out.select(
+        "doc_id", "width", "height", "channels", "mean_intensity"
+    )
+
+
 def q_seq_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming incremental rollup, oracle-certified against
     the batch semantics (VERDICT r4 #7 — streaming gains a driver-contract
@@ -1225,6 +1240,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_stats": q_mm_audio_stats,
         "mm_png_stats": q_mm_png_stats,
         "mm_gif_frames": q_mm_gif_frames,
+        "mm_jpeg_stats": q_mm_jpeg_stats,
         "seq_stream_hourly": q_seq_stream_hourly,
         "ev_daily_uniques_sketch": q_ev_daily_uniques_sketch,
     }
@@ -1242,6 +1258,28 @@ def error_bound_oracles() -> dict[str, dict]:
     (e.g. sum-of-hourly-distincts, the overcount this tier exists to
     avoid) overshoots by the recurrence factor, far outside it."""
     return {
+        "mm_jpeg_stats": {
+            # exact per-doc mean of the closed-form pixel family; the
+            # decoded mean after a q95 444/420 round trip sits well
+            # inside 2 % + 1 (measured ≤0.5 absolute on this fixture —
+            # DC coefficients quantize at step ≤2)
+            "sql": """
+WITH d AS (
+  SELECT i, 16 + i % 8 AS w, 16 + (i * 3) % 8 AS h
+  FROM range(200) r(i)
+)
+SELECT printf('doc%08d', i) AS doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       (SELECT avg((i + 7 * j.x) % 251)
+        FROM unnest(generate_series(0, w * h * 3 - 1)) j(x))
+         AS mean_intensity
+FROM d
+""",
+            "est_col": "mean_intensity",
+            "rel_err": 0.02,
+        },
         "ev_daily_uniques_sketch": {
             "sql": """
 SELECT event_type,

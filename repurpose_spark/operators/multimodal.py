@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from repurpose_spark.operators import gifcodec
+from repurpose_spark.operators import gifcodec, jpegcodec
 
 MAGIC_IMG = b"FAKE"
 MAGIC_VID = b"FAKV"
@@ -283,9 +283,10 @@ def _decode_png(buf: bytes):
 
 def _decode_raster(buf: bytes):
     """→ (w, h, c, np.uint8 array).  Dispatch: FAKE (synthetic fixture),
-    real uncompressed BMP, real PNG (stdlib zlib decode), or real GIF
-    (first frame, stdlib LZW decode); a jpeg hook would slot in here
-    (PIL / turbojpeg) — the rest of the pipeline is unchanged."""
+    real uncompressed BMP, real PNG (stdlib zlib decode), real GIF
+    (first frame, stdlib LZW decode), or real baseline JPEG (stdlib
+    Huffman + numpy IDCT); a webp/avif hook would slot in here (PIL /
+    libavif) — the rest of the pipeline is unchanged."""
     if buf[:2] == b"BM":
         return _decode_bmp(buf)
     if buf[:8] == PNG_SIG:
@@ -293,10 +294,12 @@ def _decode_raster(buf: bytes):
     if buf[:6] in gifcodec.GIF_SIGS:
         w, h, frames = gifcodec.decode_gif_frames(buf)
         return w, h, 3, frames[0]
+    if buf[:2] == jpegcodec.JPEG_SOI:
+        return jpegcodec.decode_jpeg(buf)
     if buf[:4] != MAGIC_IMG:
         raise NotImplementedError(
-            "jpeg/webp codecs are not available in this environment; "
-            "FAKE rasters, uncompressed BMP, 8-bit PNG, and GIF decode"
+            "webp/avif codecs are not available in this environment; "
+            "FAKE rasters, BMP, 8-bit PNG, GIF, and baseline JPEG decode"
         )
     w, h, c = struct.unpack_from("<HHB", buf, 4)
     arr = np.frombuffer(buf, dtype=np.uint8, offset=9, count=w * h * c)
@@ -367,6 +370,19 @@ def synth_media(
                     blob = encode_wav(
                         ((i * 31 + t * 7) % 32003 - 16001).astype("<i2"),
                         16000, 1,
+                    )
+                elif kind == "jpeg":
+                    # real baseline JPEG over the SAME closed-form pixel
+                    # family as PNG; lossy, so the oracle is the
+                    # error-bound mode (mean within tolerance), not the
+                    # exact hash.  Subsampling cycles 4:4:4 / 4:2:0 so
+                    # the fleet exercises both MCU layouts.
+                    px = (
+                        (i + 7 * np.arange(w * h * 3, dtype=np.int64)) % 251
+                    ).astype(np.uint8).reshape(h, w, 3)
+                    blob = jpegcodec.encode_jpeg(
+                        px, quality=95,
+                        subsampling="444" if i % 2 == 0 else "420",
                     )
                 elif kind == "gif":
                     # real animated GIF89a (stdlib LZW encode).  The

@@ -27,13 +27,15 @@ def test_fake_codec_roundtrip_local():
 
 
 def test_real_codec_gate():
-    # jpeg stays gated (needs codec libs absent from this container)...
-    with pytest.raises(NotImplementedError):
-        _decode_raster(b"\xff\xd8\xff\xe0....jpeg....")
-    # ...while a PNG signature now routes to the real decoder, which
-    # rejects garbage with a typed ValueError, not a codec gate
+    # webp stays gated (needs codec libs absent from this container)...
+    with pytest.raises(NotImplementedError, match="webp"):
+        _decode_raster(b"RIFF....WEBPVP8 ....")
+    # ...while PNG and JPEG signatures route to the real decoders, which
+    # reject garbage with a typed ValueError, not a codec gate
     with pytest.raises(ValueError, match="PNG"):
         _decode_raster(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        _decode_raster(b"\xff\xd8\xff\xe0....jpeg....")
 
 
 def test_decode_media(spark):
