@@ -17,18 +17,18 @@ def test_every_query_has_an_oracle():
     assert set(o) == set(q)
 
 
-# extras deliberately certified rows-only: sketch estimates are
-# error-bounded, not byte-stable (rollup.py determinism caveat), so a
-# value-hash oracle is impossible by design — pytest carries the
-# correctness burden instead (test_rollup.py)
-ROWS_ONLY_EXTRAS = {"ev_daily_uniques_sketch"}
-
-
 def test_extras_disjoint_and_oracled():
     q = set(entry.queries())
     x = entry.extra_queries()
     assert not (set(x) & q)
-    assert set(entry.extra_oracle_sql()) == set(x) - ROWS_ONLY_EXTRAS
+    # every extra is certified by exactly one oracle kind: an exact
+    # value-hash SQL oracle, or an error-bound oracle (estimates that
+    # are bounded-but-not-byte-stable by design: the HLL sketch tier
+    # and lossy JPEG stats — VERDICT r4 #2's check_entry mode)
+    sql_oracled = set(entry.extra_oracle_sql())
+    bounded = set(entry.error_bound_oracles())
+    assert not (sql_oracled & bounded)
+    assert sql_oracled | bounded == set(x)
 
 
 def test_bench_headline_names_resolve():
