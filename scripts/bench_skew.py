@@ -194,8 +194,11 @@ cand = F.transform(
     F.sequence(F.lit(0), F.lit(255)),
     lambda k: F.concat(F.col("doc_id"), F.lit("#"), k.cast("string")),
 )
-hot_id = F.element_at(
-    F.filter(cand, lambda c: F.pmod(F.xxhash64(c), F.lit(64)) == 0), 1
+# try_element_at, NOT element_at: under ANSI mode (Spark 4 default)
+# element_at on the empty array — the ~1.8% of docs where no candidate
+# suffix hashes to cell 0 — raises instead of returning null
+hot_id = F.try_element_at(
+    F.filter(cand, lambda c: F.pmod(F.xxhash64(c), F.lit(64)) == 0), F.lit(1)
 )
 want = F.pmod(F.xxhash64("doc_id", F.lit("hot")), F.lit(4)) == 0
 seqs = seqs.withColumn(
@@ -212,8 +215,10 @@ TierPipeline(spark, Warehouse(spark, wroot), cfg, job_id="w").run(
 shutil.rmtree(wroot, ignore_errors=True)
 
 def checksum(df, cols):
+    # bit_xor, not sum: summing 2^63-scale hashes overflows long under
+    # ANSI mode (Spark 4 default); xor is overflow-free and order-free
     return df.select(
-        F.sum(F.xxhash64(*cols)).alias("h"), F.count("*").alias("n")
+        F.bit_xor(F.xxhash64(*cols)).alias("h"), F.count("*").alias("n")
     ).first()
 
 out = {{}}
