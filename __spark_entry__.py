@@ -932,6 +932,25 @@ def q_mm_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: REAL IMA-ADPCM WAV containers (format tag
+    0x0011, 4-bit lossy — the compressed twin of the PCM path) decoded
+    via the same Arrow-batched decode_audio.  ADPCM is LOSSY, so this
+    rides the error-bound oracle: DuckDB computes the exact pre-encode
+    RMS; the decoded RMS must land within the codec's measured
+    tolerance.  RMS is projected in int16 units (not the normalized
+    [-1, 1] scale) so the checker's `rel*exact + 1` bound is dominated
+    by the relative term, not the +1 absolute slack."""
+    from repurpose_spark.operators.multimodal import decode_audio, synth_media
+
+    media = synth_media(spark, 200, kind="adpcm")
+    out = decode_audio(media)
+    return out.select(
+        "doc_id", "n_samples", "sample_rate", "channels", "sample_width",
+        (F.col("rms") * 32768.0).alias("rms_i16"),
+    )
+
+
 def q_seq_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming incremental rollup, oracle-certified against
     the batch semantics (VERDICT r4 #7 — streaming gains a driver-contract
@@ -1241,6 +1260,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_stats": q_mm_png_stats,
         "mm_gif_frames": q_mm_gif_frames,
         "mm_jpeg_stats": q_mm_jpeg_stats,
+        "mm_adpcm_stats": q_mm_adpcm_stats,
         "seq_stream_hourly": q_seq_stream_hourly,
         "ev_daily_uniques_sketch": q_ev_daily_uniques_sketch,
     }
@@ -1278,6 +1298,33 @@ SELECT printf('doc%08d', i) AS doc_id,
 FROM d
 """,
             "est_col": "mean_intensity",
+            "rel_err": 0.02,
+        },
+        "mm_adpcm_stats": {
+            # exact per-doc RMS of the closed-form int16 ramp, in int16
+            # units (~9.2k, so the +1 slack is negligible); the 4-bit
+            # IMA-ADPCM round trip measures 0.0150 worst relative on
+            # this deterministic fixture (worst rows are the ones whose
+            # period wrap forces a step-index escalation) — stable, so
+            # 0.02 always holds
+            "sql": """
+WITH d AS (
+  SELECT i, 400 + 100 * (i % 4) AS n FROM range(200) r(i)
+),
+s AS (
+  SELECT i, n, (((i * 31 + j.x * 7) % 4001) - 2000) * 8 AS v
+  FROM d, unnest(generate_series(0, n - 1)) j(x)
+)
+SELECT printf('doc%08d', i) AS doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       16000 AS sample_rate,
+       1 AS channels,
+       2 AS sample_width,
+       sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms_i16
+FROM s
+GROUP BY i, n
+""",
+            "est_col": "rms_i16",
             "rel_err": 0.02,
         },
         "ev_daily_uniques_sketch": {

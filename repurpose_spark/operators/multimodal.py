@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from repurpose_spark.operators import gifcodec, jpegcodec
+from repurpose_spark.operators import adpcmcodec, gifcodec, jpegcodec
 
 MAGIC_IMG = b"FAKE"
 MAGIC_VID = b"FAKV"
@@ -371,6 +371,18 @@ def synth_media(
                         ((i * 31 + t * 7) % 32003 - 16001).astype("<i2"),
                         16000, 1,
                     )
+                elif kind == "adpcm":
+                    # real IMA-ADPCM WAV (lossy 4-bit) over a mostly
+                    # smooth closed-form ramp (per-sample delta 56, one
+                    # wrap drop per period) — the codec tracks it near
+                    # its minimum step, so the decoded RMS lands well
+                    # inside the error-bound oracle's tolerance while
+                    # the wrap still exercises step-index escalation
+                    t = np.arange(400 + 100 * (i % 4), dtype=np.int64)
+                    wave16 = (((i * 31 + t * 7) % 4001) - 2000) * 8
+                    blob = adpcmcodec.encode_wav_adpcm(
+                        wave16.astype("<i2"), 16000
+                    )
                 elif kind == "jpeg":
                     # real baseline JPEG over the SAME closed-form pixel
                     # family as PNG; lossy, so the oracle is the
@@ -471,16 +483,21 @@ def encode_wav(
 
 
 def _decode_wav(buf: bytes):
-    """PCM RIFF/WAVE → (n_frames, rate, channels, sample_width,
-    float64 array normalized to [-1, 1])."""
+    """RIFF/WAVE → (n_frames, rate, channels, sample_width, float64
+    array normalized to [-1, 1]).  PCM (fmt tag 1, via the stdlib
+    ``wave`` module) or IMA ADPCM (fmt tag 0x11, the lossy 4-bit codec
+    in `adpcmcodec` — sample_width reports the DECODED width, 2)."""
     import io
     import wave
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise NotImplementedError(
-            "compressed audio codecs are not available in this "
-            "environment; PCM WAV decodes"
+            "compressed audio codecs (mp3/flac/ogg) are not available in "
+            "this environment; PCM and IMA-ADPCM WAV decode"
         )
+    if adpcmcodec.wav_format_tag(buf) == adpcmcodec.ADPCM_FMT_TAG:
+        n, rate, ch, samples = adpcmcodec.decode_wav_adpcm(buf)
+        return n, rate, ch, 2, samples.astype(np.float64) / 32768.0
     with wave.open(io.BytesIO(buf), "rb") as w:
         n, rate, ch, sw = (
             w.getnframes(), w.getframerate(), w.getnchannels(),
