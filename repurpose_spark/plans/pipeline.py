@@ -661,7 +661,17 @@ class TierPipeline:
             else:
                 df = df.repartition(F.col("cell_id"))
             if incremental:
-                self.wh.overwrite_partitions(df, table, ["cell_id"])
+                # the refresh knows its cell scope, so the commit records
+                # a partition-scoped delta manifest (O(refreshed cells'
+                # files)) instead of walking the whole tier — at design
+                # scale a long run of small refreshes against a large
+                # tier must not pay O(table files) driver time per commit
+                self.wh.overwrite_partitions(
+                    df, table, ["cell_id"],
+                    touched_partitions=[
+                        {"cell_id": c} for c in sorted(cells)
+                    ],
+                )
             else:
                 self.wh.write(df, table, partition_by=["cell_id"])
 

@@ -122,12 +122,26 @@ class Warehouse:
         table: str,
         partition_by: list,
         metrics: dict | None = None,
+        touched_partitions: list | None = None,
     ) -> None:
         """Replace exactly the hive partitions the incoming rows touch
         (dynamic partition overwrite) — the continuous-aggregate refresh
         primitive: an incremental finalize rewrites only affected cells'
         tier partitions, never the whole tier.  Iceberg branch: native
-        ``overwritePartitions()`` (cluster-only)."""
+        ``overwritePartitions()`` (cluster-only).
+
+        ``touched_partitions``: the partition-value rows the caller KNOWS
+        it rewrote (e.g. ``[{"cell_id": 3}]`` from an incremental
+        refresh's cell list).  When given, the commit records a
+        partition-scoped DELTA manifest — listing only the touched
+        directories, O(touched files) — instead of walking the whole
+        table (O(table files) on the driver: fine for a full overwrite
+        that replaced everything anyway, QUADRATIC for a long run of
+        small refreshes against a large tier at design scale).  Values
+        must be the simple scalars used in the hive directory names.
+        Listing a claimed-touched partition the write never actually
+        replaced is harmless: the walk sees its still-live files and the
+        replay re-adds them unchanged."""
         if self.use_iceberg:
             try:
                 df.writeTo(self._ident(table)).overwritePartitions()
@@ -149,10 +163,25 @@ class Warehouse:
             .partitionBy(*partition_by)
             .parquet(self.path(table))
         )
+        if touched_partitions is not None:
+            prefixes = sorted(
+                "/".join(f"{k}={row[k]}" for k in partition_by)
+                for row in touched_partitions
+            )
+            files: list = []
+            for p in prefixes:
+                files.extend(self._dir_files(table, p))
+            state = {
+                "snapshot_id": self._next_snapshot_id(table),
+                "partitions": prefixes,
+                "partition_files": sorted(files),
+            }
+        else:
+            state = self._snapshot_state(table)
         self._commit(
             table,
             "overwrite_partitions",
-            {**(metrics or {}), **self._snapshot_state(table)},
+            {**(metrics or {}), **state},
         )
 
     def write_batch_partition(
@@ -239,13 +268,7 @@ class Warehouse:
         for s in snaps:
             if s["snapshot_id"] > snapshot_id:
                 break
-            if "files" in s:
-                state = list(s["files"])
-            elif "batch_files" in s:
-                prefix = f"batch_id={s['batch_id']}/"
-                state = [
-                    f for f in (state or []) if not f.startswith(prefix)
-                ] + list(s["batch_files"])
+            state = self._apply_manifest(state, s)
             if s["snapshot_id"] == snapshot_id:
                 found = True
         if not found or state is None:
@@ -276,6 +299,31 @@ class Warehouse:
             for s in self.snapshots(table)
             if "snapshot_id" in s
         ]
+
+    @staticmethod
+    def _apply_manifest(state: list | None, s: dict) -> list | None:
+        """Replay ONE committed manifest line onto a file state.
+
+        Three manifest kinds (the parquet-twin analog of Iceberg's
+        manifest list): ``files`` — a full snapshot, resets the state
+        (write/append/compact/expire-checkpoint); ``batch_files`` — a
+        batch delta, replaces its own ``batch_id=<b>/`` subtree;
+        ``partitions``+``partition_files`` — a partition-scoped delta
+        (incremental overwrite_partitions), replaces exactly the listed
+        hive directories.  Non-manifest lineage rows pass through."""
+        if "files" in s:
+            return list(s["files"])
+        if "batch_files" in s:
+            prefix = f"batch_id={s['batch_id']}/"
+            return [
+                f for f in (state or []) if not f.startswith(prefix)
+            ] + list(s["batch_files"])
+        if "partition_files" in s:
+            prefixes = tuple(p + "/" for p in s["partitions"])
+            return [
+                f for f in (state or []) if not f.startswith(prefixes)
+            ] + list(s["partition_files"])
+        return state
 
     def _dir_files(self, table: str, subdir: str) -> list:
         """Relative parquet paths under one subdirectory — O(that dir),
@@ -337,13 +385,7 @@ class Warehouse:
         for s in manifests:
             if s["snapshot_id"] > cutoff:
                 break
-            if "files" in s:
-                state = list(s["files"])
-            elif "batch_files" in s:
-                prefix = f"batch_id={s['batch_id']}/"
-                state = [
-                    f for f in (state or []) if not f.startswith(prefix)
-                ] + list(s["batch_files"])
+            state = self._apply_manifest(state, s)
             if s["snapshot_id"] < cutoff:
                 n_expired += 1
         checkpoint = {

@@ -173,3 +173,92 @@ def test_expire_snapshots_checkpoints_deltas(spark, tmp_path):
     )
     assert wh.snapshot_ids(t) == [2, 3, 4]
     assert len(ks(wh.read(t, snapshot_id=4))) == 13
+
+
+def test_partition_overwrite_manifests_are_deltas(spark, tmp_path):
+    """An incremental overwrite_partitions with a declared cell scope
+    commits a partition-scoped DELTA manifest (O(touched files)), not a
+    full-table walk; replay yields exactly the refreshed state."""
+    wh = Warehouse(spark, str(tmp_path))
+    t = "tiers_daily"
+    base = spark.createDataFrame(
+        [(c, v) for c in range(4) for v in (10 * c, 10 * c + 1)],
+        "cell_id int, v long",
+    )
+    wh.write(base, t, partition_by=["cell_id"])
+
+    refreshed = spark.createDataFrame(
+        [(1, 111), (3, 333)], "cell_id int, v long"
+    )
+    wh.overwrite_partitions(
+        refreshed, t, ["cell_id"],
+        touched_partitions=[{"cell_id": 1}, {"cell_id": 3}],
+    )
+
+    rec = [s for s in wh.snapshots(t)
+           if s.get("mode") == "overwrite_partitions"][-1]
+    assert "files" not in rec
+    assert rec["partitions"] == ["cell_id=1", "cell_id=3"]
+    assert rec["partition_files"] and all(
+        f.startswith(("cell_id=1/", "cell_id=3/"))
+        for f in rec["partition_files"]
+    )
+
+    def vs(df):
+        return sorted(r["v"] for r in df.collect())
+
+    # current read and the replayed delta snapshot agree: untouched
+    # cells keep their rows, touched cells hold only the refresh
+    want = [0, 1, 20, 21, 111, 333]
+    assert vs(wh.read(t)) == want
+    assert vs(wh.read(t, snapshot_id=wh.snapshot_ids(t)[-1])) == want
+
+    # expire across the delta: checkpoint state still reads exactly
+    wh.append(
+        spark.createDataFrame([(0, 5)], "cell_id int, v long"),
+        t, partition_by=["cell_id"],
+    )
+    wh.expire_snapshots(t, keep_last=2)
+    assert vs(wh.read(t, snapshot_id=wh.snapshot_ids(t)[-1])) == sorted(
+        want + [5]
+    )
+
+    # a claimed-touched partition the write didn't actually replace is
+    # harmless: its live files are re-listed unchanged
+    wh.overwrite_partitions(
+        spark.createDataFrame([(2, 222)], "cell_id int, v long"),
+        t, ["cell_id"],
+        touched_partitions=[{"cell_id": 0}, {"cell_id": 2}],
+    )
+    assert vs(wh.read(t)) == [0, 1, 5, 111, 222, 333]
+    assert vs(wh.read(t, snapshot_id=wh.snapshot_ids(t)[-1])) == (
+        [0, 1, 5, 111, 222, 333]
+    )
+
+
+def test_incremental_finalize_commits_partition_delta(spark, tmp_path):
+    """TierPipeline.run_incremental's tier refresh rides the
+    partition-scoped manifest: the daily commit lists only the refreshed
+    cells' directories."""
+    from repurpose_spark.config import EngineConfig
+    from repurpose_spark.plans.pipeline import TierPipeline
+    from repurpose_spark.sources.synthetic import synth_sequences
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cfg = EngineConfig(n_cells=8)
+    src = str(tmp_path / "in")
+    synth_sequences(spark, 300).write.parquet(src)
+    pipe = TierPipeline(spark, wh, cfg, job_id="inc")
+    pipe.run(input_path=src, n_batches=1)
+
+    extra = synth_sequences(spark, 340).where(F.col("doc_id") >= "doc00000300")
+    extra.write.mode("append").parquet(src)
+    out = pipe.run_incremental(src)
+    assert out["n_refreshed_cells"] > 0
+
+    recs = [s for s in wh.snapshots("inc_daily")
+            if s.get("mode") == "overwrite_partitions"]
+    assert recs, "incremental refresh must commit the daily tier"
+    assert all("partition_files" in r and "files" not in r for r in recs)
+    tiers = wh.read("inc_daily")
+    assert tiers.count() > 0
