@@ -2,13 +2,15 @@
 
 Real training-data pipelines carry media as binary columns and run
 decode / feature-extraction / resize / frame-sampling as Arrow-batched
-python stages.  Three REAL public containers decode here with stdlib +
+python stages.  Seven REAL public containers decode here with stdlib +
 numpy only (no media libraries): uncompressed **BMP** (24/32-bit BI_RGB,
-the Windows DIB format) and 8-bit **PNG** (zlib inflate + the five
-scanline filters, greyscale/RGB/palette/alpha, non-interlaced) through
-the raster path, and PCM **WAV** (RIFF/WAVE via the stdlib ``wave``
-module) through :func:`decode_audio`.  Formats needing codec libraries
-that are NOT in this container (jpeg/webp/mp3/…) raise
+the Windows DIB format), 8-bit **PNG** (zlib inflate + the five
+scanline filters, greyscale/RGB/palette/alpha, non-interlaced),
+animated **GIF89a** (`gifcodec`), and baseline **JPEG** (`jpegcodec`)
+through the raster/frame paths, and PCM **WAV** (RIFF/WAVE via the
+stdlib ``wave`` module), **IMA-ADPCM WAV** (`adpcmcodec`, lossy), and
+lossless **FLAC** (`flaccodec`) through :func:`decode_audio`.  Formats
+needing codec libraries that are NOT in this container (webp/mp3/…) raise
 ``NotImplementedError`` — the deterministic `FAKE` raster/`FAKV` video
 formats below cover synthetic fixtures.  Everything Spark-side is real and tested either way: schemas,
 ``mapInPandas`` batch iteration, multi-row emission (frame sampling),
@@ -34,7 +36,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from repurpose_spark.operators import adpcmcodec, gifcodec, jpegcodec
+from repurpose_spark.operators import adpcmcodec, flaccodec, gifcodec, jpegcodec
 
 MAGIC_IMG = b"FAKE"
 MAGIC_VID = b"FAKV"
@@ -383,6 +385,19 @@ def synth_media(
                     blob = adpcmcodec.encode_wav_adpcm(
                         wave16.astype("<i2"), 16000
                     )
+                elif kind == "flac":
+                    # real FLAC (lossless compressed) over the SAME
+                    # closed-form waveform as the PCM "audio" kind, so
+                    # the oracle is EXACT (unlike lossy jpeg/adpcm).
+                    # Block size 256 spans 2-3 frames per clip; LPC and
+                    # FIXED predictors plus partition orders alternate
+                    # across the fleet so every encode path is exercised.
+                    t = np.arange(400 + 100 * (i % 4), dtype=np.int64)
+                    blob = flaccodec.encode_flac(
+                        (i * 31 + t * 7) % 32003 - 16001,
+                        16000, block_size=256, use_lpc=bool(i % 2),
+                        partition_order=i % 3,
+                    )
                 elif kind == "jpeg":
                     # real baseline JPEG over the SAME closed-form pixel
                     # family as PNG; lossy, so the oracle is the
@@ -483,17 +498,21 @@ def encode_wav(
 
 
 def _decode_wav(buf: bytes):
-    """RIFF/WAVE → (n_frames, rate, channels, sample_width, float64
-    array normalized to [-1, 1]).  PCM (fmt tag 1, via the stdlib
-    ``wave`` module) or IMA ADPCM (fmt tag 0x11, the lossy 4-bit codec
-    in `adpcmcodec` — sample_width reports the DECODED width, 2)."""
+    """Audio container → (n_frames, rate, channels, sample_width,
+    float64 array normalized to [-1, 1]).  PCM WAV (fmt tag 1, stdlib
+    ``wave``), IMA ADPCM WAV (fmt tag 0x11, lossy 4-bit, `adpcmcodec`),
+    or FLAC (lossless compressed, `flaccodec`) — sample_width reports
+    the DECODED width, 2."""
     import io
     import wave
 
+    if buf[:4] == b"fLaC":
+        n, rate, ch, samples = flaccodec.decode_flac(buf)
+        return n, rate, ch, 2, samples.astype(np.float64) / 32768.0
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise NotImplementedError(
-            "compressed audio codecs (mp3/flac/ogg) are not available in "
-            "this environment; PCM and IMA-ADPCM WAV decode"
+            "compressed audio codecs (mp3/ogg) are not available in this "
+            "environment; PCM WAV, IMA-ADPCM WAV, and FLAC decode"
         )
     if adpcmcodec.wav_format_tag(buf) == adpcmcodec.ADPCM_FMT_TAG:
         n, rate, ch, samples = adpcmcodec.decode_wav_adpcm(buf)

@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from repurpose_spark.operators import adpcmcodec as ac
+from repurpose_spark.operators import flaccodec
 
 
 def _scalar_decode(buf: bytes) -> np.ndarray:
@@ -149,25 +150,30 @@ def test_adpcm_through_decode_audio(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": ["pcm", "adpcm", "bad"],
+                "doc_id": ["pcm", "adpcm", "flac", "bad", "corrupt"],
                 "media": [
                     encode_wav(x, 16000, 1),
                     ac.encode_wav_adpcm(x, 16000),
-                    b"fLaC fake flac bytes",
+                    flaccodec.encode_flac(x, 16000),
+                    b"ID3\x03 mp3 frame bytes",
+                    b"fLaC truncated stream",
                 ],
             }
         )
     )
     out = {r["doc_id"]: r for r in decode_audio(df, ignore_errors=True).collect()}
     exact_rms = float(np.sqrt(np.mean((x.astype(np.float64) / 32768.0) ** 2)))
-    for key in ("pcm", "adpcm"):
+    for key in ("pcm", "adpcm", "flac"):
         r = out[key]
         assert (r["n_samples"], r["sample_rate"], r["channels"]) == (900, 16000, 1)
         assert r["sample_width"] == 2
     assert out["pcm"]["rms"] == pytest.approx(exact_rms)
+    assert out["flac"]["rms"] == pytest.approx(exact_rms)  # lossless: exact
     assert out["adpcm"]["rms"] == pytest.approx(exact_rms, rel=0.02)
     assert out["bad"]["n_samples"] is None
     assert out["bad"]["error"].startswith("NotImplementedError")
+    assert out["corrupt"]["n_samples"] is None
+    assert out["corrupt"]["error"].startswith("ValueError")
 
     # the synth_media fixture the mm_adpcm_stats oracle regenerates
     got = decode_audio(synth_media(spark, 12, kind="adpcm")).collect()
