@@ -156,6 +156,28 @@ def _hw_burn(n):
     return h[0]
 
 
+def _mem_probe(n: int = 1 << 22) -> dict:
+    """Cold-page random-gather probe — the failure mode sha256 CANNOT
+    see.  Round-5 finding: this Firecracker host demand-pages guest
+    memory at the hypervisor; in a bad window every cold page touch
+    costs ~10µs, collapsing random access to ~1-3M elem/s (healthy:
+    50M+) and JVM-heavy Spark work by 10-40×, while the register-bound
+    sha probe still reads a mild 60-70%.  Fresh allocations each call
+    keep the measurement cold on purpose (Spark allocates fresh pages
+    constantly, so cold-fault cost IS its steady state in that window).
+    Measured 2026-08-18: same 100k-doc tier run, same code, 61s in a
+    gather-collapsed window vs ~4s expected from the r04d window."""
+    import numpy as np
+
+    rng = np.random.default_rng(int(time.time()) & 0xFFFF)
+    perm = rng.permutation(n).astype(np.int64)  # fresh pages (write-faults)
+    src = np.arange(n, dtype=np.int64)          # fresh pages
+    t0 = time.time()
+    src[perm].sum()                             # random gather, cold dst
+    dt = time.time() - t0
+    return {"elems": n, "gather_melems_per_sec": round(n / dt / 1e6, 1)}
+
+
 # probe-gated measurement windows (VERDICT r4 #5): a window is healthy
 # when its bracketing probes agree within PROBE_AGREE and neither sits
 # below PROBE_BAND of the best probe seen this run (the band is
@@ -231,6 +253,7 @@ def main():
     import statistics
 
     probe_open = _hw_probe()
+    mem_open = _mem_probe()
     spark = get_spark(
         app_name="repurpose_spark_bench", master=f"local[{CPUS}]"
     )
@@ -339,6 +362,10 @@ def main():
     spark.stop()
     out["hw_probe_open"] = probe_open
     out["hw_probe_close"] = _hw_probe()
+    # memory-subsystem health (cold-page gather): the sha probes above
+    # miss hypervisor demand-paging windows entirely — see _mem_probe
+    out["mem_probe_open"] = mem_open
+    out["mem_probe_close"] = _mem_probe()
     print(json.dumps(out))
 
 
