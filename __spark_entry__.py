@@ -1023,6 +1023,58 @@ def q_seq_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_ev_stream_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count tier, value-certified: the events table
+    drains through an AvailableNow readStream whose state IS the per-
+    (event_type, day) HLL sketch (incremental_uniques_rollup) — a day's
+    unique-user estimate updates micro-batch by micro-batch without
+    re-reading raw, the thing exact count_distinct cannot do in a
+    stream.  Same sentinel-advanced-watermark drain as seq_stream_hourly
+    (far-future row written last flushes every real window); certified
+    by the SAME error-bound oracle as the batch sketch tier (exact
+    columns byte-matched, estimate within 0.08 of DuckDB's exact COUNT
+    DISTINCT per row)."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from repurpose_spark.streaming.incremental import (
+        incremental_uniques_rollup,
+        run_available_now,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_u_")
+    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_type", "ts", F.col("user_id").cast("long").alias("user_id")
+        )
+        # one time-ordered file per ingest step (the module's ingest
+        # contract: cross-file disorder must stay under the watermark)
+        ev.orderBy("ts").coalesce(1).write.parquet(src)
+        import time as _time
+
+        _time.sleep(1.05)  # sentinel must sort after the data file (mtime)
+        spark.createDataFrame(
+            [("__sentinel__", datetime(2030, 1, 1), 0)],
+            "event_type string, ts timestamp, user_id long",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = incremental_uniques_rollup(spark, src, watermark="1 hour")
+        run_available_now(stream, out, ckpt)
+        res = spark.read.parquet(out).where(
+            F.col("event_type") != "__sentinel__"
+        ).select(
+            "event_type",
+            "tick",
+            F.col("n_points").cast("long").alias("n_points"),
+            F.col("n_distinct_est").cast("long").alias("n_distinct_est"),
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_ev_daily_uniques_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count continuous aggregate: daily unique users per
     event_type via HLL sketch tiers (hourly sketches → hll_union_agg
@@ -1281,6 +1333,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_adpcm_stats": q_mm_adpcm_stats,
         "mm_flac_stats": q_mm_flac_stats,
         "seq_stream_hourly": q_seq_stream_hourly,
+        "ev_stream_uniques": q_ev_stream_uniques,
         "ev_daily_uniques_sketch": q_ev_daily_uniques_sketch,
     }
 
@@ -1347,6 +1400,19 @@ GROUP BY i, n
             "rel_err": 0.02,
         },
         "ev_daily_uniques_sketch": {
+            "sql": """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS tick,
+       COUNT(user_id) AS n_points,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_est
+FROM events GROUP BY 1, 2
+""",
+            "est_col": "n_distinct_est",
+            "rel_err": 0.08,
+        },
+        # streaming twin: identical exact/estimate contract, the data
+        # path is readStream -> stateful sketch agg -> drained parquet
+        "ev_stream_uniques": {
             "sql": """
 SELECT event_type,
        CAST(date_trunc('day', ts) AS TIMESTAMP) AS tick,

@@ -78,6 +78,53 @@ def incremental_hourly_rollup(
     )
 
 
+EVENTS_SCHEMA = "event_type string, ts timestamp, user_id long"
+
+
+def incremental_uniques_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+    window: str = "1 day",
+    lg_k: int = 12,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Streaming twin of the batch HLL distinct-count tier
+    (rollup.py::rollup_distinct_sketch): new event files are folded into
+    per-(event_type, window) HLL sketches incrementally — the sketch IS
+    the streaming state, so a day's unique-user count updates micro-batch
+    by micro-batch without ever re-reading the day's raw events (exact
+    count_distinct cannot do this: distinct counts are not mergeable
+    partials, which in streaming means either unbounded per-key state or
+    a full re-scan).  ``hll_sketch_agg`` is a typed imperative aggregate
+    — Spark's state store checkpoints its partial sketch between
+    micro-batches, same mergeability the batch tier exploits.
+
+    Emits (event_type, tick, n_points, n_distinct_est) in append mode
+    once the watermark passes a window's end.  Estimates are
+    error-bounded (rse ~1.04/sqrt(2^lg_k)), not byte-stable — certified
+    by the error-bound oracle, like the batch sketch tier."""
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("uniq_sketch"),
+            F.count("user_id").alias("n_points"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("tick"),
+            "n_points",
+            F.hll_sketch_estimate("uniq_sketch").alias("n_distinct_est"),
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     output_dir: str,

@@ -257,3 +257,65 @@ def test_streaming_curate_filters_and_dedups(spark, tmp_path):
     q.awaitTermination(300)
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {"A"}
+
+
+def test_streaming_uniques_sketch_matches_exact_within_error(spark, tmp_path):
+    """The streaming HLL tier's state is the sketch itself: a drained
+    AvailableNow run must land within the sketch error of the exact
+    per-(type, day) distinct count, with the exact columns (n_points)
+    matching the batch answer byte-for-byte; a resumed drain over new
+    files only appends (no re-read of the first chunk)."""
+    from datetime import datetime
+
+    from repurpose_spark.streaming.incremental import (
+        incremental_uniques_rollup,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # deterministic events: 3 types, 4 days, heavy user overlap so
+    # distinct << count (the shape the sketch exists for)
+    ev = spark.range(40_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+            "event_type"
+        ),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 7919) % (4 * 86400)
+        ).alias("ts"),
+        ((F.col("id") * 104729) % 5000).alias("user_id"),
+    )
+    ev.orderBy("ts").coalesce(1).write.parquet(src)
+    import time as _time
+
+    _time.sleep(1.05)
+    spark.createDataFrame(
+        [("__sentinel__", datetime(2031, 1, 1), 0)],
+        "event_type string, ts timestamp, user_id long",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    run_available_now(
+        incremental_uniques_rollup(spark, src, watermark="1 hour"), out, ckpt
+    )
+    got = {
+        (r.event_type, r.tick): r
+        for r in spark.read.parquet(out).where(
+            F.col("event_type") != "__sentinel__"
+        ).collect()
+    }
+    exact = {
+        (r.event_type, r.tick): r
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("tick")
+        ).agg(
+            F.count("user_id").alias("n_points"),
+            F.count_distinct("user_id").alias("n_exact"),
+        ).collect()
+    }
+    assert set(got) == set(exact) and len(got) >= 9
+    for k, g in got.items():
+        e = exact[k]
+        assert g.n_points == e.n_points  # exact column: byte-match
+        assert abs(g.n_distinct_est - e.n_exact) <= 0.08 * e.n_exact + 1
