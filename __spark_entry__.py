@@ -951,6 +951,24 @@ def q_mm_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO: REAL Motion-JPEG AVI containers (RIFF chunk
+    walk, one baseline JPEG per 00dc chunk, 4:4:4/4:2:0 alternating)
+    sampled frame-by-frame — the first camera-grade video format in the
+    engine; until round 5 video meant the synthetic FAKV fixture.  JPEG
+    frames are LOSSY, so the per-frame mean rides the error-bound
+    oracle: DuckDB regenerates the exact pre-encode mean per (doc,
+    frame); the decoded mean must land within the codec tolerance while
+    doc_id/frame_idx/width/height byte-match."""
+    from repurpose_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, 200, kind="avi")
+    out = sample_frames(media, every=2)
+    return out.select(
+        "doc_id", "frame_idx", "width", "height", "mean_intensity"
+    )
+
+
 def q_mm_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio: REAL FLAC containers (pure-stdlib lossless
     codec — fixed/LPC prediction + Rice residuals, per-frame CRC-16 and
@@ -1329,6 +1347,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_stats": q_mm_audio_stats,
         "mm_png_stats": q_mm_png_stats,
         "mm_gif_frames": q_mm_gif_frames,
+        "mm_video_frames": q_mm_video_frames,
         "mm_jpeg_stats": q_mm_jpeg_stats,
         "mm_adpcm_stats": q_mm_adpcm_stats,
         "mm_flac_stats": q_mm_flac_stats,
@@ -1368,6 +1387,32 @@ SELECT printf('doc%08d', i) AS doc_id,
         FROM unnest(generate_series(0, w * h * 3 - 1)) j(x))
          AS mean_intensity
 FROM d
+""",
+            "est_col": "mean_intensity",
+            "rel_err": 0.02,
+        },
+        # the video twin: same closed-form pixel family per (doc, frame)
+        # as the GIF oracle but RGB; q95 MJPEG round trip measured
+        # ≤0.26 absolute on this fixture, far inside 2 % + 1
+        "mm_video_frames": {
+            "sql": """
+WITH d AS (
+  SELECT i, 16 + i % 8 AS w, 16 + (i * 3) % 8 AS h, 2 + i % 4 AS nf
+  FROM range(200) r(i)
+),
+fr AS (
+  SELECT d.*, f.x AS frame_idx
+  FROM d, unnest(generate_series(0, nf - 1)) f(x)
+  WHERE f.x % 2 = 0
+)
+SELECT printf('doc%08d', i) AS doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       (SELECT avg(((i + frame_idx) + 7 * j.x) % 251)
+        FROM unnest(generate_series(0, w * h * 3 - 1)) j(x))
+         AS mean_intensity
+FROM fr
 """,
             "est_col": "mean_intensity",
             "rel_err": 0.02,

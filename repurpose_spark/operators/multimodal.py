@@ -36,7 +36,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from repurpose_spark.operators import adpcmcodec, flaccodec, gifcodec, jpegcodec
+from repurpose_spark.operators import (
+    adpcmcodec,
+    avicodec,
+    flaccodec,
+    gifcodec,
+    jpegcodec,
+)
 
 MAGIC_IMG = b"FAKE"
 MAGIC_VID = b"FAKV"
@@ -322,8 +328,15 @@ def _iter_frames(buf: bytes):
 
 def _iter_frame_arrays(buf: bytes):
     """Multi-frame dispatch → yields (idx, w, h, c, (h, w, c) uint8).
-    Real animated GIF (stdlib LZW, composited frames) or the synthetic
-    FAKV fixture container."""
+    Real MJPEG AVI (RIFF chunk walk + baseline JPEG per frame), real
+    animated GIF (stdlib LZW, composited frames), or the synthetic FAKV
+    fixture container."""
+    if avicodec.is_avi(buf):
+        w, h, frames = avicodec.decode_avi_frames(buf)
+        for i, arr in enumerate(frames):
+            c = 1 if arr.ndim == 2 else arr.shape[2]
+            yield i, w, h, c, arr
+        return
     if buf[:6] in gifcodec.GIF_SIGS:
         w, h, frames = gifcodec.decode_gif_frames(buf)
         for i, arr in enumerate(frames):
@@ -425,6 +438,23 @@ def synth_media(
                         for k in range(2 + i % 4)
                     ]
                     blob = gifcodec.encode_gif(frames, pal)
+                elif kind == "avi":
+                    # real Motion-JPEG AVI (RIFF video container, one
+                    # q95 baseline JPEG per 00dc chunk) over the SAME
+                    # per-frame closed-form RGB family as GIF-but-RGB;
+                    # lossy, so the per-frame mean rides the error-bound
+                    # oracle.  Subsampling alternates 4:4:4 / 4:2:0 so
+                    # the fleet exercises both MCU layouts inside a
+                    # video stream, not just still images.
+                    frames = [
+                        ((i + k + 7 * np.arange(w * h * 3, dtype=np.int64))
+                         % 251).astype(np.uint8).reshape(h, w, 3)
+                        for k in range(2 + i % 4)
+                    ]
+                    blob = avicodec.encode_avi_mjpeg(
+                        frames, quality=95,
+                        subsampling="444" if i % 2 == 0 else "420",
+                    )
                 else:
                     blob = encode_fake_video(i, w, h, n_frames=2 + i % 4)
                 rows.append((f"doc{i:08d}", blob, kind))
