@@ -17,6 +17,7 @@ via Catalyst); no UDFs anywhere on this path.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -206,3 +207,160 @@ def with_distinct_estimate(tier: DataFrame) -> DataFrame:
     return tier.withColumn(
         "n_distinct_est", F.hll_sketch_estimate("uniq_sketch")
     )
+
+
+# ------------------------------------------------------- percentile tiers
+def rollup_quantile_sketch(
+    points: DataFrame,
+    unit: str,
+    value_col: str,
+    key_cols: list = ("cell_id",),
+    ts_col: str = "ts",
+    k: int = 512,
+) -> DataFrame:
+    """Finest percentile tier: one mergeable KLL sketch per (keys, tick).
+
+    Exact percentiles are the other non-mergeable aggregate (after
+    distinct counts): a daily p99 is not a function of hourly p99s, so
+    an exact percentile tier would re-read raw.  The KLL sketch
+    (`functions/qsketch.py`) is mergeable with ~O(1/k) RANK error, so
+    coarser tiers union finer sketches without raw — the TimescaleDB
+    `percentile_agg` continuous-aggregate pattern.
+
+    Scale shape (the part that matters at 100 TB): this is a hand-built
+    partial+final aggregate.  Phase 1 runs inside ``mapInPandas`` and
+    folds each PARTITION's rows into per-(keys, tick) partial sketches —
+    raw values never cross the wire.  Phase 2 groups the
+    O(partitions × groups) sketch blobs (~4 KB each at k=512) and merges
+    them per group.  Executor memory holds one sketch per live group per
+    partition (bounded: ~550 retained float64 at k=512), the same
+    footprint contract as the packing partials
+    (`operators/packing.py:36`).
+
+    Like the HLL tier, estimates are error-bounded, not byte-stable:
+    partition layout changes insert order, which changes which samples
+    survive compaction (rank error stays within bound — test-enforced).
+    """
+    import pandas as pd
+
+    from repurpose_spark.functions.qsketch import QuantileSketch
+
+    key_cols = list(key_cols)
+    slim = points.select(
+        *key_cols,
+        F.date_trunc(unit, F.col(ts_col)).alias("tick"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    part_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in slim.schema.fields
+        if f.name != "_v"
+    ) + ", q_sketch binary, n_points long"
+
+    gcols = key_cols + ["tick"]
+
+    def partials(batches):
+        acc: dict[tuple, QuantileSketch] = {}
+        keys_of: dict[tuple, tuple] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(gcols, dropna=False, sort=False):
+                kt = tuple(key) if isinstance(key, tuple) else (key,)
+                sk = acc.get(kt)
+                if sk is None:
+                    sk = acc[kt] = QuantileSketch(k)
+                    keys_of[kt] = kt
+                sk.update(grp["_v"].to_numpy(dtype=np.float64, na_value=np.nan))
+        if acc:
+            yield pd.DataFrame(
+                [
+                    (*kt, sk.to_bytes(), sk.n)
+                    for kt, sk in acc.items()
+                ],
+                columns=gcols + ["q_sketch", "n_points"],
+            )
+
+    partial_df = slim.mapInPandas(partials, part_schema)
+    return _merge_qsketches(partial_df, gcols, part_schema)
+
+
+def _merge_qsketches(tier: DataFrame, gcols: list, schema: str) -> DataFrame:
+    import pandas as pd
+
+    from repurpose_spark.functions.qsketch import QuantileSketch
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = QuantileSketch.from_bytes(bytes(pdf["q_sketch"].iloc[0]))
+        for b in pdf["q_sketch"].iloc[1:]:
+            sk.merge(QuantileSketch.from_bytes(bytes(b)))
+        out = pdf.iloc[[0]][gcols].copy()
+        out["q_sketch"] = [sk.to_bytes()]
+        out["n_points"] = [int(pdf["n_points"].sum())]
+        return out
+
+    return tier.groupBy(*gcols).applyInPandas(merge, schema)
+
+
+def rollup_qsketch_from_partials(
+    tier: DataFrame,
+    unit: str,
+    key_cols: list = ("cell_id",),
+    tick_col: str = "tick",
+) -> DataFrame:
+    """Coarser percentile tier from finer sketches — merge is sample-
+    and weight-preserving, so the daily sketch equals (within rank
+    error) a sketch built directly on the day's raw."""
+    key_cols = list(key_cols)
+    coarse = tier.select(
+        *key_cols,
+        F.date_trunc(unit, F.col(tick_col)).alias("tick"),
+        "q_sketch",
+        "n_points",
+    )
+    gcols = key_cols + ["tick"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in coarse.schema.fields
+        if f.name not in ("q_sketch", "n_points")
+    ) + ", q_sketch binary, n_points long"
+    return _merge_qsketches(coarse, gcols, schema)
+
+
+def quantile_rows(
+    tier: DataFrame, qs: dict | None = None
+) -> DataFrame:
+    """Long-form read-time estimates: one row per (keys, tick, q label).
+    ``qs`` maps label → quantile, default {'p50': .5, 'p90': .9,
+    'p99': .99}.  Labels are strings so exact-column alignment never
+    trips on float bit patterns."""
+    import pandas as pd
+
+    from repurpose_spark.functions.qsketch import QuantileSketch
+
+    if qs is None:
+        qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    labels = list(qs)
+    probs = [qs[c] for c in labels]
+    passthrough = [
+        f.name for f in tier.schema.fields
+        if f.name not in ("q_sketch",)
+    ]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in tier.schema.fields
+        if f.name != "q_sketch"
+    ) + ", q string, value_est double"
+
+    def fn(batches):
+        for pdf in batches:
+            outs = []
+            vals = np.empty((len(pdf), len(probs)))
+            for i, b in enumerate(pdf["q_sketch"]):
+                vals[i] = QuantileSketch.from_bytes(bytes(b)).quantiles(probs)
+            for j, lab in enumerate(labels):
+                out = pdf[passthrough].copy()
+                out["q"] = lab
+                out["value_est"] = vals[:, j]
+                outs.append(out)
+            yield pd.concat(outs, ignore_index=True)
+
+    return tier.mapInPandas(fn, schema)

@@ -109,8 +109,12 @@ def main():
                 continue
             # error-bound value oracle (VERDICT r4 #2): exact columns must
             # match byte-for-byte; the estimate column must sit within
-            # rel_err of DuckDB's exact answer, row by row
-            est, rel = spec["est_col"], spec["rel_err"]
+            # rel_err of DuckDB's exact answer — or, in bracket mode
+            # (rank-error sketches, where value-relative bounds are the
+            # wrong shape on heavy tails), between DuckDB's exact lower
+            # and upper bracket values — row by row
+            est, rel = spec["est_col"], spec.get("rel_err")
+            bracket = spec.get("bracket")
             try:
                 res = con.sql(spec["sql"])
                 dcols = res.columns
@@ -120,7 +124,11 @@ def main():
                 results[name] = {"status": "fail", "detail": "duckdb error"}
                 n_fail += 1
                 continue
-            if sorted(scols) != sorted(dcols) or len(srows) != len(drows):
+            want_dcols = (
+                sorted(set(scols) - {est} | set(bracket.values()))
+                if bracket else sorted(scols)
+            )
+            if sorted(dcols) != want_dcols or len(srows) != len(drows):
                 print(
                     f"FAIL {name}: shape {sorted(scols)}x{len(srows)} "
                     f"vs {sorted(dcols)}x{len(drows)}"
@@ -141,6 +149,43 @@ def main():
 
             a = _aligned(scols, srows, lambda r, c: r[c])
             didx = {c: i for i, c in enumerate(dcols)}
+            if bracket:
+                lo_c, hi_c = bracket["lo_col"], bracket["hi_col"]
+                b = sorted(
+                    (
+                        tuple(_norm(r[didx[c]]) for c in exact_cols),
+                        (float(r[didx[lo_c]]), float(r[didx[hi_c]])),
+                    )
+                    for r in drows
+                )
+                tol = 1e-9
+                bad = [
+                    (ka, ea, lohi)
+                    for (ka, ea), (kb, lohi) in zip(a, b)
+                    if ka != kb
+                    or not (
+                        lohi[0] - tol - abs(lohi[0]) * tol <= ea
+                        <= lohi[1] + tol + abs(lohi[1]) * tol
+                    )
+                ]
+                if bad:
+                    print(f"FAIL {name}: bracket miss, first: {bad[:3]}")
+                    results[name] = {"status": "fail", "detail": "bracket"}
+                    n_fail += 1
+                    continue
+                print(
+                    f"PASS {name}: {len(srows)} rows "
+                    f"[bracket {lo_c}..{hi_c}]"
+                )
+                results[name] = {
+                    "status": "pass", "rows": len(srows),
+                    "checks": [
+                        "rowcount", "columns",
+                        f"values({lo_c}<=est<={hi_c})",
+                    ],
+                }
+                n_pass += 1
+                continue
             b = _aligned(dcols, drows, lambda r, c: r[didx[c]])
             bad = [
                 (ka, ea, eb_)
