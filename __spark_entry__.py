@@ -1093,6 +1093,32 @@ def q_ev_stream_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_doc_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE, certified end-to-end: train a real merge table on
+    the corpus (distributed word-frequency pass → classic merge
+    learning, operators/bpe.py), encode every document with the learned
+    ranks (broadcast + Arrow-batched), then detokenize JVM-side.  The
+    exact oracle is the losslessness invariant: the round-tripped text
+    must byte-match DuckDB's whitespace-normalized lowercased source —
+    a wrong merge table, wrong rank priority, or lossy EOW handling all
+    corrupt at least one document.  (That the learned merges are
+    CORRECT classic-BPE is pytest-certified against an independent
+    brute-force reference, tests/test_bpe.py.)"""
+    from repurpose_spark.operators.bpe import EOW, bpe_encode, train_bpe
+
+    d = _wide(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    merges = train_bpe(d, n_merges=120, max_word_forms=20_000)
+    enc = bpe_encode(d, merges)
+    return enc.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.concat_ws("", F.col("bpe_tokens")), EOW, " "
+            )
+        ).alias("detok_text"),
+    )
+
+
 def q_ev_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile continuous aggregate: daily p50/p90/p99 of event value
     per event_type via mergeable KLL sketch tiers (hourly sketches →
@@ -1383,6 +1409,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_stream_uniques": q_ev_stream_uniques,
         "ev_daily_uniques_sketch": q_ev_daily_uniques_sketch,
         "ev_value_quantiles": q_ev_value_quantiles,
+        "doc_bpe_roundtrip": q_doc_bpe_roundtrip,
     }
 
 
@@ -1940,6 +1967,14 @@ pairs AS (
 )
 SELECT target_key, dist, CAST(v AS BIGINT) AS v
 FROM pairs WHERE rk = 1 AND dist <= 0.25
+""",
+        # losslessness of the LEARNED tokenizer: whatever merge table
+        # training produced, decode(encode(x)) must byte-match the
+        # whitespace-normalized lowercased source for every document
+        "doc_bpe_roundtrip": """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS detok_text
+FROM documents
 """,
         "ev_hourly_rollup": """
 SELECT event_type,
