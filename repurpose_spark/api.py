@@ -43,6 +43,7 @@ class Img2Ts:
         job_id: str = "img2ts",
         spark: SparkSession | None = None,
         sketch_distinct: bool = False,
+        sketch_quantiles: bool = False,
     ):
         """``input_df`` may be a DataFrame (hash-sliced batches) or a
         parquet path string — the scale path: batches slice by whole
@@ -57,6 +58,7 @@ class Img2Ts:
         self.cfg = cfg or EngineConfig(n_cells=cellsize)
         self.job_id = job_id
         self.sketch_distinct = sketch_distinct
+        self.sketch_quantiles = sketch_quantiles
 
     def calc(self, pack: bool = True) -> dict:
         spark = (
@@ -68,6 +70,7 @@ class Img2Ts:
         pipe = TierPipeline(
             spark, wh, self.cfg, job_id=self.job_id,
             sketch_distinct=self.sketch_distinct,
+            sketch_quantiles=self.sketch_quantiles,
         )
         return pipe.run(
             self.input_df,

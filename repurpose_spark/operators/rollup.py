@@ -56,6 +56,8 @@ def rollup_points(
     epoch: str = EPOCH_STR,
     sketch_distinct: bool = False,
     sketch_lg_k: int = 12,
+    sketch_quantiles: bool = False,
+    sketch_q_k: int = 512,
 ) -> DataFrame:
     """Rollup for the derived positional time axis (ts = epoch + pos*dt).
 
@@ -63,6 +65,15 @@ def rollup_points(
     ``value_col`` per group (distinct-vocabulary tiers; see
     :func:`rollup_distinct_sketch` for semantics and the determinism
     caveat).
+
+    ``sketch_quantiles=True`` additionally joins in a ``q_sketch``
+    mergeable KLL partial of ``value_col`` per group (percentile tiers;
+    see :func:`rollup_quantile_sketch`).  The sketch is computed by a
+    hand-built partial+final pass over the same slim projection and
+    equi-joined on the group keys — both sides are tier-sized (raw
+    never shuffles for the sketch), and downstream maintenance
+    (daily derivation, compaction, incremental refresh) carries the
+    column like any other mergeable partial.
 
     Groups on the integer bucket ``floor(pos*dt / unit)`` and converts to a
     tick timestamp only after aggregation (160k groups instead of 8M rows
@@ -95,7 +106,7 @@ def rollup_points(
             )
         )
         out_cols.append("uniq_sketch")
-    return (
+    jvm = (
         points.groupBy(*key_cols, bucket)
         .agg(*aggs)
         .select(
@@ -106,6 +117,22 @@ def rollup_points(
             *out_cols,
         )
     )
+    if not sketch_quantiles:
+        return jvm
+    bucket_raw = F.floor(
+        (F.col(pos_col).cast("long") * dt_seconds) / unit_seconds
+    )
+    slim = points.select(
+        *key_cols,
+        F.timestamp_seconds(
+            F.lit(epoch_sec) + bucket_raw * unit_seconds
+        ).alias("tick"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    qt = _qsketch_tier(slim, key_cols + ["tick"], sketch_q_k).drop(
+        "n_points"  # jvm side already carries the exact count
+    )
+    return jvm.join(qt, on=key_cols + ["tick"], how="left")
 
 
 def _epoch_seconds(epoch: str) -> int:
@@ -122,7 +149,9 @@ def rollup_from_partials(
     tick_col: str = "tick",
 ) -> DataFrame:
     """Coarser tier from a finer tier's mergeable partials (exact re-agg;
-    a ``uniq_sketch`` column, when present, merges via sketch union)."""
+    a ``uniq_sketch`` column, when present, merges via HLL union, and a
+    ``q_sketch`` column via KLL merge — joined back on the group keys
+    since the KLL merge is an applyInPandas, not a JVM aggregate)."""
     key_cols = list(key_cols)
     aggs = [
         F.sum("n_points").alias("n_points"),
@@ -134,10 +163,16 @@ def rollup_from_partials(
         aggs.append(
             F.hll_union_agg("uniq_sketch", F.lit(False)).alias("uniq_sketch")
         )
-    return (
+    jvm = (
         tier.groupBy(*key_cols, F.date_trunc(unit, F.col(tick_col)).alias("tick"))
         .agg(*aggs)
     )
+    if "q_sketch" not in tier.columns:
+        return jvm
+    qt = rollup_qsketch_from_partials(
+        tier, unit, key_cols=key_cols, tick_col=tick_col
+    ).drop("n_points")
+    return jvm.join(qt, on=key_cols + ["tick"], how="left")
 
 
 def with_avg(tier: DataFrame) -> DataFrame:
@@ -241,34 +276,37 @@ def rollup_quantile_sketch(
     partition layout changes insert order, which changes which samples
     survive compaction (rank error stays within bound — test-enforced).
     """
-    import pandas as pd
-
-    from repurpose_spark.functions.qsketch import QuantileSketch
-
     key_cols = list(key_cols)
     slim = points.select(
         *key_cols,
         F.date_trunc(unit, F.col(ts_col)).alias("tick"),
         F.col(value_col).cast("double").alias("_v"),
     )
+    return _qsketch_tier(slim, key_cols + ["tick"], k)
+
+
+def _qsketch_tier(slim: DataFrame, gcols: list, k: int) -> DataFrame:
+    """Partial+final over a (gcols..., _v) frame: per-partition partial
+    sketches via mapInPandas (raw never shuffles), then a per-group
+    merge of the O(partitions × groups) blobs."""
+    import pandas as pd
+
+    from repurpose_spark.functions.qsketch import QuantileSketch
+
     part_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in slim.schema.fields
         if f.name != "_v"
     ) + ", q_sketch binary, n_points long"
 
-    gcols = key_cols + ["tick"]
-
     def partials(batches):
         acc: dict[tuple, QuantileSketch] = {}
-        keys_of: dict[tuple, tuple] = {}
         for pdf in batches:
             for key, grp in pdf.groupby(gcols, dropna=False, sort=False):
                 kt = tuple(key) if isinstance(key, tuple) else (key,)
                 sk = acc.get(kt)
                 if sk is None:
                     sk = acc[kt] = QuantileSketch(k)
-                    keys_of[kt] = kt
                 sk.update(grp["_v"].to_numpy(dtype=np.float64, na_value=np.nan))
         if acc:
             yield pd.DataFrame(

@@ -75,6 +75,7 @@ class TierPipeline:
         job_id: str = "tiers",
         postprocess: list | None = None,
         sketch_distinct: bool = False,
+        sketch_quantiles: bool = False,
         hot_cell_threshold: float = 0.2,
         salt_buckets: int = 16,
     ):
@@ -89,6 +90,13 @@ class TierPipeline:
         daily sketch union; rollup.py determinism caveat applies) —
         distinct-vocabulary continuous aggregates with no raw re-read.
 
+        ``sketch_quantiles``: carry a mergeable KLL ``q_sketch`` of the
+        token column through the tiers (percentile continuous
+        aggregates — daily p50/p99 without raw re-reads; rank-error
+        bounded, functions/qsketch.py).  Downstream maintenance
+        (incremental refresh, compaction, expiry) treats it as any
+        other mergeable partial column.
+
         ``hot_cell_threshold`` / ``salt_buckets``: finalize's clustered
         tier writes fan any cell holding more than ``threshold`` of the
         refresh scope's points over ``salt_buckets`` write slices
@@ -102,6 +110,7 @@ class TierPipeline:
         self.job_id = job_id
         self.postprocess = postprocess or []
         self.sketch_distinct = sketch_distinct
+        self.sketch_quantiles = sketch_quantiles
         self.hot_cell_threshold = hot_cell_threshold
         self.salt_buckets = salt_buckets
 
@@ -457,6 +466,7 @@ class TierPipeline:
                 dt_seconds=self.cfg.dt_seconds,
                 epoch=self.cfg.epoch,
                 sketch_distinct=self.sketch_distinct,
+                sketch_quantiles=self.sketch_quantiles,
             ).cache()
             # idempotent commit: the batch owns its own partition and
             # overwrites it wholesale — no dynamic-overwrite staging or

@@ -645,3 +645,55 @@ def test_pipeline_sketch_distinct_tier(spark, seqs, tmp_path):
     wh2 = Warehouse(spark, str(tmp_path / "wh2"))
     TierPipeline(spark, wh2, CFG, job_id="t").run(seqs, n_batches=2)
     assert "uniq_sketch" not in wh2.read("t_hourly").columns
+
+
+def test_pipeline_sketch_quantiles_tier(spark, seqs, tmp_path):
+    """Opt-in percentile tier: the hourly tier carries a mergeable KLL
+    q_sketch partial, the daily tier merges it, and per (cell, doc, day)
+    the estimated token quantiles sit within the rank bound of the
+    exact answer computed from raw (which the tiers never re-read).
+    The exact JVM aggregates must be IDENTICAL to a plain run — the
+    sketch joins in as an extra column, never perturbing them."""
+    import numpy as np
+
+    from repurpose_spark.operators.reorient import sequences_to_points
+    from repurpose_spark.operators.rollup import quantile_rows
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(spark, wh, CFG, job_id="t", sketch_quantiles=True)
+    pipe.run(seqs, n_batches=2)
+    hourly = wh.read(pipe.hourly_table())
+    daily = wh.read(pipe.daily_table())
+    assert "q_sketch" in hourly.columns and "q_sketch" in daily.columns
+
+    est = {
+        (r["cell_id"], r["doc_id"], r["tick"], r["q"]): r["value_est"]
+        for r in quantile_rows(
+            daily.select("cell_id", "doc_id", "tick", "q_sketch", "n_points")
+        ).collect()
+    }
+    pts = sequences_to_points(seqs, CFG, with_ts=True)
+    raw = pts.select(
+        "cell_id", "doc_id", F.date_trunc("day", "ts").alias("tick"), "token"
+    ).toPandas()
+    groups = {
+        k: g["token"].to_numpy(dtype=float)
+        for k, g in raw.groupby(["cell_id", "doc_id", "tick"])
+    }
+    assert len(est) == 3 * len(groups)
+    for (cell, doc, tick, qlab), v in est.items():
+        data = np.sort(groups[(cell, doc, tick)])
+        q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[qlab]
+        lo = np.searchsorted(data, v, side="left") / len(data)
+        hi = np.searchsorted(data, v, side="right") / len(data)
+        assert lo - 0.02 <= q <= hi + 0.02, (cell, doc, tick, qlab, v)
+
+    # the exact aggregates are untouched by the opt-in column
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    TierPipeline(spark, wh2, CFG, job_id="t").run(seqs, n_batches=2)
+    plain = wh2.read("t_daily")
+    a = sorted(
+        map(tuple, daily.select(*plain.columns).collect())
+    )
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
