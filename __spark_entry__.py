@@ -1147,6 +1147,50 @@ def q_ev_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentile tier, bracket-certified: events drain
+    through an AvailableNow readStream whose per-(event_type, day)
+    state IS the KLL sketch bytes (applyInPandasWithState — the custom-
+    binary-state pattern; exact streaming percentiles would hold every
+    value in state).  Same sentinel-advanced-watermark drain as the
+    other streaming queries; certified by the SAME bracket oracle as
+    the batch percentile tier — estimates between DuckDB's exact
+    quantile values at q∓0.02, exact columns byte-matched."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from repurpose_spark.streaming.incremental import run_available_now
+    from repurpose_spark.streaming.stateful import stateful_quantile_tier
+
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+        ev.orderBy("ts").coalesce(1).write.parquet(src)
+        import time as _time
+
+        _time.sleep(1.05)  # sentinel must sort after the data file (mtime)
+        spark.createDataFrame(
+            [("__sentinel__", datetime(2030, 1, 1), 0.0)],
+            "event_type string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = stateful_quantile_tier(
+            spark.readStream.schema(
+                "event_type string, ts timestamp, value double"
+            ).option("maxFilesPerTrigger", 8).parquet(src),
+            watermark="1 hour",
+        )
+        run_available_now(stream, out, ckpt)
+        res = spark.read.parquet(out).where(
+            F.col("event_type") != "__sentinel__"
+        ).select("event_type", "tick", "q", "n_points", "value_est")
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_ev_daily_uniques_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count continuous aggregate: daily unique users per
     event_type via HLL sketch tiers (hourly sketches → hll_union_agg
@@ -1409,6 +1453,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_stream_uniques": q_ev_stream_uniques,
         "ev_daily_uniques_sketch": q_ev_daily_uniques_sketch,
         "ev_value_quantiles": q_ev_value_quantiles,
+        "ev_stream_quantiles": q_ev_stream_quantiles,
         "doc_bpe_roundtrip": q_doc_bpe_roundtrip,
     }
 
@@ -1424,7 +1469,7 @@ def error_bound_oracles() -> dict[str, dict]:
     ~1.04/sqrt(2^12) ≈ 1.6 %; 0.08 is a 5σ bound — a wrong pipeline
     (e.g. sum-of-hourly-distincts, the overcount this tier exists to
     avoid) overshoots by the recurrence factor, far outside it."""
-    return {
+    out = {
         "mm_jpeg_stats": {
             # exact per-doc mean of the closed-form pixel family; the
             # decoded mean after a q95 444/420 round trip sits well
@@ -1555,6 +1600,14 @@ SELECT event_type, tick, 'p99', n_points, lo99, hi99 FROM g
             "bracket": {"lo_col": "value_lo", "hi_col": "value_hi"},
         },
     }
+    out["ev_stream_quantiles"] = {
+        # streaming twin: identical bracket contract; the data path is
+        # readStream -> binary KLL state -> watermark-timeout emission
+        "sql": out["ev_value_quantiles"]["sql"],
+        "est_col": "value_est",
+        "bracket": {"lo_col": "value_lo", "hi_col": "value_hi"},
+    }
+    return out
 
 
 # SQL fragments shared by the synthetic-sequence oracles: regenerate the

@@ -27,6 +27,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = (
@@ -118,6 +119,93 @@ def stateful_sessionize(
             _session_fn(gap_us),
             OUT_SCHEMA,
             STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ------------------------------------------------------ percentile state
+Q_OUT_SCHEMA = (
+    "event_type string, tick timestamp, q string, n_points long, "
+    "value_est double"
+)
+Q_STATE_SCHEMA = "q_sketch binary, n_points long"
+_Q_LABELS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+
+def _quantile_fn(window_ms: int, k: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from repurpose_spark.functions.qsketch import QuantileSketch
+
+        event_type, tick = key
+        if state.hasTimedOut:
+            # watermark passed the window end: no in-watermark data can
+            # still land in it — emit the long-form estimates and clear
+            qb, _n = state.get
+            state.remove()
+            sk = QuantileSketch.from_bytes(bytes(qb))
+            vals = sk.quantiles([p for _, p in _Q_LABELS])
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type] * len(_Q_LABELS),
+                    "tick": [pd.Timestamp(tick)] * len(_Q_LABELS),
+                    "q": [lab for lab, _ in _Q_LABELS],
+                    "n_points": [sk.n] * len(_Q_LABELS),
+                    "value_est": vals,
+                }
+            )
+            return
+        import numpy as np
+
+        batch = pd.concat(list(pdfs))
+        if state.exists:
+            qb, _n = state.get
+            sk = QuantileSketch.from_bytes(bytes(qb))
+        else:
+            sk = QuantileSketch(k)
+        sk.update(batch["value"].to_numpy(dtype=np.float64, na_value=np.nan))
+        state.update((sk.to_bytes(), sk.n))
+        tick_ms = int(pd.Timestamp(tick).value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(tick_ms + window_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return fn
+
+
+def stateful_quantile_tier(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "day",
+    k: int = 512,
+) -> DataFrame:
+    """Streaming twin of the batch percentile tier
+    (rollup.py::rollup_quantile_sketch): the per-(event_type, window)
+    state IS the mergeable KLL sketch — each micro-batch folds its
+    values into the checkpointed sketch bytes, so a window's p50/p90/p99
+    update incrementally without re-reading raw (the same
+    non-mergeability wall as streaming distinct counts: exact
+    percentiles would need every value in state).  Unlike the HLL twin
+    (`incremental.py::incremental_uniques_rollup`, a built-in typed
+    aggregate), the KLL sketch has no JVM aggregate, so this rides
+    ``applyInPandasWithState`` with BINARY state — the pattern for any
+    custom sketch.  Emits the long-form (q, value_est) rows the batch
+    tier's `quantile_rows` emits, once the watermark passes the window
+    end (append mode, exactly once)."""
+    window_ms = {"hour": 3_600_000, "day": 86_400_000}[window]
+    return (
+        events.withColumn("tick", F.date_trunc(window, F.col("ts")))
+        .withWatermark("ts", watermark)
+        .groupBy("event_type", "tick")
+        .applyInPandasWithState(
+            _quantile_fn(window_ms, k),
+            Q_OUT_SCHEMA,
+            Q_STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )

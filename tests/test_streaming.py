@@ -319,3 +319,65 @@ def test_streaming_uniques_sketch_matches_exact_within_error(spark, tmp_path):
         e = exact[k]
         assert g.n_points == e.n_points  # exact column: byte-match
         assert abs(g.n_distinct_est - e.n_exact) <= 0.08 * e.n_exact + 1
+
+
+def test_streaming_quantile_tier_within_rank_bound(spark, tmp_path):
+    """Binary KLL state through applyInPandasWithState: a drained
+    AvailableNow run must emit long-form (q, value_est) rows whose
+    estimates land within the rank bound of the exact per-(type, day)
+    quantiles, with n_points byte-matching the exact count."""
+    import numpy as np
+    from datetime import datetime
+
+    from repurpose_spark.streaming.incremental import run_available_now
+    from repurpose_spark.streaming.stateful import stateful_quantile_tier
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = spark.range(30_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+            "event_type"
+        ),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") * 7919) % (4 * 86400)
+        ).alias("ts"),
+        ((((F.col("id") * 104729) % 1000) ** 2) / 1000.0).alias("value"),
+    )
+    ev.orderBy("ts").coalesce(1).write.parquet(src)
+    import time as _time
+
+    _time.sleep(1.05)
+    spark.createDataFrame(
+        [("__sentinel__", datetime(2031, 1, 1), 0.0)],
+        "event_type string, ts timestamp, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = stateful_quantile_tier(
+        spark.readStream.schema(
+            "event_type string, ts timestamp, value double"
+        ).option("maxFilesPerTrigger", 4).parquet(src),
+        watermark="1 hour",
+    )
+    run_available_now(stream, out, ckpt)
+    got = spark.read.parquet(out).where(
+        F.col("event_type") != "__sentinel__"
+    ).collect()
+    pdf = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("tick"), "value"
+    ).toPandas()
+    groups = {
+        k: np.sort(g["value"].to_numpy())
+        for k, g in pdf.groupby(["event_type", "tick"])
+    }
+    # 4 days of seconds offset from a mid-day epoch → 5 partial calendar
+    # days × 3 types
+    assert len(got) == 3 * len(groups) and len(groups) == 15
+    for r in got:
+        data = groups[(r.event_type, r.tick)]
+        assert r.n_points == len(data)
+        q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[r.q]
+        lo = np.searchsorted(data, r.value_est, side="left") / len(data)
+        hi = np.searchsorted(data, r.value_est, side="right") / len(data)
+        assert lo - 0.02 <= q <= hi + 0.02, (r, lo, hi)
