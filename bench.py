@@ -58,6 +58,8 @@ HEADLINE = [
     "emb_near_dup_pairs",
     "doc_mixture",
     "mm_decode_stats",
+    "ev_value_quantiles",
+    "doc_bpe_roundtrip",
 ]
 
 
