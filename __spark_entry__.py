@@ -1093,6 +1093,26 @@ def q_ev_stream_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_doc_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with an EXACT oracle: per-(lang, source) top-5
+    words via the Misra–Gries candidate pass + exact verify
+    (operators/heavyhitters.py) — the third non-mergeable aggregate
+    family (after distinct counts and percentiles).  The shuffle
+    carries O(partitions × groups × m) candidate counters instead of
+    every distinct (group, word) pair; the verify pass makes the
+    emitted counts exact, so DuckDB's full top-k must byte-match,
+    including the per-group ``guaranteed`` self-certification flag."""
+    from repurpose_spark.operators.heavyhitters import top_words
+
+    d = _wide(_t(spark, sf_dir, "documents"))
+    return top_words(d, key_cols=["lang", "source"], k=5, m=256).select(
+        "lang", "source", "word",
+        F.col("n").cast("long").alias("n"),
+        F.col("rnk").cast("int").alias("rnk"),
+        "guaranteed",
+    )
+
+
 def q_doc_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE, certified end-to-end: train a real merge table on
     the corpus (distributed word-frequency pass → classic merge
@@ -1455,6 +1475,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_value_quantiles": q_ev_value_quantiles,
         "ev_stream_quantiles": q_ev_stream_quantiles,
         "doc_bpe_roundtrip": q_doc_bpe_roundtrip,
+        "doc_top_words": q_doc_top_words,
     }
 
 
@@ -2028,6 +2049,30 @@ FROM pairs WHERE rk = 1 AND dist <= 0.25
 SELECT doc_id,
        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS detok_text
 FROM documents
+""",
+        # exact top-k incl. the MG self-certification flag: guaranteed
+        # iff the kth count exceeds n_group/m (m=256 in the query)
+        "doc_top_words": """
+WITH w AS (
+  SELECT lang, source,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+  FROM documents
+),
+c AS (
+  SELECT lang, source, word, COUNT(*) AS n
+  FROM w WHERE word != '' GROUP BY 1, 2, 3
+),
+t AS (SELECT lang, source, SUM(n) AS total FROM c GROUP BY 1, 2),
+r AS (
+  SELECT c.*, ROW_NUMBER() OVER (
+           PARTITION BY lang, source ORDER BY n DESC, word
+         ) AS rnk
+  FROM c QUALIFY rnk <= 5
+)
+SELECT r.lang, r.source, r.word, r.n, CAST(r.rnk AS INT) AS rnk,
+       (MIN(r.n) OVER (PARTITION BY r.lang, r.source) * 256) > t.total
+         AS guaranteed
+FROM r JOIN t USING (lang, source)
 """,
         "ev_hourly_rollup": """
 SELECT event_type,

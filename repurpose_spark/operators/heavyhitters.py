@@ -1,0 +1,164 @@
+"""Heavy hitters: exact per-group top-k via a Misra–Gries candidate pass.
+
+The third non-mergeable aggregate family the tier architecture hits
+(after distinct counts → HLL, percentiles → KLL): "top-k items per
+group" cannot be computed from per-partition top-k lists (an item
+ranked k+1 everywhere can be the global #1).  The naive exact plan
+shuffles EVERY distinct (group, item) pair — at 100 TB with URL- or
+user-grade item cardinality that is billions of rows through the
+exchange for an answer of k rows per group.
+
+This operator runs the production two-phase shape instead:
+
+1. **Candidates** (Misra–Gries): each partition folds its rows into an
+   MG summary of capacity ``m`` per group (mapInPandas, pure dicts);
+   partial summaries merge per group.  MG's guarantee: any item with
+   true frequency > n/m SURVIVES, and estimates undercount by at most
+   n/m.  The shuffle carries O(partitions × groups × m) rows — bounded
+   by construction, independent of item cardinality.
+2. **Exact verify**: the ≤m candidates per group broadcast back onto
+   the raw items (semi-join, map-side), and ONLY their counts aggregate
+   exactly (map-side combined → O(groups × m) final rows).  The emitted
+   top-k counts are therefore EXACT, not estimates — same
+   sketch-then-verify discipline as the MinHash pipeline
+   (operators/dedup.py).
+
+3. **Self-certification**: the result carries ``guaranteed`` per group
+   — true iff the kth exact count exceeds n_group/m, in which case MG
+   provably could not have dropped any true top-k item (or boundary
+   tie), so the output is certified exact with no second opinion.  When
+   false, the caller should raise ``m`` (the honest failure mode —
+   never a silently wrong answer flagged right).
+
+Reference analog: per-cell attribute summaries (stack.py min/max
+metadata); the frequent-items generalization is the DataSketches /
+TimescaleDB companion of the HLL and KLL tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _mg_fold(counts: dict, items, weights, m: int) -> None:
+    """Fold weighted items into an MG summary of capacity m (in place).
+
+    Classic decrement generalized to weights: when the table overflows,
+    subtract the (m+1)-th largest count from everyone and drop ≤0 —
+    equivalent to len(counters)-minus-m rounds of the unit decrement.
+    """
+    for it, w in zip(items, weights):
+        counts[it] = counts.get(it, 0) + int(w)
+    if len(counts) > m:
+        kth = sorted(counts.values(), reverse=True)[m]
+        for it in list(counts):
+            c = counts[it] - kth
+            if c > 0:
+                counts[it] = c
+            else:
+                del counts[it]
+
+
+def topk_frequent(
+    items_df: DataFrame,
+    item_col: str,
+    key_cols: list,
+    k: int = 5,
+    m: int = 256,
+) -> DataFrame:
+    """(keys…, item) frame → exact per-group top-k with tie-break
+    (count desc, item asc) and the per-group ``guaranteed`` flag.
+    Output: keys…, item_col, n, rnk, guaranteed."""
+    import pandas as pd
+
+    key_cols = list(key_cols)
+    gcols = key_cols
+    slim = items_df.select(*key_cols, F.col(item_col).alias("_it"))
+    part_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in slim.schema.fields
+        if f.name != "_it"
+    ) + f", {item_col} string, est_n long"
+
+    def partials(batches):
+        from collections import Counter
+
+        acc: dict[tuple, dict] = {}
+        for pdf in batches:
+            grouped = pdf.groupby(gcols, dropna=False, sort=False)
+            for key, grp in grouped:
+                kt = key if isinstance(key, tuple) else (key,)
+                d = acc.setdefault(kt, {})
+                batch_counts = Counter(grp["_it"])
+                _mg_fold(
+                    d, batch_counts.keys(), batch_counts.values(), m
+                )
+        rows = [
+            (*kt, it, n) for kt, d in acc.items() for it, n in d.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=gcols + [item_col, "est_n"])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        d: dict = {}
+        _mg_fold(d, pdf[item_col], pdf["est_n"], m)
+        head = pdf.iloc[[0]][gcols]
+        out = pd.DataFrame(
+            {item_col: list(d), "est_n": list(d.values())}
+        )
+        for c in gcols:
+            out[c] = head[c].iloc[0]
+        return out[gcols + [item_col, "est_n"]]
+
+    cands = (
+        slim.mapInPandas(partials, part_schema)
+        .groupBy(*gcols)
+        .applyInPandas(merge, part_schema)
+        .select(*gcols, item_col)
+    )
+
+    # exact verify: only candidate items aggregate — map-side combined,
+    # O(groups × m) rows through the exchange regardless of raw volume
+    exact = (
+        slim.withColumnRenamed("_it", item_col)
+        .join(F.broadcast(cands), on=gcols + [item_col], how="leftsemi")
+        .groupBy(*gcols, item_col)
+        .agg(F.count("*").alias("n"))
+    )
+    totals = slim.groupBy(*gcols).agg(F.count("*").alias("_total"))
+
+    w = Window.partitionBy(*gcols).orderBy(
+        F.desc("n"), F.asc(item_col)
+    )
+    ranked = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .join(F.broadcast(totals), on=gcols)
+    )
+    wk = Window.partitionBy(*gcols)
+    return (
+        ranked.withColumn(
+            "guaranteed",
+            (F.min("n").over(wk) * m) > F.col("_total"),
+        )
+        .drop("_total")
+        .select(*gcols, item_col, "n", "rnk", "guaranteed")
+    )
+
+
+def top_words(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_cols: list = ("lang", "source"),
+    k: int = 5,
+    m: int = 256,
+) -> DataFrame:
+    """Convenience: whitespace words of ``text_col`` as the item stream
+    (same normalization as the BPE word pass)."""
+    key_cols = list(key_cols)
+    items = docs.select(
+        *key_cols,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    return topk_frequent(items, "word", key_cols, k=k, m=m)
