@@ -697,3 +697,56 @@ def test_pipeline_sketch_quantiles_tier(spark, seqs, tmp_path):
     )
     b = sorted(map(tuple, plain.collect()))
     assert a == b
+
+
+def test_incremental_and_compaction_carry_quantile_sketch(
+    spark, seqs, tmp_path
+):
+    """The 'maintenance carries the column free' promise, exercised: an
+    incremental ingest (with a compaction in between) over a
+    sketch_quantiles pipeline keeps q_sketch on both tiers, and the
+    refreshed daily estimates stay within the rank bound of exact
+    quantiles over the COMBINED raw — including for cells only touched
+    by the original run."""
+    import numpy as np
+
+    from repurpose_spark.operators.reorient import sequences_to_points
+    from repurpose_spark.operators.rollup import quantile_rows
+
+    path = _write_input(spark, seqs, tmp_path, n_files=4)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = TierPipeline(
+        spark, wh, CFG, job_id="t", sketch_quantiles=True
+    )
+    pipe.run(input_path=path, n_batches=2)
+    pipe.compact()  # collapse completed batches before the increment
+
+    extra = synth_sequences(spark, N_DOCS + 50).where(
+        F.col("doc_id") >= f"doc{N_DOCS:08d}"
+    )
+    extra.repartition(2).write.mode("append").parquet(path)
+    pipe.run_incremental(path)
+
+    daily = wh.read(pipe.daily_table())
+    assert "q_sketch" in daily.columns
+    est = {
+        (r["cell_id"], r["doc_id"], r["tick"], r["q"]): r["value_est"]
+        for r in quantile_rows(
+            daily.select("cell_id", "doc_id", "tick", "q_sketch", "n_points")
+        ).collect()
+    }
+    combined = spark.read.parquet(path)
+    raw = sequences_to_points(combined, CFG, with_ts=True).select(
+        "cell_id", "doc_id", F.date_trunc("day", "ts").alias("tick"), "token"
+    ).toPandas()
+    groups = {
+        key: np.sort(g["token"].to_numpy(dtype=float))
+        for key, g in raw.groupby(["cell_id", "doc_id", "tick"])
+    }
+    assert len(est) == 3 * len(groups)
+    for (cell, doc, tick, qlab), v in est.items():
+        data = groups[(cell, doc, tick)]
+        q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[qlab]
+        lo = np.searchsorted(data, v, side="left") / len(data)
+        hi = np.searchsorted(data, v, side="right") / len(data)
+        assert lo - 0.02 <= q <= hi + 0.02, (cell, doc, tick, qlab)
