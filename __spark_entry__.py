@@ -1093,6 +1093,49 @@ def q_ev_stream_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill fill modes (TimescaleDB locf/interpolate parity): the
+    hourly per-type average densifies over the global tick axis, then
+    holes take (a) the last observation carried forward and (b) the
+    time-weighted linear blend of the bracketing observations — both
+    pure JVM window compositions (operators/gapfill.py:fill_forward/
+    fill_interpolate), one exchange on the keys over the POST-densify
+    frame, never raw.  Leading/trailing holes stay NULL in interpolate
+    (no extrapolation), leading stay NULL in locf — edge semantics the
+    oracle reproduces exactly."""
+    from repurpose_spark.operators.gapfill import (
+        fill_forward,
+        fill_interpolate,
+        gap_fill,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    # average over exact integer cents (the fixture has 2-decimal
+    # values): integer sums are associative, so the double division is
+    # bit-identical across engines — float-sum order would otherwise
+    # flip the 6th decimal on .5-boundary rows
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("tick")
+    ).agg(
+        (
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ) / F.count("value")
+        ).alias("v")
+    )
+    dense = gap_fill(hourly, "hour", key_cols=["event_type"])
+    out = fill_interpolate(
+        fill_forward(dense, ["event_type"], "tick", ["v"]),
+        ["event_type"], "tick", ["v"],
+    )
+    return out.select(
+        "event_type",
+        "tick",
+        F.round("v_locf", 6).alias("v_locf"),
+        F.round("v_interp", 6).alias("v_interp"),
+    )
+
+
 def q_doc_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters with an EXACT oracle: per-(lang, source) top-5
     words via the Misra–Gries candidate pass + exact verify
@@ -1476,6 +1519,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_stream_quantiles": q_ev_stream_quantiles,
         "doc_bpe_roundtrip": q_doc_bpe_roundtrip,
         "doc_top_words": q_doc_top_words,
+        "ev_gapfill_locf": q_ev_gapfill_locf,
     }
 
 
@@ -2049,6 +2093,50 @@ FROM pairs WHERE rk = 1 AND dist <= 0.25
 SELECT doc_id,
        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS detok_text
 FROM documents
+""",
+        # LOCF + linear interpolation over the densified hourly frame;
+        # identical arithmetic order both sides, rounded to 6 decimals
+        "ev_gapfill_locf": """
+WITH h AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS tick,
+         (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0)
+           / COUNT(value) AS v
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(tick) AS lo, max(tick) AS hi FROM h),
+axis AS (
+  SELECT unnest(generate_series(
+    (SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 HOUR)) AS tick
+),
+dense AS (
+  SELECT k.event_type, a.tick
+  FROM (SELECT DISTINCT event_type FROM h) k, axis a
+),
+j AS (
+  SELECT d.event_type, d.tick, h.v
+  FROM dense d LEFT JOIN h ON d.event_type = h.event_type
+                           AND d.tick = h.tick
+),
+x AS (
+  SELECT *, epoch(tick) AS t,
+    last_value(v IGNORE NULLS) OVER w_p AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch(tick) END IGNORE NULLS)
+      OVER w_p AS pt,
+    first_value(v IGNORE NULLS) OVER w_f AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch(tick) END IGNORE NULLS)
+      OVER w_f AS nt
+  FROM j
+  WINDOW w_p AS (PARTITION BY event_type ORDER BY tick
+                 ROWS UNBOUNDED PRECEDING),
+         w_f AS (PARTITION BY event_type ORDER BY tick
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, tick,
+       round(pv, 6) AS v_locf,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6)
+         AS v_interp
+FROM x
 """,
         # exact top-k incl. the MG self-certification flag: guaranteed
         # iff the kth count exceeds n_group/m (m=256 in the query)

@@ -65,3 +65,72 @@ def gap_fill(
     for c, v in (fill_values or {}).items():
         filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     return filled
+
+
+def fill_forward(
+    filled: DataFrame,
+    key_cols: list = ("cell_id", "doc_id"),
+    tick_col: str = "tick",
+    value_cols: list = (),
+) -> DataFrame:
+    """LOCF (last observation carried forward) over a densified frame:
+    each NULL hole takes the most recent non-null value of its key
+    (TimescaleDB ``locf``).  Pure JVM — ``last(ignorenulls)`` over a
+    running window; one exchange on the keys, in-partition sort on the
+    tick (ticks per key are bounded by the fill range, so the sort is
+    the small post-densify frame, never raw).  Leading holes (before a
+    key's first observation) stay NULL."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(tick_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = filled
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_locf", F.last(c, ignorenulls=True).over(w)
+        )
+    return out
+
+
+def fill_interpolate(
+    filled: DataFrame,
+    key_cols: list = ("cell_id", "doc_id"),
+    tick_col: str = "tick",
+    value_cols: list = (),
+) -> DataFrame:
+    """Linear interpolation over a densified frame (TimescaleDB
+    ``interpolate``): a hole strictly between two observations of its
+    key takes the time-weighted blend of the two; holes before the
+    first or after the last observation stay NULL (no extrapolation).
+    Pure JVM: the bracketing observation value/time come from
+    ``last/first(ignorenulls)`` over the past/future running windows —
+    same single exchange as LOCF (one window partitioning, four frames
+    over it)."""
+    from pyspark.sql import Window
+
+    past = (
+        Window.partitionBy(*key_cols)
+        .orderBy(tick_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    future = (
+        Window.partitionBy(*key_cols)
+        .orderBy(tick_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col(tick_col).cast("double")
+    out = filled
+    for c in value_cols:
+        obs_t = F.when(F.col(c).isNotNull(), t)
+        pv = F.last(c, ignorenulls=True).over(past)
+        pt = F.last(obs_t, ignorenulls=True).over(past)
+        nv = F.first(c, ignorenulls=True).over(future)
+        nt = F.first(obs_t, ignorenulls=True).over(future)
+        interp = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            pv + (nv - pv) * (t - pt) / (nt - pt)
+        )
+        out = out.withColumn(f"{c}_interp", interp)
+    return out

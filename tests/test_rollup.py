@@ -189,3 +189,37 @@ def test_distinct_sketch_survives_parquet_roundtrip(spark, tmp_path):
     assert len(daily) == 1
     est = daily[0]["n_distinct_est"]
     assert abs(est - 777) / 777 < 0.05
+
+
+def test_fill_forward_and_interpolate(spark):
+    """LOCF + linear interpolation semantics on a hand-checkable frame:
+    interior holes blend time-weighted, leading holes stay NULL in both
+    (locf) / interpolation never extrapolates past the last observation."""
+    from repurpose_spark.operators.gapfill import (
+        fill_forward,
+        fill_interpolate,
+        gap_fill,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00", 10.0),
+            ("a", "2024-01-01 03:00:00", 40.0),
+            ("b", "2024-01-01 01:00:00", 5.0),
+        ],
+        "k string, tick string, v double",
+    ).withColumn("tick", F.col("tick").cast("timestamp"))
+    dense = gap_fill(df, "hour", key_cols=["k"], tick_col="tick")
+    out = fill_interpolate(
+        fill_forward(dense, ["k"], "tick", ["v"]), ["k"], "tick", ["v"]
+    )
+    rows = {
+        (r.k, r.tick.hour): (r.v_locf, r.v_interp) for r in out.collect()
+    }
+    assert rows[("a", 0)] == (10.0, 10.0)
+    assert rows[("a", 1)] == (10.0, 20.0)   # 1/3 of the way 10→40
+    assert rows[("a", 2)] == (10.0, 30.0)
+    assert rows[("a", 3)] == (40.0, 40.0)
+    assert rows[("b", 0)] == (None, None)   # leading hole: no fill
+    assert rows[("b", 2)] == (5.0, None)    # trailing: locf yes, interp no
+    assert rows[("b", 3)] == (5.0, None)
