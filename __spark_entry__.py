@@ -1093,6 +1093,61 @@ def q_ev_stream_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_ev_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter increase (PromQL ``increase()`` semantics,
+    operators/rates.py): a deterministic wrapped counter is built from
+    the event stream (cumulative integer cents mod 10^6 per event_type
+    — the wrap IS the reset), then per-day increases sum the positive
+    deltas and count resets as post-reset values.  Exact oracle: all
+    arithmetic is integer, so DuckDB reproduces every delta
+    byte-for-byte."""
+    from repurpose_spark.operators.rates import counter_increase
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c0 = ev.groupBy("event_type", "ts").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c0")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    series = c0.select(
+        "event_type", "ts", (F.sum("c0").over(w) % 1_000_000).alias("counter")
+    )
+    return counter_increase(
+        series, ["event_type"], "ts", "counter", "day"
+    ).select(
+        "event_type", "tick",
+        F.col("increase").cast("long").alias("increase"),
+        F.col("n_deltas").cast("long").alias("n_deltas"),
+    )
+
+
+def q_ev_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average (TimescaleDB
+    ``time_weight('Linear')`` parity, operators/rates.py): per
+    (event_type, day), segments between consecutive samples integrate
+    (v_i+v_{i+1})/2·Δt; single-sample buckets fall back to the plain
+    mean.  ``int_scale=100`` runs the whole integral in exact integer
+    arithmetic (scaled longs × unix_micros), so the double result is
+    bit-identical across engines and partition layouts — what makes a
+    float aggregate certifiable byte-for-byte."""
+    from repurpose_spark.operators.rates import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy("event_type", "ts").agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+        ).alias("value")
+    )
+    return time_weighted_avg(
+        base, ["event_type"], "ts", "value", "day", int_scale=100
+    ).select(
+        "event_type", "tick", "twa",
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
 def q_ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill fill modes (TimescaleDB locf/interpolate parity): the
     hourly per-type average densifies over the global tick axis, then
@@ -1520,6 +1575,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_roundtrip": q_doc_bpe_roundtrip,
         "doc_top_words": q_doc_top_words,
         "ev_gapfill_locf": q_ev_gapfill_locf,
+        "ev_counter_rate": q_ev_counter_rate,
+        "ev_time_weighted": q_ev_time_weighted,
     }
 
 
@@ -2093,6 +2150,66 @@ FROM pairs WHERE rk = 1 AND dist <= 0.25
 SELECT doc_id,
        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS detok_text
 FROM documents
+""",
+        # reset-aware counter increase: integer arithmetic end to end
+        "ev_counter_rate": """
+WITH c AS (
+  SELECT event_type, ts,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS c0
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, ts,
+         SUM(c0) OVER (PARTITION BY event_type ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) % 1000000 AS counter
+  FROM c
+),
+d AS (
+  SELECT event_type, ts, counter,
+         lag(counter) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+  FROM s
+)
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS tick,
+       CAST(SUM(CASE WHEN prev IS NULL THEN NULL
+                     WHEN counter >= prev THEN counter - prev
+                     ELSE counter END) AS BIGINT) AS increase,
+       CAST(COUNT(CASE WHEN prev IS NULL THEN NULL ELSE 1 END) AS BIGINT)
+         AS n_deltas
+FROM d GROUP BY 1, 2
+""",
+        # trapezoidal TWA mirrored in the same exact integer arithmetic
+        "ev_time_weighted": """
+WITH c AS (
+  SELECT event_type, ts,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS vint
+  FROM events GROUP BY 1, 2
+),
+seg AS (
+  SELECT event_type, ts, vint,
+         date_trunc('day', ts) AS tick,
+         lead(vint) OVER w AS nv,
+         lead(ts) OVER w AS nt
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+g AS (
+  SELECT event_type, CAST(tick AS TIMESTAMP) AS tick,
+         SUM(CASE WHEN date_trunc('day', nt) = tick
+                  THEN (vint + nv) * (epoch_us(nt) - epoch_us(ts)) END)
+           AS sa2,
+         SUM(CASE WHEN date_trunc('day', nt) = tick
+                  THEN epoch_us(nt) - epoch_us(ts) END) AS st,
+         SUM(vint) AS sv,
+         COUNT(vint) AS n_points
+  FROM seg GROUP BY 1, 2
+)
+SELECT event_type, tick,
+       CASE WHEN st IS NOT NULL AND st > 0
+            THEN (sa2 / (2.0 * 100)) / (st / 1e6)
+            ELSE (sv / CAST(100 AS DOUBLE)) / n_points END AS twa,
+       CAST(n_points AS BIGINT) AS n_points
+FROM g
 """,
         # LOCF + linear interpolation over the densified hourly frame;
         # identical arithmetic order both sides, rounded to 6 decimals

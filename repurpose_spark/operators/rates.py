@@ -1,0 +1,158 @@
+"""Counter/gauge analytics: reset-aware increase and time-weighted avg.
+
+Two classic time-series aggregates the plain rollup family can't
+express (both are ORDER-dependent within a series, not commutative
+folds):
+
+* ``counter_increase`` — PromQL ``increase()`` semantics: a
+  monotonically increasing counter (bytes written, rows ingested)
+  emits samples; its per-bucket increase is the sum of positive deltas,
+  and a DECREASE between consecutive samples is a counter reset (the
+  process restarted), contributing the post-reset value rather than a
+  negative delta.
+* ``time_weighted_avg`` — TimescaleDB ``time_weight('Linear')``: for
+  irregularly sampled gauges, the arithmetic mean overweights bursts;
+  the trapezoidal integral between consecutive samples divided by the
+  covered span is the honest per-bucket average.
+
+Both are pure JVM window compositions: one hash exchange on the series
+keys, an in-partition sort on the timestamp, then ``lag``/``lead`` +
+conditional aggregation — no UDF, no second shuffle (the final groupBy
+re-uses the same key prefix).  Segment attribution rule (documented,
+oracle-mirrored): a delta/segment belongs to the bucket of its LATER
+sample for increases and its EARLIER sample for trapezoids, and only
+segments with both endpoints in one bucket integrate (no cross-bucket
+clipping) — buckets with a single sample fall back to that sample's
+value for TWA.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def counter_increase(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "counter",
+    unit: str = "day",
+) -> DataFrame:
+    """Per-(keys, date_trunc(unit)) reset-aware increase.
+
+    delta_i = v_i - v_{i-1} when ≥ 0 else v_i (reset: the counter
+    restarted from ~0, so the visible post-reset value is the best
+    lower bound of the true increase — PromQL's rule).  The first
+    sample of a series contributes nothing (no predecessor).  Deltas
+    attribute to the bucket of their LATER sample."""
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(value_col).over(w)
+    delta = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(F.col(value_col) >= prev, F.col(value_col) - prev).otherwise(
+            F.col(value_col)
+        )
+    )
+    return (
+        df.withColumn("_d", delta)
+        .groupBy(
+            *key_cols, F.date_trunc(unit, F.col(ts_col)).alias("tick")
+        )
+        .agg(
+            F.sum("_d").alias("increase"),
+            F.count("_d").alias("n_deltas"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "day",
+    int_scale: int | None = None,
+) -> DataFrame:
+    """Per-(keys, date_trunc(unit)) trapezoidal time-weighted average.
+
+    Segments between consecutive samples of one series integrate as
+    (v_i + v_{i+1})/2 · (t_{i+1} − t_i), attributed to the EARLIER
+    sample's bucket and only when both endpoints share that bucket.
+    Buckets whose samples form no such segment (single sample) fall
+    back to the plain average of their samples.
+
+    ``int_scale``: when the values are fixed-point (e.g. 2-decimal →
+    100), the whole integral runs in EXACT integer arithmetic —
+    values as scaled longs, time as ``unix_micros`` — so the result is
+    bit-identical regardless of partition/summation order (float sums
+    are not associative; this is what makes the aggregate certifiable
+    against an external engine byte-for-byte)."""
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    tick = F.date_trunc(unit, F.col(ts_col))
+    nxt_t = F.lead(ts_col).over(w)
+    same_bucket = F.date_trunc(unit, nxt_t) == tick
+
+    if int_scale is not None:
+        v = F.round(F.col(value_col) * int_scale).cast("long")
+        t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        nxt_v = F.lead(v).over(w)
+        nxt_us = F.unix_micros(nxt_t.cast("timestamp"))
+        seg_dt = F.when(same_bucket, nxt_us - t_us)  # long µs
+        seg_area2 = F.when(same_bucket, (v + nxt_v) * (nxt_us - t_us))
+        return (
+            df.withColumn("_v", v)
+            .withColumn("_dt", seg_dt)
+            .withColumn("_a2", seg_area2)
+            .groupBy(*key_cols, tick.alias("tick"))
+            .agg(
+                F.sum("_a2").alias("_sa2"),
+                F.sum("_dt").alias("_st"),
+                F.sum("_v").alias("_sv"),
+                F.count("_v").alias("n_points"),
+            )
+            .select(
+                *key_cols,
+                "tick",
+                F.when(
+                    F.col("_st").isNotNull() & (F.col("_st") > 0),
+                    (F.col("_sa2") / (2.0 * int_scale)) / (F.col("_st") / 1e6),
+                )
+                .otherwise(
+                    (F.col("_sv") / float(int_scale)) / F.col("n_points")
+                )
+                .alias("twa"),
+                "n_points",
+            )
+        )
+
+    t = F.col(ts_col).cast("double")
+    nxt_v = F.lead(value_col).over(w)
+    seg_dt = F.when(same_bucket, nxt_t.cast("double") - t)
+    seg_area = F.when(
+        same_bucket,
+        (F.col(value_col) + nxt_v) / 2.0 * (nxt_t.cast("double") - t),
+    )
+    return (
+        df.withColumn("_dt", seg_dt)
+        .withColumn("_area", seg_area)
+        .groupBy(*key_cols, tick.alias("tick"))
+        .agg(
+            F.sum("_area").alias("_sa"),
+            F.sum("_dt").alias("_st"),
+            F.avg(value_col).alias("_plain"),
+            F.count(value_col).alias("n_points"),
+        )
+        .select(
+            *key_cols,
+            "tick",
+            F.when(
+                F.col("_st").isNotNull() & (F.col("_st") > 0),
+                F.col("_sa") / F.col("_st"),
+            )
+            .otherwise(F.col("_plain"))
+            .alias("twa"),
+            "n_points",
+        )
+    )
