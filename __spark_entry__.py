@@ -987,6 +987,36 @@ def q_mm_flac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_stream(spark, write_src, sentinel_row, sentinel_schema,
+                  build_stream, finish) -> DataFrame:
+    """Shared sentinel-drain harness for the streaming driver queries
+    (one copy of the timing-sensitive protocol): stage the input files,
+    sleep past the mtime granularity, append the far-future sentinel
+    LAST (the file source orders it into the final micro-batch, its
+    watermark advance flushes every real window), drain AvailableNow,
+    and materialize the filtered result before the temp dirs vanish."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from repurpose_spark.streaming.incremental import run_available_now
+
+    base = tempfile.mkdtemp(prefix="stream_drain_")
+    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        write_src(src)
+        _time.sleep(1.05)  # sentinel file must sort after the data (mtime)
+        spark.createDataFrame(
+            [sentinel_row], sentinel_schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_available_now(build_stream(src), out, ckpt)
+        res = finish(spark.read.parquet(out))
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_seq_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming incremental rollup, oracle-certified against
     the batch semantics (VERDICT r4 #7 — streaming gains a driver-contract
@@ -998,47 +1028,30 @@ def q_seq_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch hourly rollup EXACTLY, which is what the shared
     seq_hourly_rollup DuckDB oracle asserts.  Result is materialized
     before the temp dirs are removed."""
-    import shutil
-    import tempfile
     from datetime import datetime
 
-    from repurpose_spark.streaming.incremental import (
-        incremental_hourly_rollup,
-        run_available_now,
+    from repurpose_spark.streaming.incremental import incremental_hourly_rollup
+
+    pts = sequences_to_points(synth_sequences(spark, N_SYNTH), CFG).select(
+        "doc_id", "ts", "token"
     )
-
-    base = tempfile.mkdtemp(prefix="stream_q_")
-    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    try:
-        pts = sequences_to_points(synth_sequences(spark, N_SYNTH), CFG).select(
-            "doc_id", "ts", "token"
-        )
-        pts.repartition(4).write.parquet(src)
-        import time as _time
-
-        _time.sleep(1.05)  # sentinel must sort after the data files (mtime)
-        spark.createDataFrame(
-            [("__sentinel__", datetime(2021, 1, 1), 0)],
-            "doc_id string, ts timestamp, token int",
-        ).coalesce(1).write.mode("append").parquet(src)
-        stream = incremental_hourly_rollup(
+    return _drain_stream(
+        spark,
+        lambda src: pts.repartition(4).write.parquet(src),
+        ("__sentinel__", datetime(2021, 1, 1), 0),
+        "doc_id string, ts timestamp, token int",
+        lambda src: incremental_hourly_rollup(
             spark, src, CFG, watermark="30 minutes", max_files_per_trigger=4
-        )
-        run_available_now(stream, out, ckpt)
-        res = spark.read.parquet(out).where(
-            F.col("doc_id") != "__sentinel__"
-        ).select(
+        ),
+        lambda df: df.where(F.col("doc_id") != "__sentinel__").select(
             "doc_id",
             "tick",
             "n_points",
             F.col("sum_v").cast("long").alias("sum_v"),
             F.col("min_v").cast("long").alias("min_v"),
             F.col("max_v").cast("long").alias("max_v"),
-        )
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        ),
+    )
 
 
 def q_ev_stream_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,45 +1065,28 @@ def q_ev_stream_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the SAME error-bound oracle as the batch sketch tier (exact
     columns byte-matched, estimate within 0.08 of DuckDB's exact COUNT
     DISTINCT per row)."""
-    import shutil
-    import tempfile
     from datetime import datetime
 
-    from repurpose_spark.streaming.incremental import (
-        incremental_uniques_rollup,
-        run_available_now,
-    )
+    from repurpose_spark.streaming.incremental import incremental_uniques_rollup
 
-    base = tempfile.mkdtemp(prefix="stream_u_")
-    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    try:
-        ev = _t(spark, sf_dir, "events").select(
-            "event_type", "ts", F.col("user_id").cast("long").alias("user_id")
-        )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("user_id").cast("long").alias("user_id")
+    )
+    return _drain_stream(
+        spark,
         # one time-ordered file per ingest step (the module's ingest
         # contract: cross-file disorder must stay under the watermark)
-        ev.orderBy("ts").coalesce(1).write.parquet(src)
-        import time as _time
-
-        _time.sleep(1.05)  # sentinel must sort after the data file (mtime)
-        spark.createDataFrame(
-            [("__sentinel__", datetime(2030, 1, 1), 0)],
-            "event_type string, ts timestamp, user_id long",
-        ).coalesce(1).write.mode("append").parquet(src)
-        stream = incremental_uniques_rollup(spark, src, watermark="1 hour")
-        run_available_now(stream, out, ckpt)
-        res = spark.read.parquet(out).where(
-            F.col("event_type") != "__sentinel__"
-        ).select(
+        lambda src: ev.orderBy("ts").coalesce(1).write.parquet(src),
+        ("__sentinel__", datetime(2030, 1, 1), 0),
+        "event_type string, ts timestamp, user_id long",
+        lambda src: incremental_uniques_rollup(spark, src, watermark="1 hour"),
+        lambda df: df.where(F.col("event_type") != "__sentinel__").select(
             "event_type",
             "tick",
             F.col("n_points").cast("long").alias("n_points"),
             F.col("n_distinct_est").cast("long").alias("n_distinct_est"),
-        )
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        ),
+    )
 
 
 def q_ev_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,39 +1270,26 @@ def q_ev_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     other streaming queries; certified by the SAME bracket oracle as
     the batch percentile tier — estimates between DuckDB's exact
     quantile values at q∓0.02, exact columns byte-matched."""
-    import shutil
-    import tempfile
     from datetime import datetime
 
-    from repurpose_spark.streaming.incremental import run_available_now
     from repurpose_spark.streaming.stateful import stateful_quantile_tier
 
-    base = tempfile.mkdtemp(prefix="stream_q_")
-    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
-    try:
-        ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
-        ev.orderBy("ts").coalesce(1).write.parquet(src)
-        import time as _time
-
-        _time.sleep(1.05)  # sentinel must sort after the data file (mtime)
-        spark.createDataFrame(
-            [("__sentinel__", datetime(2030, 1, 1), 0.0)],
-            "event_type string, ts timestamp, value double",
-        ).coalesce(1).write.mode("append").parquet(src)
-        stream = stateful_quantile_tier(
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return _drain_stream(
+        spark,
+        lambda src: ev.orderBy("ts").coalesce(1).write.parquet(src),
+        ("__sentinel__", datetime(2030, 1, 1), 0.0),
+        "event_type string, ts timestamp, value double",
+        lambda src: stateful_quantile_tier(
             spark.readStream.schema(
                 "event_type string, ts timestamp, value double"
             ).option("maxFilesPerTrigger", 8).parquet(src),
             watermark="1 hour",
-        )
-        run_available_now(stream, out, ckpt)
-        res = spark.read.parquet(out).where(
-            F.col("event_type") != "__sentinel__"
-        ).select("event_type", "tick", "q", "n_points", "value_est")
-        rows = res.collect()
-        return spark.createDataFrame(rows, res.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+        ),
+        lambda df: df.where(F.col("event_type") != "__sentinel__").select(
+            "event_type", "tick", "q", "n_points", "value_est"
+        ),
+    )
 
 
 def q_ev_daily_uniques_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2206,7 +2189,7 @@ g AS (
 )
 SELECT event_type, tick,
        CASE WHEN st IS NOT NULL AND st > 0
-            THEN (sa2 / (2.0 * 100)) / (st / 1e6)
+            THEN (sa2 / (2.0 * 100)) / st
             ELSE (sv / CAST(100 AS DOUBLE)) / n_points END AS twa,
        CAST(n_points AS BIGINT) AS n_points
 FROM g
@@ -2275,7 +2258,8 @@ r AS (
   FROM c QUALIFY rnk <= 5
 )
 SELECT r.lang, r.source, r.word, r.n, CAST(r.rnk AS INT) AS rnk,
-       (MIN(r.n) OVER (PARTITION BY r.lang, r.source) * 256) > t.total
+       (COUNT(*) OVER (PARTITION BY r.lang, r.source) >= 5)
+       AND (MIN(r.n) OVER (PARTITION BY r.lang, r.source) * 256) > t.total
          AS guaranteed
 FROM r JOIN t USING (lang, source)
 """,

@@ -62,12 +62,21 @@ def learn_merges_local(
             seqs.append(list(_word_to_symbols(w)))
             counts.append(int(c))
 
+    # incremental pair bookkeeping: recounting every pair over every
+    # form each round is O(n_merges × total_symbols); instead keep the
+    # global pair counts plus an occurrence index and resync ONLY the
+    # forms containing the merged pair (classic trainer optimization —
+    # identical merge sequence, test-enforced vs the brute-force
+    # reference)
+    pair_counts: dict[tuple, int] = {}
+    occ: dict[tuple, set] = {}
+    for si, (seq, c) in enumerate(zip(seqs, counts)):
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            occ.setdefault(p, set()).add(si)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pair_counts: dict[tuple, int] = {}
-        for seq, c in zip(seqs, counts):
-            for a, b in zip(seq, seq[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
         if not pair_counts:
             break
         best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -76,13 +85,27 @@ def learn_merges_local(
         (a, b), _cnt = best
         merged = a + b
         merges.append((a, b))
-        for seq in seqs:
+        for si in occ.get((a, b), set()):
+            seq, c = seqs[si], counts[si]
+            # resync: retract this form's pairs, apply the merge,
+            # re-add (stale occ members retract/re-add identically —
+            # a harmless no-op, so occ never needs eager cleanup)
+            for p in zip(seq, seq[1:]):
+                left = pair_counts[p] - c
+                if left > 0:
+                    pair_counts[p] = left
+                else:
+                    del pair_counts[p]
             i = 0
             while i < len(seq) - 1:
                 if seq[i] == a and seq[i + 1] == b:
                     seq[i : i + 2] = [merged]
                 else:
                     i += 1
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                occ.setdefault(p, set()).add(si)
+        occ.pop((a, b), None)
     return merges
 
 
@@ -108,16 +131,23 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 WORD_RE = r"[^\s]+"
 
 
+def word_items(
+    df: DataFrame, text_col: str = "text", extra_cols: list = ()
+) -> DataFrame:
+    """THE word tokenization of the engine (lower → JVM ``\\s+`` split →
+    drop empties), shared by BPE training and the heavy-hitters
+    ``top_words`` so the two can never drift: (extra_cols…, word)."""
+    return df.select(
+        *extra_cols,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+
+
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The corpus pass: (word, n) via pure JVM explode + groupBy —
     map-side combined, one shuffle on the word key."""
     return (
-        df.select(
-            F.explode(
-                F.split(F.lower(F.col(text_col)), r"\s+")
-            ).alias("word")
-        )
-        .where(F.col("word") != "")
+        word_items(df, text_col)
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
@@ -165,14 +195,31 @@ def bpe_encode(
     ) + f", {out_col} array<string>, n_{out_col} int"
 
     def fn(batches):
+        import re
+
         ranks = ranks_b.value
         cache: dict[str, list[str]] = {}
+        # Java \s (the training/oracle split) is ASCII whitespace —
+        # python str.split() would additionally split on NBSP etc.,
+        # silently diverging from the learned word forms
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         def enc(text) -> list[str]:
             if text is None:
                 return []
+            text = str(text)
+            if EOW in text:
+                # the marker is the one reserved codepoint (same
+                # contract as SentencePiece): corrupting it silently
+                # would break detokenize losslessness — fail typed
+                raise ValueError(
+                    "text contains the reserved EOW marker U+2581; "
+                    "escape it before bpe_encode"
+                )
             out: list[str] = []
-            for w in str(text).lower().split():
+            for w in ws.split(text.lower()):
+                if not w:
+                    continue
                 toks = cache.get(w)
                 if toks is None:
                     toks = cache[w] = encode_word(w, ranks)

@@ -60,6 +60,15 @@ def _mg_fold(counts: dict, items, weights, m: int) -> None:
                 del counts[it]
 
 
+def _nsafe(left: DataFrame, right: DataFrame, cols: list):
+    """Null-safe equality join condition over shared column names."""
+    cond = None
+    for c in cols:
+        piece = left[c].eqNullSafe(right[c])
+        cond = piece if cond is None else cond & piece
+    return cond
+
+
 def topk_frequent(
     items_df: DataFrame,
     item_col: str,
@@ -119,10 +128,13 @@ def topk_frequent(
     )
 
     # exact verify: only candidate items aggregate — map-side combined,
-    # O(groups × m) rows through the exchange regardless of raw volume
+    # O(groups × m) rows through the exchange regardless of raw volume.
+    # Joins are NULL-SAFE: a NULL group key is a real group (GROUP BY
+    # keeps it; plain equi-join would silently drop it).
+    raw = slim.withColumnRenamed("_it", item_col)
+    semi_cond = _nsafe(raw, cands, gcols + [item_col])
     exact = (
-        slim.withColumnRenamed("_it", item_col)
-        .join(F.broadcast(cands), on=gcols + [item_col], how="leftsemi")
+        raw.join(F.broadcast(cands), on=semi_cond, how="leftsemi")
         .groupBy(*gcols, item_col)
         .agg(F.count("*").alias("n"))
     )
@@ -131,16 +143,27 @@ def topk_frequent(
     w = Window.partitionBy(*gcols).orderBy(
         F.desc("n"), F.asc(item_col)
     )
-    ranked = (
-        exact.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .join(F.broadcast(totals), on=gcols)
+    t_alias = totals.alias("_tot")
+    ranked_base = exact.alias("_rk").withColumn(
+        "rnk", F.row_number().over(w)
+    ).where(F.col("rnk") <= k)
+    ranked = ranked_base.join(
+        F.broadcast(t_alias),
+        on=_nsafe(ranked_base, t_alias, gcols),
+    ).select(
+        *[ranked_base[c] for c in gcols],
+        item_col, "n", "rnk", "_total",
     )
     wk = Window.partitionBy(*gcols)
+    # guaranteed requires BOTH: a full slate of k emitted rows (fewer
+    # means MG's merge may have decremented away true top-k candidates
+    # — min-over-emitted would not be the kth exact count) AND the kth
+    # count exceeding n/m (MG provably retains anything above it)
     return (
         ranked.withColumn(
             "guaranteed",
-            (F.min("n").over(wk) * m) > F.col("_total"),
+            (F.count("*").over(wk) >= k)
+            & ((F.min("n").over(wk) * m) > F.col("_total")),
         )
         .drop("_total")
         .select(*gcols, item_col, "n", "rnk", "guaranteed")
@@ -155,10 +178,10 @@ def top_words(
     m: int = 256,
 ) -> DataFrame:
     """Convenience: whitespace words of ``text_col`` as the item stream
-    (same normalization as the BPE word pass)."""
+    — literally the BPE word pass (`bpe.word_items`), one shared
+    tokenization that cannot drift between the two consumers."""
+    from repurpose_spark.operators.bpe import word_items
+
     key_cols = list(key_cols)
-    items = docs.select(
-        *key_cols,
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
-    ).where(F.col("word") != "")
+    items = word_items(docs, text_col, key_cols)
     return topk_frequent(items, "word", key_cols, k=k, m=m)

@@ -100,7 +100,17 @@ def time_weighted_avg(
         nxt_v = F.lead(v).over(w)
         nxt_us = F.unix_micros(nxt_t.cast("timestamp"))
         seg_dt = F.when(same_bucket, nxt_us - t_us)  # long µs
-        seg_area2 = F.when(same_bucket, (v + nxt_v) * (nxt_us - t_us))
+        # the per-segment product (≤2·scale·max|v| × µs-gap) overflows
+        # int64 for large gauges × multi-hour gaps, and Spark's default
+        # non-ANSI mode would WRAP it silently — decimal(38,0) keeps the
+        # integral exact (DuckDB's BIGINT product promotes to HUGEINT,
+        # the same widening; both sides convert the identical integer
+        # to double at the end)
+        seg_area2 = F.when(
+            same_bucket,
+            (v + nxt_v).cast("decimal(20,0)")
+            * (nxt_us - t_us).cast("decimal(18,0)"),
+        )
         return (
             df.withColumn("_v", v)
             .withColumn("_dt", seg_dt)
@@ -117,7 +127,8 @@ def time_weighted_avg(
                 "tick",
                 F.when(
                     F.col("_st").isNotNull() & (F.col("_st") > 0),
-                    (F.col("_sa2") / (2.0 * int_scale)) / (F.col("_st") / 1e6),
+                    # value·µs over µs — both already in micro units
+                    (F.col("_sa2") / (2.0 * int_scale)) / F.col("_st"),
                 )
                 .otherwise(
                     (F.col("_sv") / float(int_scale)) / F.col("n_points")

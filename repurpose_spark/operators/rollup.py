@@ -132,7 +132,7 @@ def rollup_points(
     qt = _qsketch_tier(slim, key_cols + ["tick"], sketch_q_k).drop(
         "n_points"  # jvm side already carries the exact count
     )
-    return jvm.join(qt, on=key_cols + ["tick"], how="left")
+    return _join_sketch(jvm, qt, key_cols + ["tick"])
 
 
 def _epoch_seconds(epoch: str) -> int:
@@ -172,7 +172,20 @@ def rollup_from_partials(
     qt = rollup_qsketch_from_partials(
         tier, unit, key_cols=key_cols, tick_col=tick_col
     ).drop("n_points")
-    return jvm.join(qt, on=key_cols + ["tick"], how="left")
+    return _join_sketch(jvm, qt, key_cols + ["tick"])
+
+
+def _join_sketch(jvm: DataFrame, qt: DataFrame, cols: list) -> DataFrame:
+    """Join the sketch column back onto the JVM aggregates NULL-SAFELY:
+    groupBy keeps NULL-keyed groups, so a plain equi-join would leave
+    their q_sketch NULL and crash the first from_bytes downstream."""
+    cond = None
+    for c in cols:
+        piece = jvm[c].eqNullSafe(qt[c])
+        cond = piece if cond is None else cond & piece
+    return jvm.join(qt, on=cond, how="left").select(
+        *[jvm[c] for c in jvm.columns], qt["q_sketch"]
+    )
 
 
 def with_avg(tier: DataFrame) -> DataFrame:

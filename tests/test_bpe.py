@@ -167,3 +167,28 @@ def test_bpe_encode_spark_path(spark, docs):
     }
     for r in out:
         assert one[r["doc_id"]] == r["bpe_tokens"]
+
+
+def test_encode_rejects_reserved_eow_typed(spark, docs):
+    """Review finding: a literal U+2581 in input would silently break
+    detokenize losslessness — it must fail typed instead."""
+    merges = learn_merges_local(_word_counts(CORPUS), 10)
+    bad = spark.createDataFrame(
+        [("d1", "foo ▁bar")], "doc_id string, text string"
+    )
+    with pytest.raises(Exception, match="U\\+2581"):
+        bpe_encode(bad, merges).collect()
+
+
+def test_encode_splits_like_jvm_ascii_whitespace(spark):
+    """Review finding: python str.split() splits on NBSP, JVM \\s+ does
+    not — train/encode must agree, so NBSP stays inside the word."""
+    merges = []
+    df = spark.createDataFrame(
+        [("d1", "a b c")], "doc_id string, text string"
+    )
+    row = bpe_encode(df, merges).collect()[0]
+    # two words: 'a\xa0b' (NBSP kept) and 'c'
+    assert row.n_bpe_tokens == len("a b") + 1 + len("c") + 1
+    got_words = "".join(row.bpe_tokens).split(EOW)
+    assert got_words[:2] == ["a b", "c"]

@@ -140,3 +140,33 @@ def test_top_words_matches_duckdb_shape(spark):
     for rs in by_g.values():
         rs.sort(key=lambda r: r.rnk)
         assert all(a.n >= b.n for a, b in zip(rs, rs[1:]))
+
+
+def test_flag_false_when_fewer_than_k_survive(spark):
+    """Review finding: 2 dominant items + a singleton tail, m small —
+    MG's merge decrements the tail away, so fewer than k candidates
+    survive; min-over-emitted is NOT the kth exact count and the flag
+    must be False (true ranks 3..k are missing)."""
+    items = spark.range(100_000).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") < 40_000, F.lit("A"))
+        .when(F.col("id") < 80_000, F.lit("B"))
+        .otherwise(F.concat(F.lit("t"), F.col("id")))
+        .alias("item"),
+    )
+    out = topk_frequent(items.coalesce(4), "item", ["g"], k=5, m=16).collect()
+    assert 0 < len(out) < 5
+    assert not any(r.guaranteed for r in out)
+
+
+def test_null_group_key_kept(spark):
+    """GROUP BY keeps NULL keys; so must the candidate/total joins."""
+    items = spark.range(2_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("g")).alias("g"),
+        (F.col("id") % 3).cast("string").alias("item"),
+    )
+    out = topk_frequent(items, "item", ["g"], k=2, m=64).collect()
+    keys = {r.g for r in out}
+    assert keys == {"g", None}
+    null_rows = [r for r in out if r.g is None]
+    assert len(null_rows) == 2 and all(r.guaranteed for r in null_rows)

@@ -110,3 +110,24 @@ def test_twa_int_scale_is_partition_invariant(spark):
         )
     )
     assert a == b and len(a) == 9
+
+
+def test_twa_int_scale_survives_int64_overflow_scale(spark):
+    """Review finding: (v + v')·Δt_µs wraps int64 for large gauges ×
+    multi-hour gaps under non-ANSI mode; the decimal path must return
+    the exact trapezoid instead of wrapped garbage."""
+    big = 2.0e7  # cents scale 1e9 each endpoint; 12h gap ≈ 4.3e13 µs
+    df = _series(
+        spark,
+        [
+            ("a", "2024-01-01 00:00:00", big),
+            ("a", "2024-01-01 12:00:00", 3 * big),
+            ("a", "2024-01-01 23:00:00", 3 * big),
+        ],
+    )
+    out = time_weighted_avg(
+        df, ["k"], "ts", "v", "day", int_scale=100
+    ).collect()[0]
+    # exact: (2e7..6e7 ramp over 12h averages 2·big) then (6e7)·11h
+    want = (2 * big * 12 + 3 * big * 11) / 23
+    assert out.twa > 0 and abs(out.twa - want) / want < 1e-12

@@ -151,10 +151,16 @@ def main():
             didx = {c: i for i, c in enumerate(dcols)}
             if bracket:
                 lo_c, hi_c = bracket["lo_col"], bracket["hi_col"]
+
+                def _f(v):
+                    # a NULL bracket value (e.g. all-NULL group) must
+                    # fail THAT row, not crash the whole checker run
+                    return float("nan") if v is None else float(v)
+
                 b = sorted(
                     (
                         tuple(_norm(r[didx[c]]) for c in exact_cols),
-                        (float(r[didx[lo_c]]), float(r[didx[hi_c]])),
+                        (_f(r[didx[lo_c]]), _f(r[didx[hi_c]])),
                     )
                     for r in drows
                 )
