@@ -1089,6 +1089,32 @@ def q_ev_stream_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/sessions.py): per-user sessions
+    split on 30-minute quiet gaps — lag marks starts, a running sum
+    numbers sessions, one aggregate emits (start, end, n, sum).  One
+    exchange on the key; the flag/cumsum/agg reuse its clustering.
+    Values sum as exact integer cents.  EXACT oracle: DuckDB mirrors
+    the identical lag/cumsum construction (and the same double-seconds
+    gap arithmetic).  This is also the streaming sessionizer's
+    certification path — pytest asserts frame equality between the two
+    on shared input."""
+    from repurpose_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return sessionize(
+        ev, gap="30 minutes", key_cols=["user_id"], ts_col="ts",
+        value_col="v",
+    ).select(
+        "user_id", "session_start", "session_end",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("sum_v").cast("long").alias("sum_cents"),
+    )
+
+
 def q_ev_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reset-aware counter increase (PromQL ``increase()`` semantics,
     operators/rates.py): a deterministic wrapped counter is built from
@@ -1560,6 +1586,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_gapfill_locf": q_ev_gapfill_locf,
         "ev_counter_rate": q_ev_counter_rate,
         "ev_time_weighted": q_ev_time_weighted,
+        "ev_sessions": q_ev_sessions,
     }
 
 
@@ -2133,6 +2160,32 @@ FROM pairs WHERE rk = 1 AND dist <= 0.25
 SELECT doc_id,
        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS detok_text
 FROM documents
+""",
+        # gap-split sessions: identical lag/cumsum construction, the
+        # same double-seconds gap compare (epoch_us/1e6), integer cents
+        "ev_sessions": """
+WITH p AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR (epoch_us(ts) / 1000000.0)
+                      - (epoch_us(lag(ts) OVER w) / 1000000.0) > 1800
+                 THEN 1 ELSE 0 END AS st
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(COUNT(v) AS BIGINT) AS n_points,
+       CAST(SUM(v) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, sid
 """,
         # reset-aware counter increase: integer arithmetic end to end
         "ev_counter_rate": """

@@ -381,3 +381,69 @@ def test_streaming_quantile_tier_within_rank_bound(spark, tmp_path):
         lo = np.searchsorted(data, r.value_est, side="left") / len(data)
         hi = np.searchsorted(data, r.value_est, side="right") / len(data)
         assert lo - 0.02 <= q <= hi + 0.02, (r, lo, hi)
+
+
+def test_batch_and_streaming_sessionize_agree(spark, tmp_path):
+    """Cross-certification: the streaming sessionizer's drained output
+    must equal the batch sessionize frame on identical input — the
+    batch twin carries the exact SQL oracle (ev_sessions), so equality
+    here certifies the streaming semantics transitively."""
+    from datetime import datetime
+
+    from repurpose_spark.operators.sessions import sessionize
+    from repurpose_spark.streaming.incremental import run_available_now
+    from repurpose_spark.streaming.stateful import stateful_sessionize
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # ~86 points/doc over 6h → mean inter-arrival ≈250 s, so a
+    # 1-minute gap splits each doc into many sessions
+    pts = spark.range(600).select(
+        F.concat(F.lit("d"), (F.col("id") % 7)).alias("doc_id"),
+        F.timestamp_seconds(
+            F.lit(1_600_000_000) + (F.col("id") * 104729) % (6 * 3600)
+        ).alias("ts"),
+        (F.col("id") % 13).cast("int").alias("token"),
+    )
+    pts.orderBy("ts").coalesce(1).write.parquet(src)
+    import time as _time
+
+    _time.sleep(1.05)
+    spark.createDataFrame(
+        [("__sentinel__", datetime(2031, 1, 1), 0)],
+        "doc_id string, ts timestamp, token int",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = stateful_sessionize(
+        spark.readStream.schema("doc_id string, ts timestamp, token int")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src),
+        gap="1 minute",
+        watermark="10 minutes",
+    )
+    run_available_now(stream, out, ckpt)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .where(F.col("doc_id") != "__sentinel__")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            sessionize(
+                pts, gap="1 minute", key_cols=["doc_id"],
+                ts_col="ts", value_col="token",
+            )
+            .select(
+                "doc_id", "session_start", "session_end",
+                "n_points", "sum_v",
+            )
+            .collect(),
+        )
+    )
+    assert len(got) > 20 and got == want
