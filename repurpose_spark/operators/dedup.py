@@ -230,3 +230,88 @@ def dedup_simhash(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicated-span detection (the fifth dedup tier —
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": remove any token span of length ≥ L occurring more than
+    once in the corpus; reference analog: repurpose keeps ONE point per
+    grid slot, src/repurpose/img2ts.py:740-744 — this is the
+    within-document generalization).
+
+    Pipeline (all pure-JVM, every step an equi-shuffle):
+      1. word-split each doc, emit every length-``window`` word window
+         as (gram, doc, start) — ``transform(sequence(...))`` over the
+         words array, fused into the scan's codegen span;
+      2. corpus-wide count per gram (partial+final — map-side combine
+         bounds the exchange by DISTINCT grams per partition);
+      3. windows whose gram count ≥ ``min_count`` join back (shuffle on
+         the gram key — candidates only, never the corpus);
+      4. per-doc gaps-and-islands merge: window [j, j+L−1] overlaps the
+         running span iff j ≤ cummax(end of predecessors); a running
+         max + conditional-sum window numbers maximal spans, one
+         aggregate emits (doc, span_start, span_end, n_windows).
+
+    At cluster scale the gram key would be ``xxhash64(gram)`` (8 B on
+    the wire instead of ~50 B of words); the string key is kept here so
+    the DuckDB oracle certifies the ALGORITHM with no hash-parity
+    assumption — swapping the key expression changes no other line.
+
+    Output span bounds are 0-based WORD indices, inclusive."""
+    from pyspark.sql import Window as W
+
+    words = F.split(F.col(text_col), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(words, lambda w: w != "").alias("w"),
+    )
+    grams = base.where(F.size("w") >= window).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                # docs shorter than `window` are filtered above —
+                # sequence(0, negative) would generate DESCENDING steps
+                F.sequence(F.lit(0), F.size("w") - window),
+                lambda j: F.array_join(
+                    F.slice("w", j + 1, window), " "
+                ),
+            )
+        ).alias("start", "gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+    )
+    dup = grams.join(hot, "gram").select("doc_id", "start")
+    ordw = W.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + window - 1).over(
+        ordw.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("start") > prev_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            ordw.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + window - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("span_id")
+    )

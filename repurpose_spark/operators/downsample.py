@@ -1,0 +1,246 @@
+"""Series downsampling & per-window analytics: OHLC, rolling z-score,
+EWMA, LTTB.
+
+The rollup family (operators/rollup.py) covers the commutative folds
+(sum/count/min/max → tier partials).  This module adds the four classic
+downsample/analytics shapes that need ORDER within the bucket or series
+(reference analog: the per-cell time-sorted series repurpose hands to
+user resample functions, src/repurpose/img2ts.py:652-668 — order-aware
+per-series reductions are exactly what its ``resample`` hook computes):
+
+* ``ohlc`` — candlestick downsample (open/high/low/close + count/sum
+  per bucket).  Despite being order-aware it IS an associative fold:
+  open/close are ``min/max(struct(ts, seq, v))`` — partial aggregates
+  merge map-side like any min/max, so the plan is the same
+  partial+final HashAggregate as a plain rollup (one exchange, no
+  sort, no window).
+* ``rolling_zscore`` — anomaly score per point: (x − μ)/σ over the
+  PRECEDING ``n`` samples of the series (strictly before the current
+  row, so the score is causal/online).  One hash exchange on the
+  series keys + one in-partition sort; avg/stddev/z ride a single
+  window frame.
+* ``ewma`` — exponentially weighted moving average (the classic
+  monitoring smoother): y_0 = x_0, y_t = α·x_t + (1−α)·y_{t−1}.
+  Sequential by definition (each output depends on the previous), so
+  it runs per-series in one Arrow batch via ``applyInPandas`` with a
+  block-rescaled vectorized recursion — no per-row Python (see
+  ``_ewma_block``).  Series are BOUNDED here by design: smooth the
+  rollup tier (e.g. hourly means — ~720 points/month regardless of
+  raw volume), never raw points, so one series always fits one batch.
+* ``lttb`` — Largest-Triangle-Three-Buckets (Steinarsson 2013), THE
+  standard visual downsample: pick from each of ``n_out−2`` interior
+  buckets the point forming the largest triangle with the previously
+  selected point and the next bucket's centroid.  Sequential over
+  buckets (the previous pick feeds the next triangle) but vectorized
+  WITHIN each bucket; like ewma it runs over tier series, so the
+  Python loop is O(n_out) per series, not O(points).
+
+Scale notes: ohlc is a rollup — raw points shuffle once as partials.
+zscore/ewma/lttb consume a TIER table (1000× smaller than raw by
+construction, PLANS.md partition math), shuffled once on the series
+keys; each series is one Arrow batch (ewma/lttb) or one sorted window
+partition (zscore).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ohlc(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    seq_col: str | None = None,
+    unit: str = "hour",
+) -> DataFrame:
+    """Candlestick downsample per (keys, date_trunc(unit)).
+
+    open/close take the value of the bucket's first/last sample; ties
+    on the timestamp break on ``seq_col`` (then on the value itself) so
+    the result is deterministic under any partitioning.  Single
+    associative aggregate: min/max of struct(ts, seq, v) — partial
+    merges are exact, so map-side combine bounds the shuffle by the
+    bucket count, not the sample count."""
+    key_cols = list(key_cols)
+    tie = [F.col(seq_col)] if seq_col else []
+    edge = F.struct(F.col(ts_col), *tie, F.col(value_col).alias("_v"))
+    return df.groupBy(
+        *key_cols, F.date_trunc(unit, F.col(ts_col)).alias("tick")
+    ).agg(
+        F.min(edge)["_v"].alias("open"),
+        F.max(F.col(value_col)).alias("high"),
+        F.min(F.col(value_col)).alias("low"),
+        F.max(edge)["_v"].alias("close"),
+        F.count(F.col(value_col)).alias("n_points"),
+        F.sum(F.col(value_col)).alias("sum_v"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    seq_col: str | None = None,
+    n: int = 50,
+    min_points: int = 10,
+) -> DataFrame:
+    """Causal anomaly score: z_t = (x_t − μ)/σ with μ, σ (population)
+    over the ``n`` samples strictly BEFORE t in the series.  Rows with
+    fewer than ``min_points`` predecessors, or a zero σ (constant
+    window), score NULL rather than ±inf.  One exchange on the keys;
+    the frame, the guard, and the score share its sort."""
+    key_cols = list(key_cols)
+    order = [ts_col] + ([seq_col] if seq_col else [])
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(-n, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_pop(value_col).over(w)
+    cnt = F.count(value_col).over(w)
+    z = F.when(
+        (cnt >= min_points) & (sd > 0), (F.col(value_col) - mu) / sd
+    )
+    return df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(value_col),
+        z.alias("zscore"),
+    )
+
+
+def _ewma_block(x: np.ndarray, alpha: float, block: int = 256) -> np.ndarray:
+    """Vectorized EWMA recursion, block-rescaled.
+
+    Within a block starting from carry c: y_j = (1−α)^(j+1)·c +
+    α·Σ_{i≤j} (1−α)^(j−i)·x_i, computed as a scaled cumsum
+    (u_i = x_i·(1−α)^(−i); y = α·(1−α)^j·cumsum(u) + decay·c).  The
+    rescale factor (1−α)^(−i) is bounded by the BLOCK length, never the
+    series length, so it cannot overflow for any series (the naive
+    whole-series scaled cumsum overflows a double past ~log(1.8e308)/
+    log(1/(1−α)) points).  Float error vs the scalar recursion is
+    ~machine epsilon per block (values are re-anchored on the carry at
+    every block edge); consumers round to 6 dp."""
+    n = len(x)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    q = 1.0 - alpha
+    carry = float(x[0])  # y_0 = x_0 seeds the recursion
+    out[0] = carry
+    s = 1
+    while s < n:
+        b = min(block, n - s)
+        xb = x[s : s + b]
+        j = np.arange(b, dtype=np.float64)
+        # y_{s+j} = q^(j+1)·carry + α·Σ_{i≤j} q^(j−i)·xb[i]
+        scaled = np.cumsum(xb * q ** (-j))
+        yb = alpha * (q**j) * scaled + (q ** (j + 1.0)) * carry
+        out[s : s + b] = yb
+        carry = float(yb[-1])
+        s += b
+    return out
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "tick",
+    value_col: str = "v",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-series EWMA (y_0 = x_0; y_t = α·x_t + (1−α)·y_{t−1}) via one
+    grouped Arrow batch per series.  Input should be a TIER table
+    (bounded series length); the grouped map sorts its batch on the
+    timestamp so upstream ordering is irrelevant."""
+    key_cols = list(key_cols)
+    schema_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*key_cols, ts_col, value_col).schema.fields
+    )
+    schema = schema_fields + ", ewma double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        pdf["ewma"] = _ewma_block(
+            pdf[value_col].to_numpy(dtype=np.float64), alpha
+        )
+        return pdf[key_cols + [ts_col, value_col, "ewma"]]
+
+    return df.select(*key_cols, ts_col, value_col).groupBy(*key_cols).applyInPandas(
+        fn, schema=schema
+    )
+
+
+def _lttb_series(
+    x: np.ndarray, y: np.ndarray, n_out: int
+) -> np.ndarray:
+    """LTTB pick indices for one series (x ascending).  Buckets split
+    the interior points evenly (first and last always kept).  Areas are
+    cross-products of int-valued doubles, so with integer-quantized
+    inputs the argmax is exact; ties break on the LOWEST index
+    (np.argmax's first-hit rule)."""
+    n = len(x)
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    picks = np.empty(n_out, dtype=np.int64)
+    picks[0] = 0
+    picks[-1] = n - 1
+    # interior bucket b covers edges[b] .. edges[b+1]-1
+    edges = np.rint(np.linspace(1, n - 1, n_out - 1)).astype(np.int64)
+    a = 0
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        if b + 1 < n_out - 2:
+            nlo, nhi = edges[b + 1], edges[b + 2]
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        else:
+            cx, cy = x[n - 1], y[n - 1]
+        ax, ay = x[a], y[a]
+        area = np.abs(
+            (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+        )
+        a = lo + int(np.argmax(area))
+        picks[b + 1] = a
+    return picks
+
+
+def lttb(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "tick",
+    value_col: str = "v",
+    n_out: int = 48,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets visual downsample to ``n_out``
+    points per series (first/last kept; interior buckets contribute
+    their max-triangle point).  One grouped Arrow batch per series —
+    run it on a tier table, where series are bounded.  For exactness
+    under certification, quantize the value to an integer grid first
+    (cents): areas are then exact in double and the per-bucket argmax
+    is deterministic (ties → lowest timestamp)."""
+    key_cols = list(key_cols)
+    sel = df.select(*key_cols, ts_col, value_col)
+    schema_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in sel.schema.fields
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        xs = pdf[ts_col]
+        if np.issubdtype(xs.dtype, np.datetime64):
+            x = xs.astype("int64").to_numpy(dtype=np.float64) / 1e6
+        else:
+            x = xs.to_numpy(dtype=np.float64)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        idx = _lttb_series(x, y, n_out)
+        return pdf.iloc[idx][key_cols + [ts_col, value_col]]
+
+    return sel.groupBy(*key_cols).applyInPandas(fn, schema=schema_fields)

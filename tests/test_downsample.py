@@ -1,0 +1,182 @@
+"""OHLC / rolling z-score / EWMA / LTTB (operators/downsample.py) and
+duplicate_spans (operators/dedup.py — the exact-substring fifth tier).
+
+EWMA follows the repo's mirrored-oracle rule (BASELINE.md round-5
+lesson): the driver oracle mirrors the closed form, so this file pins
+HAND-COMPUTED absolute values too."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from repurpose_spark.operators.downsample import (
+    _ewma_block,
+    _lttb_series,
+    ewma,
+    lttb,
+    ohlc,
+    rolling_zscore,
+)
+from repurpose_spark.operators.dedup import duplicate_spans
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+
+def test_ohlc_hand_values(spark):
+    rows = [
+        # (key, ts, seq, v) — one hour bucket, deliberate ts tie at open
+        ("a", _ts(5), 2, 10.0),
+        ("a", _ts(5), 1, 7.0),   # same ts, lower seq → THE open
+        ("a", _ts(20), 3, 99.0),
+        ("a", _ts(59), 4, 3.0),  # latest → close
+        ("a", _ts(70), 5, 42.0),  # second bucket
+        ("b", _ts(10), 6, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, seq long, v double")
+    out = {
+        (r["key"], r["tick"].hour): r
+        for r in ohlc(df, ["key"], "ts", "v", seq_col="seq").collect()
+    }
+    a0 = out[("a", 0)]
+    assert (a0["open"], a0["high"], a0["low"], a0["close"]) == (7.0, 99.0, 3.0, 3.0)
+    assert a0["n_points"] == 4 and a0["sum_v"] == 119.0
+    assert out[("a", 1)]["open"] == out[("a", 1)]["close"] == 42.0
+    assert out[("b", 0)]["n_points"] == 1
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 1000, size=300) / 10.0
+    rows = [("s", _ts(i // 60, i % 60), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    got = {
+        r["ts"]: r["zscore"]
+        for r in rolling_zscore(df, ["key"], "ts", "v", n=50, min_points=10).collect()
+    }
+    s = pd.Series(vals)
+    mu = s.rolling(50, min_periods=1).mean().shift(1)
+    sd = s.rolling(50, min_periods=1).std(ddof=0).shift(1)
+    cnt = s.rolling(50, min_periods=1).count().shift(1).fillna(0)
+    for i, (ts, _, v) in enumerate([(r[1], None, r[2]) for r in rows]):
+        exp = None
+        if cnt[i] >= 10 and sd[i] > 0:
+            exp = (v - mu[i]) / sd[i]
+        if exp is None:
+            assert got[ts] is None
+        else:
+            assert got[ts] == pytest.approx(exp, rel=1e-9)
+
+
+def test_ewma_hand_values(spark):
+    # α=0.5: y = [1, 1.5, 2.25, 5.125] — independently hand-computed
+    rows = [("s", _ts(i), float(x)) for i, x in enumerate([1, 2, 3, 8])]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    out = sorted(
+        ewma(df, ["key"], "ts", "v", alpha=0.5).collect(), key=lambda r: r["ts"]
+    )
+    assert [r["ewma"] for r in out] == pytest.approx([1.0, 1.5, 2.25, 5.125])
+
+
+def test_ewma_block_rescale_matches_scalar_recursion():
+    rng = np.random.RandomState(3)
+    x = rng.rand(1000) * 500
+    for alpha in (0.05, 0.3, 0.9):
+        got = _ewma_block(x, alpha, block=64)
+        y = x[0]
+        exact = [y]
+        for v in x[1:]:
+            y = alpha * v + (1 - alpha) * y
+            exact.append(y)
+        np.testing.assert_allclose(got, np.array(exact), rtol=1e-12)
+    # a block-overflow regression guard: the naive whole-series rescale
+    # of 0.7^-4000 overflows double; the blocked path must not
+    long = rng.rand(4000)
+    assert np.isfinite(_ewma_block(long, 0.3, block=256)).all()
+
+
+def test_ewma_partition_invariance(spark):
+    rows = [("s", _ts(i // 60, i % 60), float((i * 37) % 101)) for i in range(500)]
+    df1 = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    a = sorted(ewma(df1, ["key"], "ts", "v").collect(), key=lambda r: r["ts"])
+    b = sorted(
+        ewma(df1.repartition(7), ["key"], "ts", "v").collect(),
+        key=lambda r: r["ts"],
+    )
+    assert [r["ewma"] for r in a] == [r["ewma"] for r in b]
+
+
+def test_lttb_series_hand_case():
+    # 6 points → 4 out: keep ends; bucket1 = idx {1,2}, bucket2 = {3,4}
+    x = np.array([0.0, 1, 2, 3, 4, 5])
+    y = np.array([0.0, 0, 10, 0, 5, 0])
+    picks = _lttb_series(x, y, 4)
+    assert picks[0] == 0 and picks[-1] == 5
+    assert picks[1] == 2  # the y=10 spike forms the largest triangle
+    # bucket2 vs prev pick (2,10) and end (5,0): area(3,0)=20 > area(4,5)=5
+    assert picks[2] == 3
+    # n_out >= n → identity
+    assert list(_lttb_series(x, y, 10)) == list(range(6))
+
+
+def test_lttb_spark_matches_local_and_is_partition_invariant(spark):
+    n = 720
+    rows = [
+        ("s", _ts(i // 60, i % 60), float((i * i * 7) % 1009))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    out = sorted(
+        lttb(df, ["key"], "ts", "v", n_out=48).collect(), key=lambda r: r["ts"]
+    )
+    assert len(out) == 48
+    x = np.array(
+        [dt.datetime.timestamp(r[1]) for r in rows], dtype=np.float64
+    )
+    y = np.array([r[2] for r in rows])
+    idx = _lttb_series(x, y, 48)
+    assert [r["v"] for r in out] == [y[i] for i in idx]
+    out2 = sorted(
+        lttb(df.repartition(13), ["key"], "ts", "v", n_out=48).collect(),
+        key=lambda r: r["ts"],
+    )
+    assert [r["v"] for r in out2] == [r["v"] for r in out]
+
+
+def test_duplicate_spans_merges_overlaps(spark):
+    # doc A repeats "t0..t4" twice (positions 0..4 and 7..11) and shares
+    # "u0..u3 x" with doc B; window=3 → overlapping windows must merge
+    a = "t0 t1 t2 t3 t4 q1 q2 t0 t1 t2 t3 t4 z9"
+    b = "u0 u1 u2 u3 v8 t1 t2 t3"
+    c = "u0 u1 u2 u3 w1 w2"
+    df = spark.createDataFrame(
+        [("A", a), ("B", b), ("C", c)], "doc_id string, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in duplicate_spans(df, window=3).collect()
+    }
+    # A: "t0..t4" occurs twice → windows at 0,1,2 and 7,8,9 → two spans
+    # 0-4 and 7-11; plus "t1 t2 t3" also matches doc B at its 5..7 —
+    # already inside both spans.
+    assert got[("A", 0, 4)] == 3
+    assert got[("A", 7, 11)] == 3
+    # B: "t1 t2 t3" at 5..7 duplicates A; "u0 u1 u2 u3" shared with C →
+    # windows 0,1 → span 0..3
+    assert got[("B", 0, 3)] == 2
+    assert got[("B", 5, 7)] == 1
+    assert got[("C", 0, 3)] == 2
+    assert len(got) == 5
+
+
+def test_duplicate_spans_short_and_unique_docs(spark):
+    df = spark.createDataFrame(
+        [("A", "a b"), ("B", "c d e f g"), ("C", "a b")],
+        "doc_id string, text string",
+    )
+    # A and C are shorter than the window → no grams → no spans; B's
+    # grams are unique
+    assert duplicate_spans(df, window=3).count() == 0
