@@ -1213,6 +1213,128 @@ def q_ev_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick downsample (operators/downsample.py::ohlc): hourly
+    open/high/low/close/count/sum per event_type over the per-timestamp
+    cent totals.  Order-aware yet still an ASSOCIATIVE fold — open and
+    close are min/max of struct(ts, v), so the plan is the same
+    partial+final HashAggregate as any rollup: one exchange carrying
+    bucket partials, never samples.  Timestamps are unique per series
+    after the pre-aggregation, so the edges are deterministic under any
+    partitioning; all values exact integer cents.  EXACT oracle:
+    DuckDB arg_min/arg_max on the same pre-aggregated series."""
+    from repurpose_spark.operators.downsample import ohlc
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy("event_type", "ts").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    return ohlc(
+        series, ["event_type"], ts_col="ts", value_col="v", unit="hour"
+    ).select(
+        "event_type", "tick", "open", "high", "low", "close",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+    )
+
+
+def q_ev_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal rolling anomaly score over the hourly tier
+    (operators/downsample.py::rolling_zscore, exact mode): per
+    event_type, each hour's event count scored against the 24 hours
+    strictly before it (min 10).  The exact path emits the signed
+    squared score from the window's integer moments — (c·x−S)² /
+    (c·Q−S²) is two exact int64s and one IEEE division, so a float
+    anomaly score becomes byte-certifiable and partition-invariant
+    (same trick as the TWA integral).  One exchange on the series key;
+    count/sum/sum-of-squares share a single window frame.  EXACT
+    oracle: DuckDB mirrors the integer-moment construction."""
+    from repurpose_spark.operators.downsample import rolling_zscore
+
+    h = _ev_hourly(spark, sf_dir).select(
+        "event_type", "tick", F.col("n_events").cast("long").alias("n_events")
+    )
+    return rolling_zscore(
+        h, ["event_type"], ts_col="tick", value_col="n_events",
+        n=24, min_points=10, exact=True,
+    ).select("event_type", "tick", "n_events", "z2")
+
+
+def q_ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA smoother (operators/downsample.py::ewma) over the
+    hourly cent-total tier: y₀ = x₀, y_t = 0.3·x_t + 0.7·y_{t−1}, one
+    grouped Arrow batch per series (block-rescaled vectorized recursion
+    — no per-row Python, no overflow at any series length).  Sequential
+    by definition, so certification is ERROR-BOUND: DuckDB replays the
+    scalar recursion through a recursive CTE and each estimate must sit
+    within 1e-9 relative of it — the engine's block re-anchoring keeps
+    float drift at ~machine epsilon per block, orders of magnitude
+    inside the bound, while any recurrence bug (wrong α, off-by-one,
+    unsorted batch) lands far outside.  Output is scaled to micro-cents
+    so the checker's +1 absolute slack is negligible at this value
+    scale."""
+    from repurpose_spark.operators.downsample import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("tick")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    return ewma(
+        hourly, ["event_type"], ts_col="tick", value_col="v", alpha=0.3
+    ).select(
+        "event_type", "tick", "v",
+        (F.col("ewma") * 1e6).alias("ewma_micro"),
+    )
+
+
+def q_ev_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets visual downsample (Steinarsson
+    2013; operators/downsample.py::lttb) of each event_type's hourly
+    cent-total series to 24 points — a SEQUENTIAL algorithm (each pick
+    feeds the next triangle) certified EXACTLY: timestamps enter as
+    exact epoch-ms float64 integers, values as exact integer cents, and
+    bucket edges are pure integer arithmetic, so every triangle area is
+    a correctly-rounded double both engines compute identically and the
+    per-bucket argmax (ties → lowest index) is deterministic.  The
+    DuckDB twin precomputes best-pick-given-previous-pick per bucket
+    with a window, then replays the recursion as a recursive-CTE pure
+    join.  Engine-side the series is one grouped Arrow batch (tier
+    input — bounded by construction), Python O(n_out) per series."""
+    from repurpose_spark.operators.downsample import lttb
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("tick")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    return lttb(
+        hourly, ["event_type"], ts_col="tick", value_col="v", n_out=24
+    ).select("event_type", "tick", "v")
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicated-span detection (the fifth dedup tier,
+    Lee et al. 2022; operators/dedup.py::duplicate_spans): every 8-word
+    window occurring ≥2 times corpus-wide, merged per document into
+    maximal spans by a gaps-and-islands window.  All pure JVM: the
+    window explode fuses into the scan, the gram count is partial+final
+    (map-side combine bounds the exchange by distinct grams), and only
+    bucket-colliding windows join back.  EXACT oracle: DuckDB replays
+    the identical split → window → count → merge construction."""
+    from repurpose_spark.operators.dedup import duplicate_spans
+
+    d = _wide(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.trim(F.col("text")).alias("text")
+    )
+    return duplicate_spans(
+        d, id_col="doc_id", text_col="text", window=8, min_count=2
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
 def q_doc_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters with an EXACT oracle: per-(lang, source) top-5
     words via the Misra–Gries candidate pass + exact verify
@@ -1587,6 +1709,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_counter_rate": q_ev_counter_rate,
         "ev_time_weighted": q_ev_time_weighted,
         "ev_sessions": q_ev_sessions,
+        "ev_ohlc": q_ev_ohlc,
+        "ev_rolling_zscore": q_ev_rolling_zscore,
+        "ev_ewma": q_ev_ewma,
+        "ev_lttb": q_ev_lttb,
+        "doc_dup_spans": q_doc_dup_spans,
     }
 
 
@@ -1730,6 +1857,42 @@ SELECT event_type, tick, 'p99', n_points, lo99, hi99 FROM g
 """,
             "est_col": "value_est",
             "bracket": {"lo_col": "value_lo", "hi_col": "value_hi"},
+        },
+        # EWMA: sequential by definition, so DuckDB replays the SCALAR
+        # recursion through a recursive CTE; the engine's block-rescaled
+        # vectorized form re-anchors on the carry every 256 points, so
+        # its drift is ~machine epsilon per block — rel_err 1e-9 is ~6
+        # orders of magnitude of headroom for float noise yet any
+        # recurrence bug (wrong α, off-by-one, unsorted batch) moves
+        # values by ~α·|x−y| ≫ bound.  Output in micro-cents so the
+        # checker's +1 absolute slack is negligible at this scale.
+        "ev_ewma": {
+            "sql": """
+WITH RECURSIVE h AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS tick,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, tick, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY tick) AS rn
+  FROM h
+),
+rec AS (
+  SELECT event_type, tick, v, rn, CAST(v AS DOUBLE) AS y
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.tick, r.v, r.rn, 0.3 * r.v + 0.7 * rec.y
+  FROM rec JOIN r ON r.event_type = rec.event_type
+                 AND r.rn = rec.rn + 1
+)
+SELECT event_type, tick, CAST(v AS BIGINT) AS v,
+       y * 1e6 AS ewma_micro
+FROM rec
+""",
+            "est_col": "ewma_micro",
+            "rel_err": 1e-9,
         },
     }
     out["ev_stream_quantiles"] = {
@@ -2186,6 +2349,189 @@ SELECT user_id,
        CAST(COUNT(v) AS BIGINT) AS n_points,
        CAST(SUM(v) AS BIGINT) AS sum_cents
 FROM s GROUP BY user_id, sid
+""",
+        # OHLC candlestick: arg_min/arg_max on the pre-aggregated
+        # per-timestamp series (timestamps unique per group, so the
+        # edges are deterministic); integer cents end to end
+        "ev_ohlc": """
+WITH p AS (
+  SELECT event_type, ts,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS tick,
+       CAST(arg_min(v, ts) AS BIGINT) AS open,
+       CAST(MAX(v) AS BIGINT) AS high,
+       CAST(MIN(v) AS BIGINT) AS low,
+       CAST(arg_max(v, ts) AS BIGINT) AS close,
+       CAST(COUNT(v) AS BIGINT) AS n_points,
+       CAST(SUM(v) AS BIGINT) AS sum_v
+FROM p GROUP BY 1, 2
+""",
+        # causal rolling z² from exact integer window moments — the
+        # numerator/denominator integers are identical in both engines
+        # and the single division is IEEE-correctly-rounded, so the
+        # double matches byte-for-byte (DuckDB's hugeint intermediates
+        # are exact; the casts land on the same values Spark's int64
+        # path produces)
+        "ev_rolling_zscore": """
+WITH h AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS tick,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, tick, n_events,
+         COUNT(n_events) OVER w AS c,
+         SUM(n_events) OVER w AS s,
+         SUM(n_events * n_events) OVER w AS q
+  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY tick
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, tick, n_events,
+       CASE WHEN c >= 10 AND c * q - s * s > 0
+            THEN CAST(sign(c * n_events - s) AS DOUBLE)
+                 * (CAST(c * n_events - s AS DOUBLE)
+                    * CAST(c * n_events - s AS DOUBLE))
+                 / CAST(c * q - s * s AS DOUBLE)
+       END AS z2
+FROM m
+""",
+        # LTTB replayed exactly: (1) series with row indices and exact
+        # epoch-ms/cent doubles; (2) integer bucket edges (n_out=24 →
+        # m=23 edges, 22 interior buckets); (3) per-bucket centroids;
+        # (4) best-pick-given-every-possible-previous-pick via one
+        # window (areas are correctly-rounded doubles over exact-integer
+        # operands — identical in numpy and DuckDB; ties → lowest idx);
+        # (5) the sequential dependence as a recursive-CTE pure join;
+        # (6) first/last points appended, short series passed through
+        "ev_lttb": """
+WITH RECURSIVE h AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS tick,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, tick, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY tick) - 1
+           AS idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         CAST(epoch_ms(tick) AS DOUBLE) AS x,
+         CAST(v AS DOUBLE) AS y
+  FROM h
+),
+small AS (SELECT event_type, tick, v FROM r WHERE n <= 24),
+big AS (SELECT * FROM r WHERE n > 24),
+e AS (
+  SELECT s.event_type, s.n, k.k AS k,
+         1 + (2 * k.k * (s.n - 2) + 22) // 44 AS edge
+  FROM (SELECT DISTINCT event_type, n FROM big) s,
+       unnest(generate_series(0, 22)) k(k)
+),
+bk AS (
+  SELECT a.event_type, a.k AS b, a.edge AS lo, b2.edge AS hi
+  FROM e a JOIN e b2 ON b2.event_type = a.event_type AND b2.k = a.k + 1
+),
+cent AS (
+  SELECT bk.event_type, bk.b, avg(big.x) AS cx, avg(big.y) AS cy
+  FROM bk JOIN big ON big.event_type = bk.event_type
+                  AND big.idx >= bk.lo AND big.idx < bk.hi
+  GROUP BY 1, 2
+),
+ctr AS (
+  SELECT bk.event_type, bk.b,
+         CASE WHEN bk.b <= 20 THEN c.cx ELSE lp.x END AS cx,
+         CASE WHEN bk.b <= 20 THEN c.cy ELSE lp.y END AS cy
+  FROM bk
+  LEFT JOIN cent c ON c.event_type = bk.event_type AND c.b = bk.b + 1
+  JOIN (SELECT event_type, x, y FROM big WHERE idx = n - 1) lp
+    ON lp.event_type = bk.event_type
+),
+cand AS (
+  SELECT bk.event_type, bk.b, p.idx AS a, p.x AS ax, p.y AS ay
+  FROM bk JOIN bk pb ON pb.event_type = bk.event_type
+                    AND pb.b = bk.b - 1
+       JOIN big p ON p.event_type = bk.event_type
+                 AND p.idx >= pb.lo AND p.idx < pb.hi
+  UNION ALL
+  SELECT bk.event_type, bk.b, p.idx, p.x, p.y
+  FROM bk JOIN big p ON p.event_type = bk.event_type AND p.idx = 0
+  WHERE bk.b = 0
+),
+scored AS (
+  SELECT c.event_type, c.b, c.a, j.idx AS pick,
+         row_number() OVER (
+           PARTITION BY c.event_type, c.b, c.a
+           ORDER BY abs((c.ax - t.cx) * (j.y - c.ay)
+                      - (c.ax - j.x) * (t.cy - c.ay)) DESC,
+                    j.idx ASC
+         ) AS rk
+  FROM cand c
+  JOIN ctr t ON t.event_type = c.event_type AND t.b = c.b
+  JOIN bk ON bk.event_type = c.event_type AND bk.b = c.b
+  JOIN big j ON j.event_type = c.event_type
+            AND j.idx >= bk.lo AND j.idx < bk.hi
+),
+best AS (SELECT event_type, b, a, pick FROM scored WHERE rk = 1),
+rec AS (
+  SELECT event_type, -1 AS b, 0 AS pick
+  FROM (SELECT DISTINCT event_type FROM big) s0
+  UNION ALL
+  SELECT best.event_type, best.b, best.pick
+  FROM rec JOIN best ON best.event_type = rec.event_type
+                    AND best.b = rec.b + 1 AND best.a = rec.pick
+),
+sel AS (
+  SELECT event_type, pick AS idx FROM rec
+  UNION ALL
+  SELECT event_type, n - 1 FROM (SELECT DISTINCT event_type, n FROM big) sl
+)
+SELECT big.event_type, big.tick, CAST(big.v AS BIGINT) AS v
+FROM big JOIN sel ON sel.event_type = big.event_type
+                 AND sel.idx = big.idx
+UNION ALL
+SELECT event_type, tick, CAST(v AS BIGINT) AS v FROM small
+""",
+        # duplicated-span detection: the identical split → window →
+        # corpus count → gaps-and-islands merge construction
+        "doc_dup_spans": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x != '') AS wl
+  FROM documents
+),
+g AS (
+  SELECT doc_id, u.j AS start,
+         array_to_string(wl[u.j + 1 : u.j + 8], ' ') AS gram
+  FROM w, unnest(generate_series(0, len(wl) - 8)) u(j)
+  WHERE len(wl) >= 8
+),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+dup AS (SELECT g.doc_id, g.start FROM g JOIN hot USING (gram)),
+f AS (
+  SELECT doc_id, start,
+         MAX(start + 7) OVER (
+           PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dup
+),
+s AS (
+  SELECT doc_id, start,
+         SUM(CASE WHEN prev_end IS NULL OR start > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT doc_id,
+       CAST(MIN(start) AS BIGINT) AS span_start,
+       CAST(MAX(start) + 7 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM s GROUP BY doc_id, sid
 """,
         # reset-aware counter increase: integer arithmetic end to end
         "ev_counter_rate": """

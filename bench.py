@@ -171,13 +171,24 @@ def _mem_probe(n: int = 1 << 22) -> dict:
     gather-collapsed window vs ~4s expected from the r04d window."""
     import numpy as np
 
-    rng = np.random.default_rng(int(time.time()) & 0xFFFF)
-    perm = rng.permutation(n).astype(np.int64)  # fresh pages (write-faults)
-    src = np.arange(n, dtype=np.int64)          # fresh pages
-    t0 = time.time()
-    src[perm].sum()                             # random gather, cold dst
-    dt = time.time() - t0
-    return {"elems": n, "gather_melems_per_sec": round(n / dt / 1e6, 1)}
+    # Median of 3 independent cold rounds (fresh arrays each round).  A
+    # single round is noisy near the gate: a healthy window still pays
+    # one burst of first-touch zeroing on a fresh process's first big
+    # allocation (measured 9-62 M elem/s round-to-round on a clean
+    # host), while the pathological window reads <5 on EVERY round.
+    # The median keeps the probe cold-by-construction but lets one
+    # outlier round get outvoted instead of vetoing a clean window.
+    rates = []
+    for r in range(3):
+        rng = np.random.default_rng((int(time.time()) & 0xFFFF) + r)
+        perm = rng.permutation(n).astype(np.int64)  # fresh pages
+        src = np.arange(n, dtype=np.int64)          # fresh pages
+        t0 = time.time()
+        src[perm].sum()                             # random gather, cold dst
+        dt = time.time() - t0
+        rates.append(round(n / dt / 1e6, 1))
+    return {"elems": n, "rounds": rates,
+            "gather_melems_per_sec": sorted(rates)[1]}
 
 
 # probe-gated measurement windows (VERDICT r4 #5): a window is healthy

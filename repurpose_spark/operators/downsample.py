@@ -89,12 +89,31 @@ def rolling_zscore(
     seq_col: str | None = None,
     n: int = 50,
     min_points: int = 10,
+    exact: bool = False,
 ) -> DataFrame:
     """Causal anomaly score: z_t = (x_t − μ)/σ with μ, σ (population)
     over the ``n`` samples strictly BEFORE t in the series.  Rows with
     fewer than ``min_points`` predecessors, or a zero σ (constant
     window), score NULL rather than ±inf.  One exchange on the keys;
-    the frame, the guard, and the score share its sort."""
+    the frame, the guard, and the score share its sort.
+
+    ``exact=True`` (integer ``value_col`` required) emits the SIGNED
+    SQUARED score ``z2 = sign(c·x−S)·(c·x−S)²/(c·Q−S²)`` from the
+    window's exact integer moments (c = count, S = Σx, Q = Σx²) — the
+    algebraic identity z² = (x−μ)²/σ² with μ = S/c, σ² = (cQ−S²)/c²,
+    cross-checked against the float path in pytest (a mirrored oracle
+    alone certifies parity, not correctness): every
+    operand is an exact int64/double-representable integer and the
+    single IEEE division is correctly rounded, so the double output is
+    bit-identical across engines and partition layouts — the same
+    trick rates.py uses for the TWA integral.  Precondition:
+    c²·max(x)² must fit int64 (n ≤ 100 with |x| ≤ 3·10⁵ is safe —
+    tier counts and cent-scale tier values qualify); past that the
+    engine would wrap where DuckDB promotes to int128, which the
+    certification would catch, not mask.  (The float path's
+    ``stddev_pop`` is a per-engine accumulation order + sqrt — fine
+    for monitoring, not byte-certifiable.)  Monotone in |z|, preserves
+    sign: thresholding at z² > t² ≡ |z| > t."""
     key_cols = list(key_cols)
     order = [ts_col] + ([seq_col] if seq_col else [])
     w = (
@@ -102,9 +121,23 @@ def rolling_zscore(
         .orderBy(*order)
         .rowsBetween(-n, -1)
     )
+    cnt = F.count(value_col).over(w)
+    if exact:
+        x = F.col(value_col).cast("long")
+        s = F.sum(x).over(w)
+        q = F.sum(x * x).over(w)
+        num = cnt * x - s                      # exact int64
+        den = cnt * q - s * s                  # exact int64 (= c²·σ²)
+        z2 = F.when(
+            (cnt >= min_points) & (den > 0),
+            F.signum(num.cast("double"))
+            * (num * num).cast("double") / den.cast("double"),
+        )
+        return df.select(
+            *key_cols, F.col(ts_col), F.col(value_col), z2.alias("z2")
+        )
     mu = F.avg(value_col).over(w)
     sd = F.stddev_pop(value_col).over(w)
-    cnt = F.count(value_col).over(w)
     z = F.when(
         (cnt >= min_points) & (sd > 0), (F.col(value_col) - mu) / sd
     )
@@ -193,8 +226,15 @@ def _lttb_series(
     picks = np.empty(n_out, dtype=np.int64)
     picks[0] = 0
     picks[-1] = n - 1
-    # interior bucket b covers edges[b] .. edges[b+1]-1
-    edges = np.rint(np.linspace(1, n - 1, n_out - 1)).astype(np.int64)
+    # interior bucket b covers edges[b] .. edges[b+1]-1.  Edge rule:
+    # round-half-up of linspace(1, n-1, n_out-1) in PURE INTEGER
+    # arithmetic — edges[k] = 1 + ⌊(k·(n−2) + (m−1)/2) / (m−1)⌋ with
+    # m = n_out−1 — so the bucketing is exactly reproducible in SQL
+    # (np.rint's float linspace + half-to-even is not: the half cases
+    # and the linspace accumulation are float-implementation-defined).
+    m = n_out - 1
+    k = np.arange(m, dtype=np.int64)
+    edges = 1 + (2 * k * (n - 2) + (m - 1)) // (2 * (m - 1))
     a = 0
     for b in range(n_out - 2):
         lo, hi = edges[b], edges[b + 1]
@@ -236,7 +276,16 @@ def lttb(
         pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         xs = pdf[ts_col]
         if np.issubdtype(xs.dtype, np.datetime64):
-            x = xs.astype("int64").to_numpy(dtype=np.float64) / 1e6
+            # epoch MILLISECONDS as exact float64 integers (|ms| < 2^53
+            # for any realistic date): converting at ns resolution
+            # first would round — int64 ns exceed 2^53 — and that
+            # sub-ulp noise can flip an argmax that exact arithmetic
+            # ties, breaking certification against an exact oracle
+            x = (
+                xs.astype("datetime64[ms]")
+                .astype("int64")
+                .to_numpy(dtype=np.float64)
+            )
         else:
             x = xs.to_numpy(dtype=np.float64)
         y = pdf[value_col].to_numpy(dtype=np.float64)

@@ -180,3 +180,50 @@ def test_duplicate_spans_short_and_unique_docs(spark):
     # A and C are shorter than the window → no grams → no spans; B's
     # grams are unique
     assert duplicate_spans(df, window=3).count() == 0
+
+
+def test_rolling_zscore_exact_matches_float_path(spark):
+    # signed z² from integer window moments must equal sign(z)·z² of the
+    # float path wherever both are defined (same guard semantics), and
+    # be bit-identical across partition layouts
+    rows = [("s", _ts(i // 60, i % 60), int((i * 37) % 211)) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    zf = {
+        r["ts"]: r["zscore"]
+        for r in rolling_zscore(
+            df, ["key"], "ts", "v", n=24, min_points=10
+        ).collect()
+    }
+    ze = {
+        r["ts"]: r["z2"]
+        for r in rolling_zscore(
+            df, ["key"], "ts", "v", n=24, min_points=10, exact=True
+        ).collect()
+    }
+    assert set(zf) == set(ze)
+    both = 0
+    for ts, z in zf.items():
+        if z is None:
+            assert ze[ts] is None
+        else:
+            assert ze[ts] == pytest.approx(np.sign(z) * z * z, rel=1e-9)
+            both += 1
+    assert both > 100  # the fixture genuinely exercises the scored region
+    ze2 = {
+        r["ts"]: r["z2"]
+        for r in rolling_zscore(
+            df.repartition(13), ["key"], "ts", "v",
+            n=24, min_points=10, exact=True,
+        ).collect()
+    }
+    assert ze == ze2  # byte-exact, not approx: the integer-moment claim
+
+
+def test_rolling_zscore_exact_constant_window_is_null(spark):
+    # constant predecessors → zero variance → NULL, never ±inf/NaN
+    rows = [("s", _ts(i), 5) for i in range(30)] + [("s", _ts(30), 9)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    out = rolling_zscore(
+        df, ["key"], "ts", "v", n=24, min_points=10, exact=True
+    ).collect()
+    assert all(r["z2"] is None for r in out)
