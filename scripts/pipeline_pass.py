@@ -96,10 +96,19 @@ def bw_probe(n: int = 1 << 22) -> dict:
             p.join()
         return sum(q.get() for _ in ps)
 
-    w1 = run(1)
-    w8 = run(8)
-    return {"w1_melems": round(w1, 1), "w8_agg_melems": round(w8, 1),
-            "bw_scaling_8w": round(w8 / (8 * w1), 3)}
+    # median of 3 per level: a single 1-worker rep rides turbo/idle
+    # boost with ±30% swing, whipsawing the ratio while the 8-way
+    # aggregate (the quantity executors actually share) moves far less
+    w1 = sorted(run(1) for _ in range(3))[1]
+    w2 = sorted(run(2) for _ in range(3))[1]
+    w8 = sorted(run(8) for _ in range(3))[1]
+    return {"w1_melems": round(w1, 1), "w2_agg_melems": round(w2, 1),
+            "w8_agg_melems": round(w8, 1),
+            "bw_scaling_8w": round(w8 / (8 * w1), 3),
+            # the ceiling comparable to the measured local[2]->local[8]
+            # legs: how much MORE aggregate memory bandwidth 4x the
+            # workers actually get on this VM
+            "bw_scaling_2_to_8": round(w8 / (4 * w2), 3)}
 
 
 def run_leg(cpus: int, docs: int, trials: int) -> dict:
@@ -138,6 +147,18 @@ def main() -> None:
                     "this fraction of 8× the 1-way rate — bandwidth-throttle "
                     "windows read ~0.58 and crush only the wide leg, which "
                     "no CPU- or latency-probe can see")
+    ap.add_argument("--min-bw-agg", type=float, default=500.0,
+                    help="the bw gate also passes when the 8-way AGGREGATE "
+                    "warm-gather rate reaches this many M elem/s, whatever "
+                    "the ratio reads.  Rationale: executors share AGGREGATE "
+                    "bandwidth; the ratio was a proxy adopted when absolutes "
+                    "sat at 340-380 M elem/s.  In fast windows the idle "
+                    "1-worker leg turbo-boosts (w1 90-120 vs 58-96 in the "
+                    "throttled windows), depressing the ratio below 0.7 "
+                    "while the 8 workers have ~1.7x MORE bandwidth than the "
+                    "recorded clean pass — exactly the window to measure in. "
+                    "Every genuinely-throttled window this round read "
+                    "w8_agg 340-377; 500 separates the populations cleanly.")
     args = ap.parse_args()
 
     res: dict = {"docs": args.docs, "note": args.note}
@@ -165,9 +186,13 @@ def main() -> None:
             json.dump(res, f, indent=1)
         sys.exit(3)
     res["bw_probe_open"] = bw_probe()
-    if res["bw_probe_open"]["bw_scaling_8w"] < args.min_bw_scaling:
+    # gate on the 2->8 bandwidth ratio (comparable to the measured
+    # local[2]->local[8] legs); the 1->8 ratio whipsaws on 1-worker turbo
+    if (res["bw_probe_open"]["bw_scaling_2_to_8"] < args.min_bw_scaling
+            and res["bw_probe_open"]["w8_agg_melems"] < args.min_bw_agg):
         print("ABORT: parallel-bandwidth probe", res["bw_probe_open"],
-              f"under gate {args.min_bw_scaling} — aggregate-bandwidth "
+              f"under gate {args.min_bw_scaling} (and aggregate under "
+              f"{args.min_bw_agg} M elem/s) — aggregate-bandwidth "
               "throttle window; the wide leg would be crushed asymmetrically",
               flush=True)
         res["aborted"] = "bw probe below gate"
@@ -212,7 +237,8 @@ def main() -> None:
         suspect.append("close gather under paging threshold")
     if res["efficiency"]["probe_close_2_to_8"] < args.min_probe_eff:
         suspect.append("close probe scaling under hardware gate")
-    if res["bw_probe_close"]["bw_scaling_8w"] < args.min_bw_scaling:
+    if (res["bw_probe_close"]["bw_scaling_2_to_8"] < args.min_bw_scaling
+            and res["bw_probe_close"]["w8_agg_melems"] < args.min_bw_agg):
         suspect.append("close bandwidth scaling under gate")
     if suspect:
         res["suspect"] = suspect
