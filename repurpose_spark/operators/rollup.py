@@ -335,20 +335,41 @@ def _qsketch_tier(slim: DataFrame, gcols: list, k: int) -> DataFrame:
 
 
 def _merge_qsketches(tier: DataFrame, gcols: list, schema: str) -> DataFrame:
+    """Hash-shuffle on the group keys, then ONE mapInPandas call per
+    shuffle partition that dict-merges every group it holds.  The
+    obvious ``groupBy().applyInPandas`` spelling invokes Python once
+    PER GROUP (one Arrow round-trip each) — measured 3-4x the whole
+    query's wall at sf0.1's 3,600 hourly groups.  ``repartition(gcols)``
+    gives the same all-blobs-of-a-key-in-one-task guarantee with
+    O(shuffle partitions) Python calls instead of O(groups); executor
+    memory holds one ~4 KB sketch per live group per task, the same
+    contract as the partials phase."""
     import pandas as pd
 
     from repurpose_spark.functions.qsketch import QuantileSketch
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = QuantileSketch.from_bytes(bytes(pdf["q_sketch"].iloc[0]))
-        for b in pdf["q_sketch"].iloc[1:]:
-            sk.merge(QuantileSketch.from_bytes(bytes(b)))
-        out = pdf.iloc[[0]][gcols].copy()
-        out["q_sketch"] = [sk.to_bytes()]
-        out["n_points"] = [int(pdf["n_points"].sum())]
-        return out
+    def merge_partition(batches):
+        acc: dict[tuple, QuantileSketch] = {}
+        npts: dict[tuple, int] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(gcols, dropna=False, sort=False):
+                kt = tuple(key) if isinstance(key, tuple) else (key,)
+                sk = acc.get(kt)
+                for b in grp["q_sketch"]:
+                    other = QuantileSketch.from_bytes(bytes(b))
+                    if sk is None:
+                        sk = other
+                    else:
+                        sk.merge(other)
+                acc[kt] = sk
+                npts[kt] = npts.get(kt, 0) + int(grp["n_points"].sum())
+        if acc:
+            yield pd.DataFrame(
+                [(*kt, sk.to_bytes(), npts[kt]) for kt, sk in acc.items()],
+                columns=gcols + ["q_sketch", "n_points"],
+            )
 
-    return tier.groupBy(*gcols).applyInPandas(merge, schema)
+    return tier.repartition(*gcols).mapInPandas(merge_partition, schema)
 
 
 def rollup_qsketch_from_partials(
