@@ -109,21 +109,31 @@ def topk_frequent(
         if rows:
             yield pd.DataFrame(rows, columns=gcols + [item_col, "est_n"])
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        d: dict = {}
-        _mg_fold(d, pdf[item_col], pdf["est_n"], m)
-        head = pdf.iloc[[0]][gcols]
-        out = pd.DataFrame(
-            {item_col: list(d), "est_n": list(d.values())}
-        )
-        for c in gcols:
-            out[c] = head[c].iloc[0]
-        return out[gcols + [item_col, "est_n"]]
+    def merge_partition(batches):
+        # one Python call per SHUFFLE PARTITION, dict-merging every
+        # group it holds — groupBy().applyInPandas would invoke Python
+        # once per (keys…) group (an Arrow round-trip each), which is
+        # O(cells × ticks) calls at scale; the repartition below gives
+        # the same all-partials-of-a-key-in-one-task guarantee.  Rows
+        # per group here are bounded by O(map partitions × m), so the
+        # per-task footprint is tiny (same argument as the KLL merge,
+        # rollup.py::_merge_qsketches).
+        accs: dict[tuple, dict] = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(gcols, dropna=False, sort=False):
+                kt = key if isinstance(key, tuple) else (key,)
+                d = accs.setdefault(kt, {})
+                _mg_fold(d, grp[item_col], grp["est_n"], m)
+        rows = [
+            (*kt, it, n) for kt, d in accs.items() for it, n in d.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=gcols + [item_col, "est_n"])
 
     cands = (
         slim.mapInPandas(partials, part_schema)
-        .groupBy(*gcols)
-        .applyInPandas(merge, part_schema)
+        .repartition(*gcols)
+        .mapInPandas(merge_partition, part_schema)
         .select(*gcols, item_col)
     )
 
