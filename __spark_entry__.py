@@ -1311,6 +1311,28 @@ def q_ev_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "tick", "v")
 
 
+def q_ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1/2/24 over the gap-filled
+    hourly count grid (operators/downsample.py::autocorr) — the
+    seasonality diagnostic; lag 24 reads the daily cycle directly.
+    EXACT certification via the integer-moment trick (rolling_zscore /
+    TWA family): every Pearson term over the dense grid's int64 counts
+    is an exact integer, and the final num/(sqrt·sqrt) is three
+    correctly-rounded IEEE ops, so the float ACF is byte-identical
+    across engines and partition layouts.  The oracle mirrors the
+    dense-grid + lag + moment construction in SQL."""
+    from repurpose_spark.operators.downsample import autocorr
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    )
+    return autocorr(
+        dense, ["event_type"], ts_col="tick", value_col="n_events",
+        lags=(1, 2, 24),
+    ).select("event_type", "lag", "n_pairs", "acf")
+
+
 def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicated-span detection (the fifth dedup tier,
     Lee et al. 2022; operators/dedup.py::duplicate_spans): every 8-word
@@ -1713,6 +1735,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rolling_zscore": q_ev_rolling_zscore,
         "ev_ewma": q_ev_ewma,
         "ev_lttb": q_ev_lttb,
+        "ev_autocorr": q_ev_autocorr,
         "doc_dup_spans": q_doc_dup_spans,
     }
 
@@ -2679,6 +2702,50 @@ SELECT event_type,
        MIN(value) AS min_v,
        MAX(value) AS max_v
 FROM events GROUP BY 1, 2
+""",
+        "ev_autocorr": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, a.tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS x
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, x,
+         lag(x, 1) OVER (PARTITION BY event_type ORDER BY tick) AS y
+  FROM dense
+  UNION ALL
+  SELECT event_type, 2 AS lag, x,
+         lag(x, 2) OVER (PARTITION BY event_type ORDER BY tick) AS y
+  FROM dense
+  UNION ALL
+  SELECT event_type, 24 AS lag, x,
+         lag(x, 24) OVER (PARTITION BY event_type ORDER BY tick) AS y
+  FROM dense
+),
+moments AS (
+  SELECT event_type, lag, COUNT(*) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       CASE WHEN (n_pairs*sxx - sx*sx) > 0 AND (n_pairs*syy - sy*sy) > 0
+            THEN CAST(n_pairs*sxy - sx*sy AS DOUBLE)
+                 / (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE)))
+       END AS acf
+FROM moments
 """,
         "ev_gapfill_hourly": """
 WITH hourly AS (

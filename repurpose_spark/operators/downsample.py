@@ -293,3 +293,76 @@ def lttb(
         return pdf.iloc[idx][key_cols + [ts_col, value_col]]
 
     return sel.groupBy(*key_cols).applyInPandas(fn, schema=schema_fields)
+
+
+def autocorr(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    lags: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Per-series autocorrelation at integer ``lags`` — the seasonality
+    diagnostic (a daily cycle in an hourly series shows as a peak at
+    lag 24).  Reference analog: the per-cell time-sorted series handed
+    to resample hooks (img2ts.py:652-668) — ACF is the classic such
+    per-series reduction.
+
+    Input must be a REGULAR grid (e.g. the gap-filled hourly tier):
+    row t−k IS the observation k slots earlier, so ``lag(x, k)`` over
+    (keys, ORDER BY ts) aligns pairs exactly.
+
+    Exactness (the rolling_zscore/TWA integer-moment trick): with an
+    integer ``value_col``, every Pearson term over the n pairs —
+    S_x, S_y, S_xy, S_xx, S_yy and the combinations
+    num = n·S_xy − S_x·S_y, var_a = n·S_xx − S_x², var_b = n·S_yy −
+    S_y² — is an exact int64, and
+    ``acf = num / (sqrt(var_a) · sqrt(var_b))`` is three correctly-
+    rounded IEEE ops on double-exact integers, so the float output is
+    bit-identical across engines and partition layouts.  Precondition:
+    n·Σx² must fit 2^53 for the exact double cast (3,600 hourly slots
+    of counts ≤ 10⁴ gives ~10¹⁵ — safe; Spark's ANSI mode errors, not
+    wraps, past int64).  Zero-variance series (constant x in the
+    window) yield NULL, not ±inf.
+
+    Plan shape: all lag columns ride ONE Window operator (identical
+    window spec), so the whole computation is one hash exchange + one
+    in-partition sort on the series keys (tier-sized input by design);
+    ``stack`` unpivots to (lag, x, y) rows JVM-side (a generator, not a
+    shuffle) and the groupBy is a partial+final HashAggregate over
+    integer moments — one more exchange of O(series × lags) rows.
+    (The union-of-legs spelling re-shuffled and re-sorted per lag:
+    3 exchanges + 3 sorts for 3 lags, .explain-verified.)
+    """
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    lagged = df.select(
+        *key_cols,
+        F.col(value_col).cast("long").alias("_x"),
+        *[
+            F.lag(F.col(value_col).cast("long"), int(k))
+            .over(w)
+            .alias(f"_y{k}")
+            for k in lags
+        ],
+    )
+    stack_expr = "stack({}, {}) as (lag, _y)".format(
+        len(lags), ", ".join(f"{int(k)}, _y{int(k)}" for k in lags)
+    )
+    pairs = lagged.select(
+        *key_cols, "_x", F.expr(stack_expr)
+    ).where(F.col("_y").isNotNull())
+    agg = pairs.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    va = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vb = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    acf = F.when((va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb)))
+    return agg.select(*key_cols, "lag", "n_pairs", acf.alias("acf"))

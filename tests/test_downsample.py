@@ -227,3 +227,47 @@ def test_rolling_zscore_exact_constant_window_is_null(spark):
         df, ["key"], "ts", "v", n=24, min_points=10, exact=True
     ).collect()
     assert all(r["z2"] is None for r in out)
+
+
+def test_autocorr_matches_numpy(spark):
+    from repurpose_spark.operators.downsample import autocorr
+
+    rng = np.random.RandomState(11)
+    # strong daily-ish cycle (period 24) + noise, integer counts
+    base = 50 + 30 * np.sin(2 * np.pi * np.arange(600) / 24)
+    vals = (base + rng.randint(0, 20, size=600)).astype(np.int64)
+    rows = [("s", _ts(i // 60, i % 60), int(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    got = {
+        r["lag"]: r
+        for r in autocorr(df, ["key"], "ts", "v", lags=(1, 24)).collect()
+    }
+    for k in (1, 24):
+        x, y = vals[k:].astype(float), vals[:-k].astype(float)
+        exp = np.corrcoef(x, y)[0, 1]
+        assert got[k]["n_pairs"] == len(vals) - k
+        assert got[k]["acf"] == pytest.approx(exp, rel=1e-12)
+    # the cycle must actually show: lag-24 ACF far above lag-1
+    assert got[24]["acf"] > 0.8 > abs(got[1]["acf"] - 0.8)
+
+
+def test_autocorr_partition_invariance_and_constant_null(spark):
+    from repurpose_spark.operators.downsample import autocorr
+
+    rows = [("s", _ts(i // 60, i % 60), int((i * 37) % 101)) for i in range(500)]
+    rows += [("flat", _ts(i // 60, i % 60), 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    a = sorted(
+        autocorr(df, ["key"], "ts", "v").collect(),
+        key=lambda r: (r["key"], r["lag"]),
+    )
+    b = sorted(
+        autocorr(df.repartition(7), ["key"], "ts", "v").collect(),
+        key=lambda r: (r["key"], r["lag"]),
+    )
+    # byte-identical across partition layouts (exact integer moments)
+    assert [(r["key"], r["lag"], r["n_pairs"], r["acf"]) for r in a] == [
+        (r["key"], r["lag"], r["n_pairs"], r["acf"]) for r in b
+    ]
+    flat = [r for r in a if r["key"] == "flat"]
+    assert flat and all(r["acf"] is None for r in flat)
