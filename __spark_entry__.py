@@ -1333,6 +1333,84 @@ def q_ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "lag", "n_pairs", "acf")
 
 
+def q_ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (operators/intervals.py::interval_join) —
+    the range-overlap shape Spark lacks natively: each 'error' event
+    opens a 2-hour incident window [ts, ts+2h) keyed by user-group, and
+    every click/view landing inside a window of its group is attributed
+    to it.  The plan is an EQUI hash join on (grp, hour-bucket) with an
+    exact refine predicate — never a nested-loop/cartesian (the naive
+    theta-join plan); each window fans out over ≤3 hourly buckets and
+    a point's single bucket guarantees pair uniqueness without dedup.
+    EXACT oracle: DuckDB runs the naive inequality join — the bucketing
+    must be semantics-free."""
+    from repurpose_spark.operators.intervals import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    grp = (F.col("user_id") % 8).alias("grp")
+    ivs = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"),
+        grp,
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    pts = ev.where(F.col("event_type").isin("click", "view")).select(
+        grp,
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hits = interval_join(
+        pts, ivs, on=["grp"], ts_col="ts",
+        start_col="start_ts", end_col="end_ts", bucket_seconds=3600,
+    )
+    return hits.groupBy("iid", "grp").agg(
+        F.count("*").alias("n_in"), F.sum("cents").alias("sum_cents")
+    )
+
+
+def q_ev_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsample (operators/downsample.py::m4_points, Jugel
+    et al. VLDB 2014): per (event_type, hour) the deduplicated ≤4-point
+    set {first, min, max, last} over the per-timestamp integer-cent
+    series — the minimal point set whose rendering is pixel-identical
+    to the full series.  Associative fold (four struct min/max), so the
+    plan is one partial+final HashAggregate like any rollup; the dedup
+    is array_distinct in the projection, no extra shuffle.  EXACT
+    oracle: DuckDB struct min/max (same lexicographic tie rules) with
+    UNION's set semantics doing the dedup."""
+    from repurpose_spark.operators.downsample import m4_points
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy("event_type", "ts").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+    )
+    return m4_points(series, ["event_type"], ts_col="ts", value_col="v")
+
+
+def q_ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-window mean-shift changepoint score
+    (operators/downsample.py::mean_shift) over the gap-filled hourly
+    count grid: each hour's score is mean(next 24h) − mean(prev 24h),
+    with non-maximum suppression flagging the locally strongest |shift|
+    in a ±12 h neighbourhood — the classic level-shift detector on the
+    tier a monitoring stack would watch.  EXACT certification via the
+    integer-moment contract: both window sums are exact int64 over the
+    dense grid's counts and the score is ONE IEEE division by 24, so
+    the float (and the peak flags compared from identical floats) are
+    byte-stable across engines and partitionings.  One hash exchange on
+    the series key feeds all three window passes."""
+    from repurpose_spark.operators.downsample import mean_shift
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    )
+    return mean_shift(
+        dense, ["event_type"], ts_col="tick", value_col="n_events",
+        n=24, peak_radius=12,
+    ).select("event_type", "tick", "n_events", "shift", "is_peak")
+
+
 def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicated-span detection (the fifth dedup tier,
     Lee et al. 2022; operators/dedup.py::duplicate_spans): every 8-word
@@ -1737,6 +1815,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_lttb": q_ev_lttb,
         "ev_autocorr": q_ev_autocorr,
         "doc_dup_spans": q_doc_dup_spans,
+        "ev_interval_join": q_ev_interval_join,
+        "ev_m4": q_ev_m4,
+        "ev_changepoint": q_ev_changepoint,
     }
 
 
@@ -2746,6 +2827,89 @@ SELECT event_type, lag, n_pairs,
                     * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE)))
        END AS acf
 FROM moments
+""",
+        # the oracle is the NAIVE theta-join the operator exists to
+        # avoid — bucketing must be invisible in the result multiset
+        "ev_interval_join": """
+WITH iv AS (
+  SELECT event_id AS iid, user_id % 8 AS grp, ts AS start_ts,
+         ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT user_id % 8 AS grp, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT iv.iid, iv.grp,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(p.cents) AS BIGINT) AS sum_cents
+FROM iv JOIN p
+  ON p.grp = iv.grp AND p.ts >= iv.start_ts AND p.ts < iv.end_ts
+GROUP BY 1, 2
+""",
+        # struct min/max carry the same lexicographic tie rules as
+        # Spark's; UNION (set semantics) is the point-set dedup
+        "ev_m4": """
+WITH p AS (
+  SELECT event_type, ts,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS tick,
+         min({'ts': ts, 'v': v}) AS s_first,
+         max({'ts': ts, 'v': v}) AS s_last,
+         min({'v': v, 'ts': ts}) AS s_min,
+         max({'v': v, 'ts': ts}) AS s_max
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, tick, (s_first).ts AS ts, (s_first).v AS v FROM b
+UNION
+SELECT event_type, tick, (s_last).ts, (s_last).v FROM b
+UNION
+SELECT event_type, tick, (s_min).ts, (s_min).v FROM b
+UNION
+SELECT event_type, tick, (s_max).ts, (s_max).v FROM b
+""",
+        # both window sums are exact int64 over the dense grid; shift is
+        # one IEEE division by 24.0 → byte-stable, and is_peak compares
+        # those identical doubles
+        "ev_changepoint": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+),
+scored AS (
+  SELECT event_type, tick, n_events,
+         CASE WHEN COUNT(*) OVER wl = 24 AND COUNT(*) OVER wr = 24
+              THEN CAST(SUM(n_events) OVER wr
+                        - SUM(n_events) OVER wl AS DOUBLE) / 24.0
+         END AS shift
+  FROM dense
+  WINDOW wl AS (PARTITION BY event_type ORDER BY tick
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+         wr AS (PARTITION BY event_type ORDER BY tick
+                ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
+)
+SELECT event_type, tick, n_events, shift,
+       (shift IS NOT NULL AND abs(shift) >=
+        MAX(abs(shift)) OVER (PARTITION BY event_type ORDER BY tick
+                              ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+         AS is_peak
+FROM scored
 """,
         "ev_gapfill_hourly": """
 WITH hourly AS (

@@ -1,5 +1,5 @@
 """Series downsampling & per-window analytics: OHLC, rolling z-score,
-EWMA, LTTB.
+EWMA, LTTB, autocorrelation, M4, two-window mean-shift changepoints.
 
 The rollup family (operators/rollup.py) covers the commutative folds
 (sum/count/min/max → tier partials).  This module adds the four classic
@@ -366,3 +366,126 @@ def autocorr(
     vb = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
     acf = F.when((va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb)))
     return agg.select(*key_cols, "lag", "n_pairs", acf.alias("acf"))
+
+
+def m4(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    unit: str = "hour",
+) -> DataFrame:
+    """M4 downsample (Jugel et al., VLDB 2014): per (keys, bucket) the
+    four pixel-defining samples — first, last, min-value, max-value —
+    the smallest point set whose line rendering is pixel-identical to
+    the full series at one bucket per pixel column.
+
+    Like ``ohlc`` this is a pure associative fold — four min/max of
+    structs — so the plan is one partial+final HashAggregate and the
+    shuffle carries bucket partials, never samples.  Wide form: one row
+    per bucket with the (ts, v) of each role.  Determinism: first/last
+    tie-break on value ascending at equal ts; vmin picks the earliest
+    of equal minima, vmax the latest of equal maxima (lexicographic
+    struct order — documented, partition-invariant)."""
+    key_cols = list(key_cols)
+    ts, v = F.col(ts_col), F.col(value_col)
+    by_ts = F.struct(ts.alias("ts"), v.alias("v"))
+    by_v = F.struct(v.alias("v"), ts.alias("ts"))
+    return df.groupBy(
+        *key_cols, F.date_trunc(unit, ts).alias("tick")
+    ).agg(
+        F.min(by_ts).alias("s_first"),
+        F.max(by_ts).alias("s_last"),
+        F.min(by_v).alias("s_min"),
+        F.max(by_v).alias("s_max"),
+        F.count(v).alias("n_points"),
+    ).select(
+        *key_cols,
+        "tick",
+        F.col("s_first.ts").alias("ts_first"),
+        F.col("s_first.v").alias("v_first"),
+        F.col("s_min.ts").alias("ts_min"),
+        F.col("s_min.v").alias("v_min"),
+        F.col("s_max.ts").alias("ts_max"),
+        F.col("s_max.v").alias("v_max"),
+        F.col("s_last.ts").alias("ts_last"),
+        F.col("s_last.v").alias("v_last"),
+        "n_points",
+    )
+
+
+def m4_points(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    unit: str = "hour",
+) -> DataFrame:
+    """M4 as its actual output contract: the deduplicated POINT SET
+    (keys, tick, ts, v) — ≤4 rows per bucket (a bucket whose extreme
+    IS its first/last sample contributes the point once).  The dedup is
+    ``array_distinct`` over four structs inside the aggregate's
+    projection — per-row, no extra shuffle beyond m4's single
+    exchange."""
+    wide = m4(df, key_cols, ts_col=ts_col, value_col=value_col, unit=unit)
+
+    def pt(t, v):
+        return F.struct(F.col(t).alias("ts"), F.col(v).alias("v"))
+
+    pts = F.array_distinct(
+        F.array(
+            pt("ts_first", "v_first"),
+            pt("ts_min", "v_min"),
+            pt("ts_max", "v_max"),
+            pt("ts_last", "v_last"),
+        )
+    )
+    return wide.select(
+        *key_cols, "tick", F.explode(pts).alias("_p")
+    ).select(*key_cols, "tick", F.col("_p.ts").alias("ts"), F.col("_p.v").alias("v"))
+
+
+def mean_shift(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    n: int = 24,
+    peak_radius: int | None = None,
+) -> DataFrame:
+    """Change-point score per point: the difference between the mean of
+    the ``n`` samples starting AT the current row and the mean of the
+    ``n`` samples strictly BEFORE it (the classic two-sliding-window
+    mean-shift detector; emitted only where both windows are full, so
+    every score compares equal-sized populations).
+
+    ``value_col`` must be integral (the rollup tiers' counts/cents):
+    both window sums are exact int64, and ``shift`` is ONE IEEE
+    division of exact integers — byte-reproducible across engines and
+    partitionings, same contract as rolling_zscore/TWA.
+
+    With ``peak_radius=k``, flags rows whose |shift| attains the max
+    over ±k neighbouring scores (non-maximum suppression — the usual
+    "report each changepoint once" post-pass).  All three computations
+    share ONE hash exchange on the series keys + one in-partition sort;
+    Catalyst folds the window frames onto the same clustering."""
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    v = F.col(value_col)
+    c_l = F.count(v).over(w.rowsBetween(-n, -1))
+    s_l = F.sum(v).over(w.rowsBetween(-n, -1))
+    c_r = F.count(v).over(w.rowsBetween(0, n - 1))
+    s_r = F.sum(v).over(w.rowsBetween(0, n - 1))
+    shift = F.when(
+        (c_l == n) & (c_r == n),
+        (s_r - s_l).cast("double") / F.lit(float(n)),
+    )
+    out = df.withColumn("shift", shift)
+    if peak_radius is not None:
+        k = int(peak_radius)
+        mx = F.max(F.abs(F.col("shift"))).over(w.rowsBetween(-k, k))
+        out = out.withColumn(
+            "is_peak",
+            F.col("shift").isNotNull() & (F.abs(F.col("shift")) >= mx),
+        )
+    return out

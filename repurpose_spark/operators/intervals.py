@@ -1,0 +1,120 @@
+"""Bucketed interval (range-overlap) join: points × [start, end) windows.
+
+Spark has no native interval-containment join — expressed naively
+(``points.join(intervals, ts.between(start, end))``) Catalyst plans a
+BroadcastNestedLoopJoin or a cartesian product: O(|points| × |intervals|)
+comparisons, the canonical scale-killer for "which maintenance window /
+session / incident does this sample fall in" queries.  The reference
+hits the same shape when matching observation timestamps into image
+time windows (``src/repurpose/img2ts.py:652-668`` hands each cell's
+points to a window-bounded resampler); this operator is the
+set-oriented generalization.
+
+Strategy — the standard bucketed range join (the same decomposition
+Databricks' range-join hints and PostGIS tile joins use):
+
+1. pick a bucket width ``W`` (seconds); a point belongs to exactly ONE
+   bucket ``floor(epoch_micros(ts) / W·1e6)``;
+2. explode each interval into the buckets it overlaps —
+   ``sequence(bucket(start), bucket(end − 1µs))`` — a fan-out of
+   ``ceil(len/W) + 1`` rows per interval, bounded and chosen by the
+   caller to match the median interval length;
+3. hash-join on ``(on_keys…, bucket)`` — an EQUI-join Catalyst can
+   shuffle or broadcast — then refine with the exact
+   ``start ≤ ts < end`` predicate.
+
+Because a point has exactly one bucket and an interval covers that
+bucket at most once, every true (point, interval) pair appears exactly
+once — no post-join dedup.  At 100 TB the shuffle carries points once
+(hashed on keys+bucket) and intervals ``len/W`` times; with dim-sized
+interval sets (maintenance windows, incident lists) pass
+``broadcast_intervals=True`` and the points never shuffle at all.
+Hot buckets (a burst hour) are ordinary hash-join skew — AQE's skew
+split applies, or choose a finer ``W``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "_ivj_bucket"
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: list | None = None,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+    end_inclusive: bool = False,
+    how: str = "inner",
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Join point rows to every interval row whose ``[start, end)``
+    (or ``[start, end]`` with ``end_inclusive``) contains the point's
+    ``ts_col``, optionally also matching the equi-keys ``on``.
+
+    ``how``: ``inner`` (matching pairs) or ``left`` (keep unmatched
+    points with null interval columns).  Interval rows with
+    ``end < start`` (or ``end ≤ start`` when end-exclusive) match
+    nothing by construction and are dropped up front.
+
+    Column names must be disjoint between the two frames apart from the
+    ``on`` keys (same protected-name contract as collocate, SURVEY P6)
+    — a shared name would make the refine predicate ambiguous.
+    """
+    on = list(on or [])
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    clash = (set(points.columns) & set(intervals.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            f"point/interval column names must be disjoint apart from the "
+            f"join keys; shared: {sorted(clash)}"
+        )
+    w_us = F.lit(int(bucket_seconds) * 1_000_000)
+
+    def _us(c):
+        # exact integer epoch micros (no float epoch math); the cast
+        # lifts TIMESTAMP_NTZ (what parquet scans yield) to TIMESTAMP —
+        # a monotonic map applied identically to both sides, so bucket
+        # containment is preserved regardless of session timezone
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    pts = points.withColumn(_BUCKET, F.floor(_us(ts_col) / w_us))
+    end_us = _us(end_col) - (F.lit(0) if end_inclusive else F.lit(1))
+    valid = (
+        F.col(end_col) >= F.col(start_col)
+        if end_inclusive
+        else (F.col(end_col) > F.col(start_col))
+    )
+    ivs = (
+        intervals.where(valid)
+        .withColumn(
+            _BUCKET,
+            F.explode(
+                F.sequence(F.floor(_us(start_col) / w_us), F.floor(end_us / w_us))
+            ),
+        )
+    )
+    if broadcast_intervals:
+        ivs = F.broadcast(ivs)
+
+    in_range = (pts[ts_col] >= ivs[start_col]) & (
+        pts[ts_col] <= ivs[end_col]
+        if end_inclusive
+        else pts[ts_col] < ivs[end_col]
+    )
+    cond = pts[_BUCKET] == ivs[_BUCKET]
+    for k in on:
+        cond = cond & pts[k].eqNullSafe(ivs[k])
+    joined = pts.join(ivs, cond & in_range, how)
+    keep_pts = [pts[c] for c in points.columns]
+    keep_ivs = [ivs[c] for c in intervals.columns if c not in on]
+    return joined.select(*keep_pts, *keep_ivs)

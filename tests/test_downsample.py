@@ -271,3 +271,94 @@ def test_autocorr_partition_invariance_and_constant_null(spark):
     ]
     flat = [r for r in a if r["key"] == "flat"]
     assert flat and all(r["acf"] is None for r in flat)
+
+
+# ---- M4 downsample ----------------------------------------------------
+
+
+def test_m4_hand_values(spark):
+    from repurpose_spark.operators.downsample import m4
+
+    rows = [
+        ("a", _ts(5), 10.0),
+        ("a", _ts(20), 99.0),   # max
+        ("a", _ts(40), -1.0),   # min
+        ("a", _ts(59), 3.0),    # last
+        ("a", _ts(70), 42.0),   # lone point, second bucket
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    out = {(r["key"], r["tick"].hour): r for r in m4(df, ["key"]).collect()}
+    a0 = out[("a", 0)]
+    assert (a0["ts_first"], a0["v_first"]) == (_ts(5), 10.0)
+    assert (a0["ts_min"], a0["v_min"]) == (_ts(40), -1.0)
+    assert (a0["ts_max"], a0["v_max"]) == (_ts(20), 99.0)
+    assert (a0["ts_last"], a0["v_last"]) == (_ts(59), 3.0)
+    assert a0["n_points"] == 4
+    a1 = out[("a", 1)]
+    assert a1["ts_first"] == a1["ts_min"] == a1["ts_max"] == a1["ts_last"] == _ts(70)
+
+
+def test_m4_points_dedup_and_tie_rules(spark):
+    from repurpose_spark.operators.downsample import m4_points
+
+    rows = [
+        # bucket 0: first IS the max and last IS the min → point set of 2
+        ("a", _ts(5), 9.0),
+        ("a", _ts(50), 1.0),
+        # bucket 1: v-ties — vmin must pick EARLIEST of the 2.0s, vmax
+        # the LATEST of the 7.0s (documented lexicographic rule)
+        ("a", _ts(61), 7.0),
+        ("a", _ts(62), 2.0),
+        ("a", _ts(63), 2.0),
+        ("a", _ts(64), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    got = sorted(
+        (r["tick"].hour, r["ts"], r["v"]) for r in m4_points(df, ["key"]).collect()
+    )
+    assert got == [
+        (0, _ts(5), 9.0),
+        (0, _ts(50), 1.0),
+        (1, _ts(61), 7.0),   # first
+        (1, _ts(62), 2.0),   # earliest min
+        (1, _ts(64), 7.0),   # latest max == last (deduped)
+    ]
+
+
+# ---- two-window mean-shift changepoint ---------------------------------
+
+
+def test_mean_shift_hand_values(spark):
+    from repurpose_spark.operators.downsample import mean_shift
+
+    # step series: 10,10,10,10 then 30,30,30,30 — with n=2 the shift at
+    # the boundary row (index 4) is (30+30)/2 - (10+10)/2 = 20
+    vals = [10, 10, 10, 10, 30, 30, 30, 30]
+    rows = [("s", _ts(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    out = mean_shift(df, ["key"], "ts", "v", n=2, peak_radius=2)
+    got = {r["ts"]: (r["shift"], r["is_peak"]) for r in out.collect()}
+    # rows 0,1 lack a full left window; row 7 lacks a full right window
+    assert got[_ts(0)][0] is None and got[_ts(1)][0] is None
+    assert got[_ts(7)][0] is None
+    assert got[_ts(2)][0] == 0.0 and got[_ts(3)][0] == 10.0
+    assert got[_ts(4)][0] == 20.0 and got[_ts(5)][0] == 10.0
+    assert got[_ts(6)][0] == 0.0
+    # non-maximum suppression: only the boundary row peaks in its ±2 hood
+    assert got[_ts(4)][1] is True
+    assert got[_ts(3)][1] is False and got[_ts(5)][1] is False
+
+
+def test_mean_shift_single_exchange(spark):
+    from repurpose_spark.operators.downsample import mean_shift
+
+    rows = [("s", _ts(i), i % 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    plan = (
+        mean_shift(df, ["key"], "ts", "v", n=5, peak_radius=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # all three window passes ride one clustering: exactly one shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
