@@ -60,6 +60,8 @@ HEADLINE = [
     "mm_decode_stats",
     "ev_value_quantiles",
     "doc_bpe_roundtrip",
+    "ev_interval_join",
+    "ev_m4",
 ]
 
 

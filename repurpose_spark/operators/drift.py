@@ -1,0 +1,121 @@
+"""Population-drift monitoring: PSI between consecutive time slices.
+
+The Population Stability Index — Σ_bins (p−q)·ln(p/q) over smoothed
+histogram frequencies — is the standard alarm for "did today's data
+stop looking like yesterday's" in training-data ingestion and model
+monitoring (>0.25 is the conventional act threshold).  The reference's
+analog is the per-cell metadata attributes it tracks across rewrites
+(``src/repurpose/img2ts.py`` cell min/max bookkeeping); this is the
+distributional generalization a 100 TB ingestion pipeline actually
+watches.
+
+Scale shape: one partial+final count aggregate over the points (the
+ONLY pass over raw; map-side combine bounds the exchange by
+keys × slices × bins), then a per-(key, slice) dense bin vector built
+with ``map_from_entries`` and a single ``lag`` window on the
+slice axis — everything downstream of the first aggregate is
+tier-sized (keys × slices rows, one ≤n_bins array each).
+
+Determinism contract (the z-score/TWA family): bin counts are exact
+int64; each smoothed frequency is ONE IEEE division; each bin's term is
+a product with one libm ``ln``; and the cross-bin sum is an ORDERED
+left fold over the dense bin array (``F.aggregate`` — never a
+shuffle-order float sum), so the PSI double is reproducible across
+engines and partition layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_bins(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Fixed-width histogram bin index in [0, n_bins−1], edges clamped
+    (everything < lo lands in bin 0, ≥ hi in the last bin) — fixed
+    literal edges, so binning is embarrassingly parallel and stable
+    across slices (data-dependent edges would make day-over-day
+    histograms incomparable)."""
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("int")
+    return df.withColumn(
+        out_col, F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    key_cols: list,
+    slice_col,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Per (keys, slice): PSI of the slice's ``value_col`` histogram
+    against the PREVIOUS slice of the same keys (day d vs day d−1 when
+    ``slice_col`` is a date_trunc expression).
+
+    Laplace smoothing ``smooth`` keeps empty bins finite:
+    p_i = (c_i + s) / (N + s·B).  The first slice of each key has no
+    reference → psi is null.  Output: keys, slice, n_cur, n_ref, psi.
+    """
+    key_cols = list(key_cols)
+    sl = slice_col if not isinstance(slice_col, str) else F.col(slice_col)
+    binned = value_bins(df, value_col, lo, hi, n_bins)
+    counts = binned.groupBy(
+        *key_cols, sl.alias("slice"), F.col("bin")
+    ).agg(F.count("*").alias("c"))
+    # dense per-slice bin vector: map bin→count, read 0..B−1 in order
+    vec = counts.groupBy(*key_cols, "slice").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bin"), F.col("c")))
+        ).alias("_m"),
+        F.sum("c").alias("n_cur"),
+    ).withColumn(
+        "_v",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda b: F.coalesce(
+                F.element_at(F.col("_m"), b), F.lit(0).cast("long")
+            ),
+        ),
+    ).drop("_m")
+    w = Window.partitionBy(*key_cols).orderBy("slice")
+    paired = vec.withColumn("_pv", F.lag("_v").over(w)).withColumn(
+        "n_ref", F.lag("n_cur").over(w)
+    )
+    s, B = float(smooth), n_bins
+    den_c = F.col("n_cur").cast("double") + F.lit(s * B)
+    den_r = F.col("n_ref").cast("double") + F.lit(s * B)
+
+    def term(acc, pair):
+        p = (pair["c"].cast("double") + F.lit(s)) / den_c
+        q = (pair["r"].cast("double") + F.lit(s)) / den_r
+        return acc + (p - q) * F.log(p / q)
+
+    psi = F.when(
+        F.col("n_ref").isNotNull(),
+        F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.col("_pv"),
+                lambda c, r: F.struct(c.alias("c"), r.alias("r")),
+            ),
+            F.lit(0.0),
+            term,
+        ),
+    )
+    return paired.select(
+        *key_cols, "slice", "n_cur", "n_ref", psi.alias("psi")
+    )
