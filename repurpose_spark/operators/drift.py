@@ -68,11 +68,16 @@ def psi_drift(
 
     Laplace smoothing ``smooth`` keeps empty bins finite:
     p_i = (c_i + s) / (N + s·B).  The first slice of each key has no
-    reference → psi is null.  Output: keys, slice, n_cur, n_ref, psi.
+    reference → psi is null.  Null values carry no distributional
+    information and are dropped before binning (a null bin key would
+    also poison the map build).  Output: keys, slice, n_cur, n_ref,
+    psi.
     """
     key_cols = list(key_cols)
     sl = slice_col if not isinstance(slice_col, str) else F.col(slice_col)
-    binned = value_bins(df, value_col, lo, hi, n_bins)
+    binned = value_bins(
+        df.where(F.col(value_col).isNotNull()), value_col, lo, hi, n_bins
+    )
     counts = binned.groupBy(
         *key_cols, sl.alias("slice"), F.col("bin")
     ).agg(F.count("*").alias("c"))
