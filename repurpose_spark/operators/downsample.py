@@ -2,7 +2,7 @@
 EWMA, LTTB, autocorrelation, M4, two-window mean-shift changepoints.
 
 The rollup family (operators/rollup.py) covers the commutative folds
-(sum/count/min/max → tier partials).  This module adds the four classic
+(sum/count/min/max → tier partials).  This module adds the classic
 downsample/analytics shapes that need ORDER within the bucket or series
 (reference analog: the per-cell time-sorted series repurpose hands to
 user resample functions, src/repurpose/img2ts.py:652-668 — order-aware
