@@ -1806,6 +1806,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_ev_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (operators/robust.py::rolling_median) over
+    the gap-filled hourly count grid, ±3 slots — the robust smoother a
+    spike can't drag (the moving-average twin is ev_moving_avg).  One
+    Window = one hash exchange + in-partition sort, same plan as the
+    moving average.  EXACT: interpolated median of int64 counts is a
+    dyadic rational (n.0/n.5) both engines compute identically
+    (quantile_cont ↔ percentile parity verified)."""
+    from repurpose_spark.operators.robust import rolling_median
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    )
+    return rolling_median(
+        dense, ["event_type"], ts_col="tick", value_col="n_events",
+        before=3, after=3,
+    )
+
+
+def q_ev_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD outlier mask (operators/robust.py::mad_flags): flag grid
+    slots with |x − median| > 3·MAD per series — the robust z-score
+    (stddev-based thresholds break when the outliers inflate the
+    stddev; MAD's breakdown point is 50 %).  Two tiny per-series
+    percentile aggregates broadcast back; the grid never shuffles.
+    EXACT: median is n.0/n.5, deviations are halves, MAD quarters —
+    all dyadic rationals; 3·MAD and the compare are exact."""
+    from repurpose_spark.operators.robust import mad_flags
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    )
+    return mad_flags(
+        dense, ["event_type"], ts_col="tick", value_col="n_events", k=3
+    )
+
+
+def q_ev_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (operators/robust.py::cross_corr)
+    between the click and error hourly-count series of each user
+    bucket at lags 0/1/24 — "do errors follow clicks, and by how many
+    hours?", the cross-series sibling of ev_autocorr.  One window on
+    the error side + one co-partitioned (grp, tick) equi-join + one
+    moment aggregate.  EXACT via the integer-moment contract: int64
+    sums, then 3 correctly-rounded IEEE ops."""
+    from repurpose_spark.operators.robust import cross_corr
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (F.col("user_id") % 4).alias("grp"),
+        "event_type",
+        F.date_trunc("hour", "ts").alias("tick"),
+    ).agg(F.count("*").alias("n_events"))
+    dense = gap_fill(
+        h, "hour", key_cols=["grp", "event_type"],
+        fill_values={"n_events": 0},
+    )
+    return cross_corr(
+        dense, ["grp"], series_col="event_type", a="click", b="error",
+        ts_col="tick", value_col="n_events", lags=(0, 1, 24),
+    )
+
+
+def q_ev_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive residual (operators/robust.py::seasonal_residual):
+    each hourly grid slot minus its series' (ISO-weekday, hour-of-day)
+    profile mean — the series with weekly/daily cycles removed, which
+    is what level-shift and outlier detectors should consume.  The
+    O(series × 168) profile broadcasts back; the grid never shuffles.
+    EXACT: the mean is one IEEE division of exact int64s, the residual
+    one subtraction of identical doubles (weekday ↔ isodow−1)."""
+    from repurpose_spark.operators.robust import seasonal_residual
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    )
+    return seasonal_residual(
+        dense, ["event_type"], ts_col="tick", value_col="n_events"
+    )
+
+
+def q_doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/cooccur.py::bigram_lift): top-40
+    adjacent token pairs by lift = (c_xy·N)/(c_x·c_y) — the exact
+    rational core of PMI (ln is the one libm step engines may round
+    differently; lift carries the identical ordering and IS bitwise
+    certifiable).  Bigrams are map-side arrays_zip of two slices (no
+    positional self-join); counts are partial+final HashAggregates;
+    top-k is TakeOrderedAndProject with (lift, w1, w2) total order."""
+    from repurpose_spark.operators.cooccur import bigram_lift
+
+    d = _wide(_t(spark, sf_dir, "documents"))
+    return bigram_lift(d, text_col="text", min_count=3, k=40)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -1850,6 +1948,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_m4": q_ev_m4,
         "ev_changepoint": q_ev_changepoint,
         "ev_drift_psi": q_ev_drift_psi,
+        "ev_rolling_median": q_ev_rolling_median,
+        "ev_mad_outliers": q_ev_mad_outliers,
+        "ev_lag_corr": q_ev_lag_corr,
+        "ev_seasonal_residual": q_ev_seasonal_residual,
+        "doc_bigram_lift": q_doc_bigram_lift,
     }
 
 
@@ -2988,6 +3091,183 @@ SELECT event_type, slice, n_cur, n_ref,
       (a, b) -> a + b)
   END AS psi
 FROM pair
+""",
+        # exact interpolated median of int64 counts is a dyadic
+        # rational — quantile_cont ↔ percentile parity over the same
+        # row frame (edge rows keep their shrunken frame in both)
+        "ev_rolling_median": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+)
+SELECT event_type, tick, n_events,
+       quantile_cont(n_events, 0.5) OVER (
+         PARTITION BY event_type ORDER BY tick
+         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med
+FROM dense
+""",
+        # median n.0/n.5, deviations halves, MAD quarters — all dyadic
+        # rationals; 3·MAD and the compare are exact; zero-MAD series
+        # emit NULL flags
+        "ev_mad_outliers": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+),
+med AS (
+  SELECT event_type, quantile_cont(n_events, 0.5) AS med
+  FROM dense GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.tick, d.n_events, m.med,
+         abs(CAST(d.n_events AS DOUBLE) - m.med) AS dev
+  FROM dense d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.event_type, dev.tick, dev.n_events, dev.med, dev.dev, mad.mad,
+       CASE WHEN mad.mad > 0 THEN dev.dev > 3 * mad.mad END AS is_outlier
+FROM dev JOIN mad USING (event_type)
+""",
+        # both series dense on the SAME global axis, so lag-then-join
+        # (engine) ≡ join-then-lag (oracle); moments exact int64, final
+        # value 3 IEEE ops — the autocorr certification, cross-series
+        "ev_lag_corr": """
+WITH hourly AS (
+  SELECT user_id % 4 AS grp, event_type,
+         date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT grp, event_type FROM hourly),
+dense AS (
+  SELECT k.grp, k.event_type, a.tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS v
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.grp = k.grp AND h.event_type = k.event_type
+                    AND h.tick = a.tick
+),
+x AS (SELECT grp, tick, v AS x FROM dense WHERE event_type = 'click'),
+y AS (SELECT grp, tick, v AS y0 FROM dense WHERE event_type = 'error'),
+j AS (SELECT x.grp, x.tick, x.x, y.y0 FROM x JOIN y USING (grp, tick)),
+pairs AS (
+  SELECT grp, 0 AS lag, x, y0 AS y FROM j
+  UNION ALL
+  SELECT grp, 1 AS lag, x,
+         lag(y0, 1) OVER (PARTITION BY grp ORDER BY tick) AS y FROM j
+  UNION ALL
+  SELECT grp, 24 AS lag, x,
+         lag(y0, 24) OVER (PARTITION BY grp ORDER BY tick) AS y FROM j
+),
+m AS (
+  SELECT grp, lag, COUNT(*) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2
+)
+SELECT grp, CAST(lag AS INT) AS lag, n_pairs,
+       CASE WHEN (n_pairs*sxx - sx*sx) > 0 AND (n_pairs*syy - sy*sy) > 0
+            THEN CAST(n_pairs*sxy - sx*sy AS DOUBLE)
+                 / (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE)))
+       END AS xcf
+FROM m
+""",
+        # weekday ↔ isodow−1 (Monday=0); the profile mean is ONE IEEE
+        # division of exact int64s and the residual one subtraction of
+        # identical doubles
+        "ev_seasonal_residual": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+),
+g AS (
+  SELECT event_type, tick, n_events,
+         CAST(isodow(tick) - 1 AS INT) AS dow,
+         CAST(hour(tick) AS INT) AS hod
+  FROM dense
+),
+prof AS (
+  SELECT event_type, dow, hod,
+         CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_v
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT g.event_type, g.tick, g.n_events, g.dow, g.hod, p.mean_v,
+       CAST(g.n_events AS DOUBLE) - p.mean_v AS resid
+FROM g JOIN prof p USING (event_type, dow, hod)
+""",
+        # lift = (c_xy·N)/(c_x·c_y): PMI's exact rational core — one
+        # IEEE division of double-exact int64 products; ln would be the
+        # one libm step engines may round differently, so it stays with
+        # the caller.  Top-k total order (lift, w1, w2) is deterministic
+        "doc_bigram_lift": """
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+uni AS (SELECT unnest(l) AS w FROM d),
+cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT SUM(c) AS n_tok FROM cu),
+bg AS (
+  SELECT unnest(list_zip(list_slice(l, 1, len(l) - 1),
+                         list_slice(l, 2, len(l)))) AS p
+  FROM d WHERE len(l) >= 2
+),
+cb AS (
+  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c_xy
+  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT cb.w1, cb.w2, cb.c_xy, u1.c AS c_x, u2.c AS c_y,
+       CAST(cb.c_xy * t.n_tok AS DOUBLE)
+         / CAST(u1.c * u2.c AS DOUBLE) AS lift
+FROM cb
+JOIN cu u1 ON u1.w = cb.w1
+JOIN cu u2 ON u2.w = cb.w2
+CROSS JOIN tot t
+ORDER BY lift DESC, cb.w1, cb.w2
+LIMIT 40
 """,
         "ev_gapfill_hourly": """
 WITH hourly AS (

@@ -1,0 +1,112 @@
+"""Token co-occurrence statistics over the documents corpus.
+
+The association-mining tier of the text stack (alongside the trigram
+LM in ``perplexity.py`` and the heavy-hitters pass): which adjacent
+token pairs occur far more often than their unigram frequencies
+predict — collocations, boilerplate signatures, templated spam.  The
+standard score is pointwise mutual information; we emit its EXACT
+rational core instead of the log:
+
+    lift(w1, w2) = P(w1, w2) / (P(w1) · P(w2))
+                 = (c_xy · N) / (c_x · c_y),        PMI = ln(lift)
+
+``ln`` is the one step libm implementations are allowed to round
+differently, so certifying log-PMI bitwise across engines is not
+possible; lift carries the identical ordering and IS certifiable —
+one IEEE division of two double-exact int64 products (each < 2^53 at
+any realistic vocab/corpus ratio; the counts themselves are exact).
+Callers wanting PMI apply ``ln`` to the returned lift.
+
+Reference analog: repurpose's per-image statistics hooks compute
+exactly this kind of corpus-level association table driver-side; here
+the counting is two partial+final HashAggregates over the exploded
+token stream and the unigram table rides a broadcast-eligible join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bigram_lift"]
+
+_WS = r"\s+"
+
+
+def _tokens(df: DataFrame, text_col: str):
+    """Whitespace tokens of the lowercased text, empties removed —
+    the corpus-wide tokenization convention (matches the DuckDB twin
+    ``regexp_split_to_array(lower(text), '\\s+')`` + empty filter used
+    by doc_top_words / the BPE family)."""
+    toks = F.split(F.lower(F.col(text_col)), _WS)
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` adjacent token pairs by lift (exact PMI core), among
+    pairs seen at least ``min_count`` times.
+
+    Plan shape, 100 TB reading:
+
+    * bigram construction is per-row ``arrays_zip`` of two slices —
+      map-side, no positional self-join, no shuffle;
+    * bigram and unigram counts are each ONE partial+final
+      HashAggregate (map-side combine absorbs the per-document
+      repetition before the exchange);
+    * the corpus total is an O(vocab)-input one-row aggregate;
+    * the two count joins are vocab-sized vs pair-vocab-sized — AQE
+      broadcasts the unigram side when it fits, plain co-partitioned
+      shuffle otherwise; the raw token stream is never joined;
+    * top-k is ``orderBy().limit()`` → TakeOrderedAndProject (per-
+      partition heaps + driver merge of k rows, never a full sort).
+
+    Ordering is fully deterministic: lift values are byte-identical
+    across engines (module docstring) and ties break on (w1, w2).
+    """
+    toks = df.select(_tokens(df, text_col).alias("l")).where(
+        F.size("l") >= 2
+    )
+    n_l = F.size("l")
+    bigrams = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("l", 1, n_l - 1).alias("w1"),
+                F.slice("l", 2, n_l - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        df.select(F.explode(_tokens(df, text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cb = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= int(min_count))
+    )
+    total = uni.agg(F.sum("c").alias("n_tok"))
+    scored = (
+        cb.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                (F.col("c_xy") * F.col("n_tok")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("w1"), F.col("w2")
+    ).limit(int(k))

@@ -1,0 +1,266 @@
+"""Robust per-series statistics and seasonality over regular tier grids.
+
+Reference analog: repurpose hands each cell's time-sorted series to a
+user preprocess/postprocess hook (img2ts.py:652-668, resample step) and
+users run exactly this family — rolling smoothers, outlier masks,
+seasonal baselines, series-vs-series correlation — in single-node
+pandas there.  Here each is a declarative Spark plan over the dense
+gap-filled tier grid (1000× smaller than raw by construction), so the
+same diagnostics run cluster-wide with one hash exchange per series
+key.
+
+Exactness contract (shared with downsample.autocorr / rolling_zscore):
+inputs are int64 tier counts/cents, so
+
+* exact interpolated percentiles of int64 are dyadic rationals
+  (n.0 / n.5 for the median, quarters for the MAD) — exactly
+  representable, engine-independent;
+* Pearson moments are exact int64 sums and the final value is ≤3
+  correctly-rounded IEEE ops on double-exact integers;
+* seasonal means are ONE IEEE division of two exact int64s and the
+  residual ONE subtraction of identical doubles.
+
+Every float these operators emit is therefore byte-identical across
+engines and partition layouts — certified by the DuckDB oracles in
+``__spark_entry__.extra_oracle_sql`` and the pytest suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "rolling_median",
+    "mad_flags",
+    "cross_corr",
+    "seasonal_profile",
+    "seasonal_residual",
+]
+
+
+def rolling_median(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    before: int = 2,
+    after: int = 2,
+) -> DataFrame:
+    """Exact rolling median over a centered row frame — the robust
+    twin of the moving average (``ev_moving_avg``): one wild spike
+    moves a 5-slot mean by spike/5 but leaves the median untouched.
+
+    Input must be a REGULAR grid (gap-filled tier): a row frame of
+    ``before`` preceding / ``after`` following rows IS the time
+    window, with no gap aliasing.
+
+    Plan shape: ``percentile`` is an ordinary aggregate, so the frame
+    spec rides ONE Window operator — one hash exchange on the series
+    keys + one in-partition sort, identical to the moving-average
+    plan.  Frame buffering is O(before+after+1) rows per position.
+    Edge rows keep their shrunken frame (same as DuckDB's window
+    semantics) so the output has no warm-up NULLs.
+    """
+    key_cols = list(key_cols)
+    frame = "rows between {} preceding and {} following".format(
+        int(before), int(after)
+    )
+    med = F.expr(
+        "percentile({}, 0.5) over (partition by {} order by {} {})".format(
+            value_col, ", ".join(key_cols), ts_col, frame
+        )
+    )
+    return df.select(*key_cols, ts_col, value_col, med.alias("med"))
+
+
+def mad_flags(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    k: int = 3,
+) -> DataFrame:
+    """Median-absolute-deviation outlier mask per series: flag rows
+    with ``|x − median| > k · MAD`` — the robust z-score (a z-score
+    threshold breaks when the outliers themselves inflate the stddev;
+    the breakdown point of the MAD is 50 %).
+
+    Two exact percentile aggregations over the tier grid (per-series
+    median, then per-series median of |x − median|), each a ~one-row-
+    per-series result broadcast back to the grid — the grid itself
+    never shuffles.  ``k`` must be a small integer so ``k · MAD``
+    stays a dyadic rational and the flag compare is exact (see module
+    docstring).  At raw (non-tier) scale use the KLL sketch tier
+    family instead — exact percentiles buffer per-group values.
+
+    Zero-MAD series (≥50 % of slots at the median, common for sparse
+    counts) would flag every off-median point; those rows emit
+    ``is_outlier = NULL`` to keep the mask honest.
+    """
+    key_cols = list(key_cols)
+    x = F.col(value_col).cast("long")
+    med = df.groupBy(*key_cols).agg(
+        F.percentile(x, F.lit(0.5)).alias("med")
+    )
+    dev = df.join(F.broadcast(med), key_cols).select(
+        *key_cols,
+        ts_col,
+        value_col,
+        "med",
+        F.abs(x - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy(*key_cols).agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), key_cols)
+    flag = F.when(
+        F.col("mad") > 0, F.col("dev") > F.lit(int(k)) * F.col("mad")
+    )
+    return out.select(
+        *key_cols, ts_col, value_col, "med", "dev", "mad",
+        flag.alias("is_outlier"),
+    )
+
+
+def cross_corr(
+    df: DataFrame,
+    key_cols: list,
+    series_col: str,
+    a: str,
+    b: str,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    lags: tuple = (0, 1, 24),
+) -> DataFrame:
+    """Lagged cross-correlation between two named series sharing a
+    regular grid: ``corr(x_t, y_{t−k})`` for series ``a`` = x and
+    ``b`` = y at each lag — "do errors follow clicks, and by how many
+    hours?".  The cross-series sibling of ``downsample.autocorr`` (one
+    series against its own past); lag 0 is plain Pearson correlation.
+
+    Input must be a REGULAR dense grid (both series gap-filled onto
+    the same axis) so ``lag(y, k)`` over (keys, ORDER BY ts) is the
+    observation k slots earlier and the (keys, ts) equi-join aligns
+    the pair exactly.
+
+    Plan shape: all lag columns ride ONE Window over the b-side
+    (single hash exchange + sort), ONE equi-join on (keys, ts) —
+    co-partitioned at scale, both sides tier-sized — then ``stack``
+    unpivots JVM-side and one partial+final HashAggregate reduces to
+    integer moments (O(series × lags) rows).  Exactness: identical to
+    autocorr (module docstring) — int64 moments, 3 IEEE ops.
+    """
+    key_cols = list(key_cols)
+    xa = df.where(F.col(series_col) == a).select(
+        *key_cols, ts_col, F.col(value_col).cast("long").alias("_x")
+    )
+    yb = df.where(F.col(series_col) == b).select(
+        *key_cols, ts_col, F.col(value_col).cast("long").alias("_y0")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    lagged = yb.select(
+        *key_cols,
+        ts_col,
+        *[
+            F.lag("_y0", int(kk)).over(w).alias(f"_y{kk}")
+            for kk in lags
+        ],
+    )
+    joined = xa.join(lagged, key_cols + [ts_col])
+    stack_expr = "stack({}, {}) as (lag, _y)".format(
+        len(lags), ", ".join(f"{int(kk)}, _y{int(kk)}" for kk in lags)
+    )
+    pairs = joined.select(*key_cols, "_x", F.expr(stack_expr)).where(
+        F.col("_y").isNotNull()
+    )
+    agg = pairs.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    va = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vb = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    xcf = F.when((va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb)))
+    return agg.select(*key_cols, "lag", "n_pairs", xcf.alias("xcf"))
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+) -> DataFrame:
+    """Day-of-week × hour-of-day seasonal baseline per series: the
+    mean of every slot sharing the same (weekday, hour) — the
+    "seasonal naive" profile every monitoring stack compares against
+    before alarming on an absolute level.
+
+    ``dow`` is ISO-Monday=0..Sunday=6 (``F.weekday`` ↔ DuckDB
+    ``isodow − 1``).  One partial+final HashAggregate over the tier
+    grid; output is O(series × 168) rows.  ``mean_v`` is ONE IEEE
+    division of exact int64s — byte-stable.
+    """
+    key_cols = list(key_cols)
+    return (
+        df.groupBy(
+            *key_cols,
+            F.weekday(ts_col).alias("dow"),
+            F.hour(ts_col).alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.sum(F.col(value_col).cast("long")).alias("sum_v"),
+        )
+        .select(
+            *key_cols,
+            "dow",
+            "hod",
+            "n_slots",
+            "sum_v",
+            (F.col("sum_v").cast("double") / F.col("n_slots"))
+            .alias("mean_v"),
+        )
+    )
+
+
+def seasonal_residual(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+) -> DataFrame:
+    """Deviation from the seasonal baseline: each grid slot minus its
+    series' (weekday, hour) profile mean — the series with weekly and
+    daily cycles removed, i.e. what a level-shift or outlier detector
+    should actually look at.
+
+    The profile (O(series × 168) rows) broadcasts back onto the grid —
+    the grid never shuffles.  ``resid`` is one subtraction of a
+    double-exact int from the profile's correctly-rounded mean:
+    identical operands → identical result in both engines.
+    """
+    key_cols = list(key_cols)
+    prof = seasonal_profile(df, key_cols, ts_col, value_col)
+    grid = df.select(
+        *key_cols,
+        ts_col,
+        F.col(value_col).cast("long").alias(value_col),
+        F.weekday(ts_col).alias("dow"),
+        F.hour(ts_col).alias("hod"),
+    )
+    out = grid.join(F.broadcast(prof), key_cols + ["dow", "hod"])
+    return out.select(
+        *key_cols,
+        ts_col,
+        value_col,
+        "dow",
+        "hod",
+        "mean_v",
+        (F.col(value_col).cast("double") - F.col("mean_v")).alias("resid"),
+    )

@@ -1,0 +1,170 @@
+"""Robust statistics (operators/robust.py) and co-occurrence lift
+(operators/cooccur.py).
+
+Mirrored-oracle rule (BASELINE.md round-5 lesson): the driver oracles
+mirror the same algebra, so this file pins HAND-COMPUTED values and
+independent pandas/numpy references too."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from repurpose_spark.operators.cooccur import bigram_lift
+from repurpose_spark.operators.robust import (
+    cross_corr,
+    mad_flags,
+    rolling_median,
+    seasonal_profile,
+    seasonal_residual,
+)
+
+
+def _hr(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+
+
+def test_rolling_median_matches_pandas(spark):
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 100, size=200)
+    rows = [("s", _hr(i), int(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    got = {
+        r["ts"]: r["med"]
+        for r in rolling_median(
+            df, ["key"], "ts", "v", before=3, after=3
+        ).collect()
+    }
+    ref = (
+        pd.Series(vals).rolling(window=7, center=True, min_periods=1).median()
+    )
+    for i in range(200):
+        # int64 medians are dyadic rationals — compare EXACTLY
+        assert got[_hr(i)] == ref.iloc[i], i
+
+
+def test_rolling_median_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("s", _hr(i), i) for i in range(10)],
+        "key string, ts timestamp, v long",
+    )
+    plan = rolling_median(df, ["key"], "ts", "v")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mad_flags_hand_values(spark):
+    # median 4.5, devs sorted [.5,.5,1.5,1.5,2.5,2.5,3.5,95.5] → MAD 2.0,
+    # threshold 3·2.0 = 6.0: only the 100 flags
+    vals = [1, 2, 3, 4, 5, 6, 7, 100]
+    df = spark.createDataFrame(
+        [("a", _hr(i), v) for i, v in enumerate(vals)],
+        "key string, ts timestamp, v long",
+    )
+    out = {r["v"]: r for r in mad_flags(df, ["key"], "ts", "v", k=3).collect()}
+    assert out[100]["med"] == 4.5 and out[100]["mad"] == 2.0
+    assert out[100]["is_outlier"] is True
+    assert all(out[v]["is_outlier"] is False for v in vals if v != 100)
+
+
+def test_mad_zero_series_emits_null_flags(spark):
+    # ≥50 % of slots at the median → MAD 0 → honest NULL, never all-True
+    df = spark.createDataFrame(
+        [("a", _hr(i), v) for i, v in enumerate([5, 5, 5, 5, 5, 9])],
+        "key string, ts timestamp, v long",
+    )
+    out = mad_flags(df, ["key"], "ts", "v").collect()
+    assert all(r["is_outlier"] is None for r in out)
+    assert all(r["mad"] == 0.0 for r in out)
+
+
+def _grid(rows):
+    return "grp string, s string, ts timestamp, v long", rows
+
+
+def test_cross_corr_detects_exact_shift(spark):
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 50, size=32)
+    rows = [("g", "a", _hr(i), int(x[i])) for i in range(30)]
+    # y leads x by 2 slots: y[t] = x[t+2] → at lag 2, y_{t−2} = x_t
+    rows += [("g", "b", _hr(i), int(x[i + 2])) for i in range(30)]
+    schema, rows = _grid(rows)
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r["lag"]: r
+        for r in cross_corr(
+            df, ["grp"], "s", "a", "b", ts_col="ts", value_col="v",
+            lags=(0, 2),
+        ).collect()
+    }
+    assert out[2]["xcf"] == 1.0  # identical pairs → exactly 1
+    assert out[2]["n_pairs"] == 28
+    ref0 = np.corrcoef(x[:30], x[2:32])[0, 1]
+    assert out[0]["xcf"] == pytest.approx(ref0, rel=1e-12)
+
+
+def test_cross_corr_constant_series_is_null(spark):
+    rows = [("g", "a", _hr(i), 7) for i in range(10)]
+    rows += [("g", "b", _hr(i), i) for i in range(10)]
+    schema, rows = _grid(rows)
+    df = spark.createDataFrame(rows, schema)
+    out = cross_corr(df, ["grp"], "s", "a", "b", lags=(0,)).collect()
+    assert len(out) == 1 and out[0]["xcf"] is None
+
+
+def test_seasonal_residual_zero_on_pure_seasonal_signal(spark):
+    # v is a pure function of (weekday, hour) over 3 full weeks → the
+    # profile reproduces every slot exactly and residuals vanish
+    rows = [
+        ("k", _hr(i), _hr(i).weekday() * 100 + _hr(i).hour)
+        for i in range(21 * 24)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    out = seasonal_residual(df, ["key"], "ts", "v").collect()
+    assert len(out) == 21 * 24
+    assert all(r["resid"] == 0.0 for r in out)
+    prof = seasonal_profile(df, ["key"], "ts", "v").collect()
+    assert len(prof) == 168
+    assert all(p["n_slots"] == 3 for p in prof)
+
+
+def test_seasonal_profile_mean_hand_value(spark):
+    # two Mondays 00:00 with 4 and 5 → mean 4.5; dow is ISO Monday=0
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, 0), 4),   # Monday
+        ("k", dt.datetime(2024, 1, 8, 0), 5),   # next Monday
+        ("k", dt.datetime(2024, 1, 7, 0), 9),   # Sunday
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    prof = {
+        (p["dow"], p["hod"]): p
+        for p in seasonal_profile(df, ["key"], "ts", "v").collect()
+    }
+    assert prof[(0, 0)]["mean_v"] == 4.5 and prof[(0, 0)]["n_slots"] == 2
+    assert prof[(6, 0)]["mean_v"] == 9.0
+
+
+def test_bigram_lift_hand_values(spark):
+    # corpus: "x y x y" + "x y z" → N=7; c(x)=3 c(y)=3 c(z)=1;
+    # bigrams (x,y)=3 (y,x)=1 (y,z)=1
+    df = spark.createDataFrame(
+        [("X y x Y",), ("x y z",)], "text string"
+    )
+    got = [
+        (r["w1"], r["w2"], r["c_xy"], r["c_x"], r["c_y"], r["lift"])
+        for r in bigram_lift(df, min_count=1, k=10).collect()
+    ]
+    # lift ties (x,y) and (y,z) at exactly 7/3 break on w1
+    assert got == [
+        ("x", "y", 3, 3, 3, 21.0 / 9.0),
+        ("y", "z", 1, 3, 1, 7.0 / 3.0),
+        ("y", "x", 1, 3, 3, 7.0 / 9.0),
+    ]
+
+
+def test_bigram_lift_min_count_and_k(spark):
+    df = spark.createDataFrame([("x y x y",), ("x y z",)], "text string")
+    got = bigram_lift(df, min_count=2, k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in got] == [("x", "y")]
+    got1 = bigram_lift(df, min_count=1, k=1).collect()
+    assert len(got1) == 1 and got1[0]["w1"] == "x"
