@@ -62,6 +62,8 @@ HEADLINE = [
     "doc_bpe_roundtrip",
     "ev_interval_join",
     "ev_m4",
+    "ev_rolling_median",
+    "doc_bigram_lift",
 ]
 
 

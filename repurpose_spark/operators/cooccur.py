@@ -80,10 +80,17 @@ def bigram_lift(
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # vocab-sized and consumed three times (two count joins + the
+    # corpus total); persisted so the corpus is scanned exactly TWICE
+    # (one bigram pass + one unigram pass) — unpersisted it re-derives
+    # per consumer (4+ scans, .explain-verified).  Same pattern as the
+    # curation survivor set; results should be materialized before
+    # long-lived reuse of the session frees the cache.
     uni = (
         df.select(F.explode(_tokens(df, text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     cb = (
         bigrams.groupBy("w1", "w2")
