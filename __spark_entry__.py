@@ -1904,6 +1904,77 @@ def q_doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lift(d, text_col="text", min_count=3, k=40)
 
 
+def q_ev_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despike filter (operators/robust.py::hampel): flag and
+    repair grid slots deviating > 3 window-MADs from the ±3-slot
+    window median — the windowed refinement of ev_mad_outliers (a
+    global MAD misses spikes riding a trend).  Pure JVM: frame values
+    ride one collect_list on the SAME window spec as the frame median;
+    deviations are an in-row transform + array_sort + index pick — one
+    exchange total.  EXACT: frame median n.0/n.5, deviations halves,
+    deviation-median quarters — dyadic rationals picked identically."""
+    from repurpose_spark.operators.robust import hampel
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    )
+    return hampel(
+        dense, ["event_type"], ts_col="tick", value_col="n_events",
+        half_width=3, k=3,
+    )
+
+
+def q_ev_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 48-hour rolling Pearson correlation
+    (operators/robust.py::rolling_corr) between each user bucket's
+    click and error hourly-count series — how the coupling cross_corr
+    summarizes drifts over time ("rolling beta").  All five moment
+    sums share ONE window spec (one exchange + sort); partial windows
+    emit NULL.  EXACT: int64 frame sums + 3 IEEE ops per row."""
+    from repurpose_spark.operators.robust import rolling_corr
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        (F.col("user_id") % 4).alias("grp"),
+        "event_type",
+        F.date_trunc("hour", "ts").alias("tick"),
+    ).agg(F.count("*").alias("n_events"))
+    dense = gap_fill(
+        h, "hour", key_cols=["grp", "event_type"],
+        fill_values={"n_events": 0},
+    )
+    x = dense.where(F.col("event_type") == "click").select(
+        "grp", "tick", F.col("n_events").alias("x")
+    )
+    y = dense.where(F.col("event_type") == "error").select(
+        "grp", "tick", F.col("n_events").alias("y")
+    )
+    j = x.join(y, ["grp", "tick"])
+    return rolling_corr(j, ["grp"], ts_col="tick", x_col="x", y_col="y", n=48)
+
+
+def q_ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite decomposition
+    (operators/robust.py::seasonal_decompose): value = trend (±12-slot
+    rolling MEDIAN — robust to the spikes the residual should expose)
+    + seasonal ((weekday × hour) mean of the detrended series) +
+    resid.  One window exchange + one O(series × 168) broadcast-back
+    profile.  EXACT via the int-scale trick: the trend is a dyadic
+    half so 2·(value − trend) is an exact int64; int sums are
+    shuffle-order-free; one IEEE division + one subtraction."""
+    from repurpose_spark.operators.robust import seasonal_decompose
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    )
+    return seasonal_decompose(
+        dense, ["event_type"], ts_col="tick", value_col="n_events",
+        half_width=12,
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -1953,6 +2024,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_lag_corr": q_ev_lag_corr,
         "ev_seasonal_residual": q_ev_seasonal_residual,
         "doc_bigram_lift": q_doc_bigram_lift,
+        "ev_hampel": q_ev_hampel,
+        "ev_rolling_corr": q_ev_rolling_corr,
+        "ev_seasonal_decompose": q_ev_seasonal_decompose,
     }
 
 
@@ -3235,6 +3309,145 @@ prof AS (
 )
 SELECT g.event_type, g.tick, g.n_events, g.dow, g.hod, p.mean_v,
        CAST(g.n_events AS DOUBLE) - p.mean_v AS resid
+FROM g JOIN prof p USING (event_type, dow, hod)
+""",
+        # frame median n.0/n.5, deviations halves, deviation-array
+        # median quarters — dyadic rationals, index-PICKED identically;
+        # list() over the ordered frame feeds the same sort both sides
+        "ev_hampel": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+),
+b AS (
+  SELECT event_type, tick, n_events,
+         quantile_cont(n_events, 0.5) OVER w AS med,
+         list(n_events) OVER w AS arr
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY tick
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+c AS (
+  SELECT event_type, tick, n_events, med,
+         list_sort(list_transform(arr,
+                                  e -> abs(CAST(e AS DOUBLE) - med))) AS s
+  FROM b
+),
+d AS (
+  SELECT event_type, tick, n_events, med,
+         CASE WHEN len(s) % 2 = 1
+              THEN s[CAST((len(s) + 1) / 2 AS INT)]
+              ELSE (s[CAST(len(s) / 2 AS INT)]
+                    + s[CAST(len(s) / 2 AS INT) + 1]) / 2
+         END AS mad
+  FROM c
+)
+SELECT event_type, tick, n_events, med, mad,
+       CASE WHEN mad > 0
+            THEN abs(CAST(n_events AS DOUBLE) - med) > 3 * mad
+       END AS is_spike,
+       CASE WHEN mad > 0 AND abs(CAST(n_events AS DOUBLE) - med) > 3 * mad
+            THEN med ELSE CAST(n_events AS DOUBLE)
+       END AS repaired
+FROM d
+""",
+        # five int64 frame sums on one window spec; per-row corr is 3
+        # IEEE ops; partial windows (n_w < 48) emit NULL in both
+        "ev_rolling_corr": """
+WITH hourly AS (
+  SELECT user_id % 4 AS grp, event_type,
+         date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT grp, event_type FROM hourly),
+dense AS (
+  SELECT k.grp, k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS v
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.grp = k.grp AND h.event_type = k.event_type
+                    AND h.tick = a.tick
+),
+x AS (SELECT grp, tick, v AS x FROM dense WHERE event_type = 'click'),
+y AS (SELECT grp, tick, v AS y FROM dense WHERE event_type = 'error'),
+j AS (SELECT x.grp, x.tick, x.x, y.y FROM x JOIN y USING (grp, tick)),
+m AS (
+  SELECT grp, tick, x, y,
+         COUNT(*) OVER w AS n_w,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x*y) OVER w AS sxy, SUM(x*x) OVER w AS sxx,
+         SUM(y*y) OVER w AS syy
+  FROM j
+  WINDOW w AS (PARTITION BY grp ORDER BY tick
+               ROWS BETWEEN 47 PRECEDING AND CURRENT ROW)
+)
+SELECT grp, tick, x, y, n_w,
+       CASE WHEN n_w = 48 AND (n_w*sxx - sx*sx) > 0
+                 AND (n_w*syy - sy*sy) > 0
+            THEN CAST(n_w*sxy - sx*sy AS DOUBLE)
+                 / (sqrt(CAST(n_w*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n_w*syy - sy*sy AS DOUBLE)))
+       END AS rcorr
+FROM m
+""",
+        # trend is a dyadic half → 2·(v − trend) is an exact int64;
+        # int sums are shuffle-order-free; seasonal = one IEEE division,
+        # resid = one subtraction of identical doubles
+        "ev_seasonal_decompose": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+),
+tr AS (
+  SELECT event_type, tick, n_events,
+         quantile_cont(n_events, 0.5) OVER (
+           PARTITION BY event_type ORDER BY tick
+           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+  FROM dense
+),
+g AS (
+  SELECT event_type, tick, n_events, trend,
+         CAST(2 * (CAST(n_events AS DOUBLE) - trend) AS BIGINT) AS d2,
+         CAST(isodow(tick) - 1 AS INT) AS dow,
+         CAST(hour(tick) AS INT) AS hod
+  FROM tr
+),
+prof AS (
+  SELECT event_type, dow, hod, SUM(d2) AS s2, COUNT(*) AS n
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT g.event_type, g.tick, g.n_events, g.trend,
+       CAST(p.s2 AS DOUBLE) / (2 * p.n) AS seasonal,
+       CAST(g.d2 AS DOUBLE) / 2
+         - CAST(p.s2 AS DOUBLE) / (2 * p.n) AS resid
 FROM g JOIN prof p USING (event_type, dow, hod)
 """,
         # lift = (c_xy·N)/(c_x·c_y): PMI's exact rational core — one

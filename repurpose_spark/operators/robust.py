@@ -36,6 +36,9 @@ __all__ = [
     "cross_corr",
     "seasonal_profile",
     "seasonal_residual",
+    "hampel",
+    "rolling_corr",
+    "seasonal_decompose",
 ]
 
 
@@ -263,4 +266,194 @@ def seasonal_residual(
         "hod",
         "mean_v",
         (F.col(value_col).cast("double") - F.col("mean_v")).alias("resid"),
+    )
+
+
+def hampel(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    half_width: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Hampel despike filter: flag (and repair) grid slots whose
+    deviation from the WINDOW median exceeds k times the WINDOW MAD —
+    the standard sensor-despiking pass, and the windowed refinement of
+    ``mad_flags`` (a global MAD misses spikes riding a trend; the
+    Hampel window tracks the local level).
+
+    Pure JVM per row: the frame's values ride ONE ``collect_list``
+    over the same window spec as the frame median, deviations are an
+    in-row ``transform`` + ``array_sort``, and the array median is an
+    index pick — no Python, no second shuffle; the whole operator is
+    one hash exchange + one in-partition sort.  O(width) state per
+    position, width a small constant by construction.
+
+    Exactness: the frame median of int64 is n.0/n.5, deviations are
+    halves, the deviation-array median quarters — all dyadic
+    rationals, picked (not estimated) identically by both engines.
+    Zero-MAD frames (≥half the window at the median) emit
+    ``is_spike = NULL`` and pass through unrepaired — the honest
+    shape, matching ``mad_flags``.
+    """
+    key_cols = list(key_cols)
+    part = ", ".join(key_cols)
+    frame = "rows between {w} preceding and {w} following".format(
+        w=int(half_width)
+    )
+    over = f"over (partition by {part} order by {ts_col} {frame})"
+    x = F.col(value_col).cast("long")
+    base = df.select(
+        *key_cols,
+        ts_col,
+        value_col,
+        F.expr(f"percentile({value_col}, 0.5) {over}").alias("med"),
+        F.expr(f"collect_list({value_col}) {over}").alias("_arr"),
+    )
+    s = F.array_sort(
+        F.transform(
+            F.col("_arr"), lambda e: F.abs(e.cast("double") - F.col("med"))
+        )
+    )
+    n = F.size(s)
+    odd_pick = F.element_at(s, ((n + F.lit(1)) / 2).cast("int"))
+    even_pick = (
+        F.element_at(s, (n / 2).cast("int"))
+        + F.element_at(s, (n / 2).cast("int") + 1)
+    ) / 2
+    mad = F.when(n % 2 == 1, odd_pick).otherwise(even_pick)
+    staged = base.select(
+        *key_cols, ts_col, value_col, "med", mad.alias("mad")
+    )
+    dev = F.abs(x - F.col("med"))
+    flag = F.when(F.col("mad") > 0, dev > F.lit(int(k)) * F.col("mad"))
+    return staged.select(
+        *key_cols,
+        ts_col,
+        value_col,
+        "med",
+        "mad",
+        flag.alias("is_spike"),
+        F.when(flag, F.col("med"))
+        .otherwise(x.cast("double"))
+        .alias("repaired"),
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+    n: int = 48,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two columns of the
+    same dense grid — the time-local version of ``cross_corr`` at lag
+    0 ("rolling beta"): how the click↔error coupling itself drifts.
+    Slots whose trailing window is not yet full emit NULL (a shrunken
+    window would make early values incomparable across series).
+
+    All five moment sums ride ONE window spec (single exchange +
+    in-partition sort); each is an exact int64 over the frame, and
+    the per-row correlation is 3 correctly-rounded IEEE ops — the
+    autocorr certification applied per frame.  Precondition as there:
+    n·Σx² within 2^53.
+    """
+    key_cols = list(key_cols)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col)
+        .rowsBetween(-(int(n) - 1), 0)
+    )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    m = df.select(
+        *key_cols,
+        ts_col,
+        x_col,
+        y_col,
+        F.count(F.lit(1)).over(w).alias("n_w"),
+        F.sum(x).over(w).alias("_sx"),
+        F.sum(y).over(w).alias("_sy"),
+        F.sum(x * y).over(w).alias("_sxy"),
+        F.sum(x * x).over(w).alias("_sxx"),
+        F.sum(y * y).over(w).alias("_syy"),
+    )
+    cnt = F.col("n_w")
+    num = (cnt * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    va = (cnt * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vb = (cnt * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    r = F.when(
+        (cnt == int(n)) & (va > 0) & (vb > 0),
+        num / (F.sqrt(va) * F.sqrt(vb)),
+    )
+    return m.select(
+        *key_cols, ts_col, x_col, y_col, "n_w", r.alias("rcorr")
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    half_width: int = 12,
+) -> DataFrame:
+    """Additive STL-lite decomposition of a dense hourly grid:
+    ``value = trend + seasonal + resid`` with
+
+    * trend    — centered rolling MEDIAN (±half_width slots): robust
+      to the very spikes the residual should expose (classical STL
+      uses loess; the median keeps the whole pass exact and JVM-side);
+    * seasonal — per-series (ISO-weekday × hour-of-day) mean of the
+      detrended series;
+    * resid    — what's left; the input to changepoint/outlier passes.
+
+    Exactness via the int-scale trick (rates.py::time_weighted_avg
+    family): the trend is a dyadic half, so 2·(value − trend) is an
+    EXACT int64; the seasonal mean is sum(detrend2)/(2·count) — int64
+    sums are shuffle-order-free, then ONE IEEE division; the residual
+    is one subtraction of identical doubles.  Every emitted float is
+    byte-stable across engines and partitionings.
+
+    Plan shape: one window exchange (trend) + one O(series × 168)
+    profile aggregate broadcast back — the grid shuffles once.
+    """
+    key_cols = list(key_cols)
+    trended = rolling_median(
+        df, key_cols, ts_col, value_col,
+        before=int(half_width), after=int(half_width),
+    ).withColumnRenamed("med", "trend")
+    v = F.col(value_col).cast("long")
+    g = trended.select(
+        *key_cols,
+        ts_col,
+        value_col,
+        "trend",
+        (F.lit(2) * (v.cast("double") - F.col("trend")))
+        .cast("long")
+        .alias("_d2"),
+        F.weekday(ts_col).alias("dow"),
+        F.hour(ts_col).alias("hod"),
+    )
+    prof = g.groupBy(*key_cols, "dow", "hod").agg(
+        F.sum("_d2").alias("_s2"), F.count(F.lit(1)).alias("_n")
+    )
+    seasonal = (
+        F.col("_s2").cast("double") / (F.lit(2) * F.col("_n"))
+    ).alias("seasonal")
+    out = g.join(
+        F.broadcast(prof.select(*key_cols, "dow", "hod", seasonal)),
+        key_cols + ["dow", "hod"],
+    )
+    detrend = F.col("_d2").cast("double") / 2
+    return out.select(
+        *key_cols,
+        ts_col,
+        value_col,
+        "trend",
+        "seasonal",
+        (detrend - F.col("seasonal")).alias("resid"),
     )

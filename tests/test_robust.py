@@ -168,3 +168,147 @@ def test_bigram_lift_min_count_and_k(spark):
     assert [(r["w1"], r["w2"]) for r in got] == [("x", "y")]
     got1 = bigram_lift(df, min_count=1, k=1).collect()
     assert len(got1) == 1 and got1[0]["w1"] == "x"
+
+
+def test_hampel_hand_values(spark):
+    # flat-10 series with one spike: window median 10, window MAD > 0
+    # via the neighbours 9/11 — the spike repairs to the median
+    vals = [10, 9, 11, 10, 100, 10, 9, 11, 10]
+    df = spark.createDataFrame(
+        [("a", _hr(i), v) for i, v in enumerate(vals)],
+        "key string, ts timestamp, v long",
+    )
+    from repurpose_spark.operators.robust import hampel
+
+    out = {
+        r["ts"]: r
+        for r in hampel(df, ["key"], "ts", "v", half_width=3, k=3).collect()
+    }
+    spike = out[_hr(4)]
+    assert spike["is_spike"] is True and spike["repaired"] == spike["med"]
+    assert out[_hr(0)]["is_spike"] is False
+    assert out[_hr(0)]["repaired"] == 10.0
+
+
+def test_hampel_zero_mad_window_passthrough(spark):
+    # a constant window has MAD 0 → honest NULL flag, value passes
+    vals = [5, 5, 5, 5, 5, 5, 5]
+    df = spark.createDataFrame(
+        [("a", _hr(i), v) for i, v in enumerate(vals)],
+        "key string, ts timestamp, v long",
+    )
+    from repurpose_spark.operators.robust import hampel
+
+    out = hampel(df, ["key"], "ts", "v", half_width=2).collect()
+    assert all(r["is_spike"] is None for r in out)
+    assert all(r["repaired"] == 5.0 for r in out)
+
+
+def test_hampel_matches_python_replay(spark):
+    rng = np.random.RandomState(5)
+    vals = [int(v) for v in rng.randint(0, 40, size=120)]
+    df = spark.createDataFrame(
+        [("a", _hr(i), v) for i, v in enumerate(vals)],
+        "key string, ts timestamp, v long",
+    )
+    from repurpose_spark.operators.robust import hampel
+
+    got = {
+        r["ts"]: r
+        for r in hampel(df, ["key"], "ts", "v", half_width=3, k=3).collect()
+    }
+
+    def interp_median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return float(s[n // 2]) if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    for i in range(120):
+        w = vals[max(0, i - 3): i + 4]
+        med = interp_median(w)
+        mad = interp_median([abs(float(e) - med) for e in w])
+        r = got[_hr(i)]
+        assert r["med"] == med and r["mad"] == mad, i
+        if mad > 0:
+            assert r["is_spike"] is (abs(vals[i] - med) > 3 * mad), i
+        else:
+            assert r["is_spike"] is None, i
+
+
+def test_rolling_corr_matches_exact_replay(spark):
+    import math
+
+    rng = np.random.RandomState(9)
+    xs = [int(v) for v in rng.randint(0, 30, size=100)]
+    ys = [int(v) for v in rng.randint(0, 30, size=100)]
+    rows = [("g", _hr(i), xs[i], ys[i]) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "grp string, ts timestamp, x long, y long"
+    )
+    from repurpose_spark.operators.robust import rolling_corr
+
+    got = {
+        r["ts"]: r for r in rolling_corr(df, ["grp"], "ts", "x", "y", n=10).collect()
+    }
+    for i in range(100):
+        r = got[_hr(i)]
+        if i < 9:
+            assert r["rcorr"] is None and r["n_w"] == i + 1
+            continue
+        wx, wy = xs[i - 9: i + 1], ys[i - 9: i + 1]
+        n = 10
+        sx, sy = sum(wx), sum(wy)
+        sxy = sum(a * b for a, b in zip(wx, wy))
+        sxx, syy = sum(a * a for a in wx), sum(b * b for b in wy)
+        va, vb = n * sxx - sx * sx, n * syy - sy * sy
+        if va > 0 and vb > 0:
+            # the same 3 IEEE ops → byte-exact equality
+            ref = float(n * sxy - sx * sy) / (
+                math.sqrt(float(va)) * math.sqrt(float(vb))
+            )
+            assert r["rcorr"] == ref, i
+        else:
+            assert r["rcorr"] is None, i
+
+
+def test_seasonal_decompose_constant_series(spark):
+    rows = [("k", _hr(i), 7) for i in range(21 * 24)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    from repurpose_spark.operators.robust import seasonal_decompose
+
+    out = seasonal_decompose(df, ["key"], "ts", "v", half_width=12).collect()
+    assert len(out) == 21 * 24
+    assert all(
+        r["trend"] == 7.0 and r["seasonal"] == 0.0 and r["resid"] == 0.0
+        for r in out
+    )
+
+
+def test_seasonal_decompose_matches_python_replay(spark):
+    rng = np.random.RandomState(13)
+    vals = [int(v) for v in rng.randint(0, 20, size=14 * 24)]
+    rows = [("k", _hr(i), vals[i]) for i in range(14 * 24)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    from repurpose_spark.operators.robust import seasonal_decompose
+
+    got = {
+        r["ts"]: r
+        for r in seasonal_decompose(df, ["key"], "ts", "v", half_width=12).collect()
+    }
+    trend = (
+        pd.Series(vals)
+        .rolling(window=25, center=True, min_periods=1)
+        .median()
+    )
+    d2 = [int(2 * (vals[i] - trend.iloc[i])) for i in range(len(vals))]
+    prof: dict = {}
+    for i in range(len(vals)):
+        kk = (_hr(i).weekday(), _hr(i).hour)
+        prof.setdefault(kk, []).append(d2[i])
+    for i in range(len(vals)):
+        kk = (_hr(i).weekday(), _hr(i).hour)
+        seasonal = float(sum(prof[kk])) / (2 * len(prof[kk]))
+        r = got[_hr(i)]
+        assert r["trend"] == trend.iloc[i], i
+        assert r["seasonal"] == seasonal, i
+        assert r["resid"] == float(d2[i]) / 2 - seasonal, i
