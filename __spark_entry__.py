@@ -1975,6 +1975,25 @@ def q_ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_token_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hampel despike filter applied to the graft's own payload:
+    each synthetic doc's token-value series (one point per position,
+    60 s grid — regular by construction, no gap_fill needed) gets the
+    ±3-slot window-median/MAD repair.  Same certification as
+    ev_hampel; the per-doc series is exactly the unit repurpose hands
+    to its per-cell hooks (img2ts.py:652-668), here as one declarative
+    plan over 64k token points."""
+    from repurpose_spark.operators.robust import hampel
+
+    pts = sequences_to_points(synth_sequences(spark, N_SYNTH), CFG).select(
+        "doc_id", "ts", F.col("token").cast("long").alias("token")
+    )
+    return hampel(
+        pts, ["doc_id"], ts_col="ts", value_col="token",
+        half_width=3, k=3,
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2027,6 +2046,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_hampel": q_ev_hampel,
         "ev_rolling_corr": q_ev_rolling_corr,
         "ev_seasonal_decompose": q_ev_seasonal_decompose,
+        "seq_token_hampel": q_seq_token_hampel,
     }
 
 
@@ -3362,6 +3382,44 @@ SELECT event_type, tick, n_events, med, mad,
             THEN med ELSE CAST(n_events AS DOUBLE)
        END AS repaired
 FROM d
+""",
+        # the ev_hampel certification over the graft's token payload:
+        # window median / MAD of int64 token values, index-picked
+        "seq_token_hampel": _SEQ_CTE
+        + """,
+b AS (
+  SELECT printf('doc%08d', i) AS doc_id,
+         TIMESTAMP '2020-01-01' + j * INTERVAL 60 SECOND AS ts,
+         CAST(token AS BIGINT) AS token,
+         quantile_cont(token, 0.5) OVER w AS med,
+         list(token) OVER w AS arr
+  FROM pts
+  WINDOW w AS (PARTITION BY i ORDER BY j
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+c AS (
+  SELECT doc_id, ts, token, med,
+         list_sort(list_transform(arr,
+                                  e -> abs(CAST(e AS DOUBLE) - med))) AS s
+  FROM b
+),
+d2 AS (
+  SELECT doc_id, ts, token, med,
+         CASE WHEN len(s) % 2 = 1
+              THEN s[CAST((len(s) + 1) / 2 AS INT)]
+              ELSE (s[CAST(len(s) / 2 AS INT)]
+                    + s[CAST(len(s) / 2 AS INT) + 1]) / 2
+         END AS mad
+  FROM c
+)
+SELECT doc_id, ts, token, med, mad,
+       CASE WHEN mad > 0
+            THEN abs(CAST(token AS DOUBLE) - med) > 3 * mad
+       END AS is_spike,
+       CASE WHEN mad > 0 AND abs(CAST(token AS DOUBLE) - med) > 3 * mad
+            THEN med ELSE CAST(token AS DOUBLE)
+       END AS repaired
+FROM d2
 """,
         # five int64 frame sums on one window spec; per-row corr is 3
         # IEEE ops; partial windows (n_w < 48) emit NULL in both
