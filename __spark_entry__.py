@@ -1994,6 +1994,52 @@ def q_seq_token_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) forecast baseline
+    (operators/downsample.py::holt) over the hourly cent-total tier:
+    level/trend recursion (α=0.3, β=0.1, b₀=0) emitting the one-step-
+    ahead forecast level+trend — the trend-aware sibling of ev_ewma,
+    one grouped Arrow batch per series.  Sequential by definition →
+    ERROR-BOUND certification: DuckDB replays the coupled recursion in
+    a two-column recursive CTE; each forecast must sit within 1e-9
+    relative (micro-cent scaling makes the checker's +1 slack
+    negligible), while a wrong α/β, swapped update order, or unsorted
+    batch lands far outside."""
+    from repurpose_spark.operators.downsample import holt
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("tick")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    return holt(
+        hourly, ["event_type"], ts_col="tick", value_col="v",
+        alpha=0.3, beta=0.1,
+    ).select(
+        "event_type",
+        "tick",
+        "v",
+        (F.col("forecast") * 1e6).alias("forecast_micro"),
+    )
+
+
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (operators/cooccur.py::
+    token_entropy) — the distribution-level repetition/quality signal
+    (Gopher-style): H = ln(N) − (1/N)·Σ c·ln c over the whitespace
+    tokens.  Two doc-keyed partial+final aggregates, no joins, no
+    Python.  The ln terms are libm-dependent → ERROR-BOUND
+    certification at 1e-9 relative on the micro-nat scale; doc_id and
+    n_tok byte-match."""
+    from repurpose_spark.operators.cooccur import token_entropy
+
+    d = _wide(_t(spark, sf_dir, "documents"))
+    return token_entropy(d, text_col="text").select(
+        "doc_id",
+        "n_tok",
+        (F.col("entropy") * 1e6).alias("entropy_micro"),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2047,6 +2093,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rolling_corr": q_ev_rolling_corr,
         "ev_seasonal_decompose": q_ev_seasonal_decompose,
         "seq_token_hampel": q_seq_token_hampel,
+        "ev_holt": q_ev_holt,
+        "doc_token_entropy": q_doc_token_entropy,
     }
 
 
@@ -2225,6 +2273,64 @@ SELECT event_type, tick, CAST(v AS BIGINT) AS v,
 FROM rec
 """,
             "est_col": "ewma_micro",
+            "rel_err": 1e-9,
+        },
+        # coupled level/trend recursion replayed as a two-column
+        # recursive CTE — same contract as ev_ewma
+        "ev_holt": {
+            "sql": """
+WITH RECURSIVE h AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS tick,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, tick, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY tick) AS rn
+  FROM h
+),
+rec AS (
+  SELECT event_type, tick, v, rn,
+         CAST(v AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.tick, r.v, r.rn,
+         0.3 * r.v + 0.7 * (rec.l + rec.b),
+         0.1 * ((0.3 * r.v + 0.7 * (rec.l + rec.b)) - rec.l)
+           + 0.9 * rec.b
+  FROM rec JOIN r ON r.event_type = rec.event_type
+                 AND r.rn = rec.rn + 1
+)
+SELECT event_type, tick, CAST(v AS BIGINT) AS v,
+       (l + b) * 1e6 AS forecast_micro
+FROM rec
+""",
+            "est_col": "forecast_micro",
+            "rel_err": 1e-9,
+        },
+        # ln terms are libm-dependent and the float sum shuffle-order-
+        # dependent at ~1e-16 — the exact cols (doc_id, n_tok) byte-match
+        "doc_token_entropy": {
+            "sql": """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(l) AS w FROM d),
+c AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, SUM(c) AS n,
+         SUM(c * ln(CAST(c AS DOUBLE))) AS slc
+  FROM c GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       (ln(CAST(n AS DOUBLE)) - slc / n) * 1e6 AS entropy_micro
+FROM a
+""",
+            "est_col": "entropy_micro",
             "rel_err": 1e-9,
         },
     }

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bigram_lift"]
+__all__ = ["bigram_lift", "token_entropy"]
 
 _WS = r"\s+"
 
@@ -117,3 +117,34 @@ def bigram_lift(
     return scored.orderBy(
         F.col("lift").desc(), F.col("w1"), F.col("w2")
     ).limit(int(k))
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram (Shannon) entropy of the whitespace tokens
+    — the distribution-level repetition signal (Gopher-style filters
+    threshold it: templated/boilerplate documents have low entropy even
+    when no single n-gram repeats verbatim):
+
+        H(d) = ln(N_d) − (1/N_d) · Σ_w c_w · ln(c_w)
+
+    Plan shape: explode → (doc, token) partial+final count aggregate →
+    per-doc aggregate (exact int64 n, float Σ c·ln c) — two exchanges,
+    both keyed on doc_id so AQE coalesces them; no joins, no Python.
+    The ln terms are libm-dependent and the Σ c·ln c float sum is
+    shuffle-order-dependent at the ~1e-16 level, so the oracle
+    certifies with a 1e-9 relative bound (the EWMA contract) rather
+    than bitwise.
+    """
+    toks = df.select(
+        F.col("doc_id"), F.explode(_tokens(df, text_col)).alias("w")
+    )
+    counts = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("_slc"),
+    )
+    h = F.log(F.col("n_tok").cast("double")) - F.col("_slc") / F.col("n_tok")
+    return agg.select("doc_id", "n_tok", h.alias("entropy"))

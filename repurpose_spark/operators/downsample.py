@@ -489,3 +489,78 @@ def mean_shift(
             F.col("shift").isNotNull() & (F.abs(F.col("shift")) >= mx),
         )
     return out
+
+
+def _holt_series(
+    x: np.ndarray, alpha: float, beta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Scalar Holt recursion per series (level l, trend b):
+
+        l_0 = x_0, b_0 = 0
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    A plain O(n) loop: the recurrence is a 2×2 linear scan (the
+    block-rescaled trick EWMA uses generalizes to cumulative matrix
+    products) but tier series are bounded by construction (≤ the fill
+    range in slots), so the loop costs microseconds per series and
+    keeps the arithmetic order identical to the oracle's recursive-CTE
+    replay."""
+    n = len(x)
+    l = np.empty(n, dtype=np.float64)
+    b = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return l, b
+    l[0] = float(x[0])
+    b[0] = 0.0
+    one_a = 1.0 - alpha
+    one_b = 1.0 - beta
+    for t in range(1, n):
+        lp = l[t - 1]
+        lt = alpha * float(x[t]) + one_a * (lp + b[t - 1])
+        l[t] = lt
+        b[t] = beta * (lt - lp) + one_b * b[t - 1]
+    return l, b
+
+
+def holt(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "tick",
+    value_col: str = "v",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt linear (double-exponential) smoothing per series — the
+    trend-aware extension of ``ewma`` and the standard short-horizon
+    forecast baseline: ``forecast`` is the one-step-ahead prediction
+    level + trend.  Reference analog: the per-cell hook family
+    (img2ts.py:652-668) where users run exactly this in pandas.
+
+    Same execution shape as ewma: one grouped Arrow batch per series
+    (tier input — bounded length by construction), batch sorted on the
+    timestamp so upstream ordering is irrelevant.  Like ewma the float
+    recursion is certified against a recursive-CTE replay with a 1e-9
+    relative bound (a float recursion's association order is the one
+    thing the dyadic-rational discipline cannot pin bitwise across
+    engines)."""
+    key_cols = list(key_cols)
+    schema_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*key_cols, ts_col, value_col).schema.fields
+    )
+    schema = schema_fields + ", level double, trend double, forecast double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        l, b = _holt_series(
+            pdf[value_col].to_numpy(dtype=np.float64), alpha, beta
+        )
+        pdf["level"] = l
+        pdf["trend"] = b
+        pdf["forecast"] = l + b
+        return pdf[key_cols + [ts_col, value_col, "level", "trend", "forecast"]]
+
+    return df.select(*key_cols, ts_col, value_col).groupBy(*key_cols).applyInPandas(
+        fn, schema=schema
+    )

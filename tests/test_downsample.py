@@ -362,3 +362,49 @@ def test_mean_shift_single_exchange(spark):
     )
     # all three window passes ride one clustering: exactly one shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_holt_matches_scalar_replay(spark):
+    import numpy as np
+
+    from repurpose_spark.operators.downsample import holt
+
+    rng = np.random.RandomState(21)
+    vals = [int(v) for v in rng.randint(0, 1000, size=200)]
+    rows = [("s", _ts(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, tick timestamp, v long")
+    got = {
+        r["tick"]: r
+        for r in holt(df, ["key"], "tick", "v", alpha=0.3, beta=0.1).collect()
+    }
+    # identical arithmetic order → byte-exact equality with the replay
+    l, b = float(vals[0]), 0.0
+    assert got[_ts(0)]["level"] == l and got[_ts(0)]["trend"] == 0.0
+    for i in range(1, 200):
+        lt = 0.3 * float(vals[i]) + (1.0 - 0.3) * (l + b)
+        b = 0.1 * (lt - l) + (1.0 - 0.1) * b
+        l = lt
+        r = got[_ts(i)]
+        assert r["level"] == l and r["trend"] == b and r["forecast"] == l + b, i
+
+
+def test_holt_constant_series_has_zero_trend(spark):
+    from repurpose_spark.operators.downsample import holt
+
+    rows = [("s", _ts(i), 42) for i in range(50)]
+    df = spark.createDataFrame(rows, "key string, tick timestamp, v long")
+    out = holt(df, ["key"], "tick", "v").collect()
+    assert all(r["level"] == 42.0 and r["trend"] == 0.0 for r in out)
+
+
+def test_holt_tracks_linear_ramp(spark):
+    # on x_t = t the forecast converges toward the true next value
+    from repurpose_spark.operators.downsample import holt
+
+    rows = [("s", _ts(i), i * 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "key string, tick timestamp, v long")
+    last = sorted(
+        holt(df, ["key"], "tick", "v").collect(), key=lambda r: r["tick"]
+    )[-1]
+    # next true value is 3000; converged Holt sits within a few percent
+    assert abs(last["forecast"] - 3000.0) < 60.0

@@ -312,3 +312,24 @@ def test_seasonal_decompose_matches_python_replay(spark):
         assert r["trend"] == trend.iloc[i], i
         assert r["seasonal"] == seasonal, i
         assert r["resid"] == float(d2[i]) / 2 - seasonal, i
+
+
+def test_token_entropy_hand_values(spark):
+    import math
+
+    from repurpose_spark.operators.cooccur import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "a b c d"), (3, "z z z z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    # H = ln(N) − (1/N)·Σ c·ln c
+    assert got[1]["n_tok"] == 3
+    assert got[1]["entropy"] == pytest.approx(
+        math.log(3) - (2 * math.log(2)) / 3, rel=1e-12
+    )
+    assert got[2]["entropy"] == pytest.approx(math.log(4), rel=1e-12)
+    assert got[3]["entropy"] == 0.0  # fully repetitive → zero entropy
+    # diversity orders the scores
+    assert got[2]["entropy"] > got[1]["entropy"] > got[3]["entropy"]
