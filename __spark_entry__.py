@@ -394,6 +394,52 @@ def q_ev_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ev_routed(spark, sf_dir, bucket_seconds, tiers_wanted):
+    """Shared body for the routed-rollup queries: build the requested
+    continuous-aggregate tiers from events, let plans/router.py pick the
+    serving tier, and assert the route it chose."""
+    from repurpose_spark.plans.router import routed_rollup
+
+    h = _ev_hourly(spark, sf_dir).withColumnRenamed("n_events", "n_points")
+    tiers = {"hourly": (h, 3600)}
+    if "daily" in tiers_wanted:
+        d = rollup_from_partials(h, "day", key_cols=["event_type"])
+        tiers["daily"] = (d, 86400)
+    out, source = routed_rollup(
+        bucket_seconds, tiers, key_cols=["event_type"]
+    )
+    assert source == tiers_wanted[-1], (source, tiers_wanted)
+    return out.select(
+        "event_type",
+        "tick",
+        F.col("n_points").alias("n_events"),
+        F.col("sum_v").cast("decimal(18,2)").cast("double").alias("sum_v"),
+        "min_v",
+        "max_v",
+    )
+
+
+def q_ev_rollup_routed_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-side tier routing (plans/router.py): a 6 h bucket query is
+    served from the hourly continuous-aggregate tier — the coarsest
+    registered tier whose resolution divides the width (3600 | 21600) —
+    never re-scanning raw events (the reference's per-resolution output
+    dirs make this the caller's job; here it is a plan-time decision).
+    The exact oracle aggregates raw events directly, so a wrong route,
+    wrong unix-bucket arithmetic, or lossy partial merge breaks the
+    hash."""
+    return _ev_routed(spark, sf_dir, 21600, ["hourly"])
+
+
+def q_ev_rollup_routed_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop routed rollup: weekly buckets served from the DAILY tier
+    (itself partials-of-partials from hourly), certifying that mergeable
+    partials stay exact through two re-aggregations plus the router's
+    unix-week bucketing (weeks are NOT date_trunc('week') — they are
+    epoch-aligned 604800 s bins, which the oracle replays exactly)."""
+    return _ev_routed(spark, sf_dir, 604800, ["hourly", "daily"])
+
+
 def q_ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
     dense = gap_fill(
@@ -2073,6 +2119,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_gapfill_locf": q_ev_gapfill_locf,
         "ev_counter_rate": q_ev_counter_rate,
         "ev_time_weighted": q_ev_time_weighted,
+        "ev_rollup_routed_6h": q_ev_rollup_routed_6h,
+        "ev_rollup_routed_week": q_ev_rollup_routed_week,
         "ev_sessions": q_ev_sessions,
         "ev_ohlc": q_ev_ohlc,
         "ev_rolling_zscore": q_ev_rolling_zscore,
@@ -2998,6 +3046,28 @@ SELECT event_type,
        CAST(COUNT(CASE WHEN prev IS NULL THEN NULL ELSE 1 END) AS BIGINT)
          AS n_deltas
 FROM d GROUP BY 1, 2
+""",
+        # routed rollups: the oracle aggregates RAW events into the same
+        # epoch-aligned unix-second bins the router serves from a tier —
+        # equality certifies route + bucket arithmetic + partial merges.
+        # make_timestamp(µs) keeps both sides TZ-free (Spark session UTC).
+        "ev_rollup_routed_6h": """
+SELECT event_type,
+       make_timestamp(CAST(FLOOR(EPOCH(ts) / 21600) * 21600 * 1000000 AS BIGINT)) AS tick,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v
+FROM events GROUP BY 1, 2
+""",
+        "ev_rollup_routed_week": """
+SELECT event_type,
+       make_timestamp(CAST(FLOOR(EPOCH(ts) / 604800) * 604800 * 1000000 AS BIGINT)) AS tick,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v
+FROM events GROUP BY 1, 2
 """,
         # trapezoidal TWA mirrored in the same exact integer arithmetic
         "ev_time_weighted": """

@@ -64,6 +64,7 @@ HEADLINE = [
     "ev_m4",
     "ev_rolling_median",
     "doc_bigram_lift",
+    "ev_rollup_routed_6h",
 ]
 
 
