@@ -2086,6 +2086,35 @@ def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity (functions/text.py::
+    lexical_diversity): exact n_tok / n_types / n_hapax plus type-token
+    ratio and hapax share.  Computed IN-ROW from one sorted token array
+    (run-length facts) — a map-only whole-stage-codegen pass with ZERO
+    exchanges, where the oracle's natural two-aggregate formulation
+    shuffles the exploded word stream twice.  Counts are exact int64s
+    and the ratios are single int64/int64 IEEE divisions, so the hash
+    must byte-match."""
+    from repurpose_spark.functions.text import lexical_diversity
+
+    d = _wide(_t(spark, sf_dir, "documents"))
+    ld = d.select(
+        "doc_id", lexical_diversity("text").alias("ld")
+    ).select("doc_id", "ld.*")
+    return ld.select(
+        "doc_id",
+        "n_tok",
+        "n_types",
+        "n_hapax",
+        F.when(
+            F.col("n_tok") > 0, F.col("n_types") / F.col("n_tok")
+        ).alias("ttr"),
+        F.when(
+            F.col("n_tok") > 0, F.col("n_hapax") / F.col("n_tok")
+        ).alias("hapax_share"),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2121,6 +2150,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_time_weighted": q_ev_time_weighted,
         "ev_rollup_routed_6h": q_ev_rollup_routed_6h,
         "ev_rollup_routed_week": q_ev_rollup_routed_week,
+        "doc_lexical_diversity": q_doc_lexical_diversity,
         "ev_sessions": q_ev_sessions,
         "ev_ohlc": q_ev_ohlc,
         "ev_rolling_zscore": q_ev_rolling_zscore,
@@ -3068,6 +3098,37 @@ SELECT event_type,
        MIN(value) AS min_v,
        MAX(value) AS max_v
 FROM events GROUP BY 1, 2
+""",
+        # lexical diversity: the oracle takes the natural two-aggregate
+        # road (unnest → word counts → per-doc rollup) that the engine's
+        # in-row sorted-run formulation avoids; exact int64 equality plus
+        # two single-division doubles.
+        "doc_lexical_diversity": """
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+  FROM documents
+),
+c AS (
+  SELECT doc_id, word, COUNT(*) AS n
+  FROM w WHERE word != '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_tok,
+         COUNT(*) AS n_types,
+         CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tok, 0) AS n_tok,
+       COALESCE(a.n_types, 0) AS n_types,
+       COALESCE(a.n_hapax, 0) AS n_hapax,
+       CASE WHEN COALESCE(a.n_tok, 0) = 0 THEN NULL
+            ELSE CAST(a.n_types AS DOUBLE) / a.n_tok END AS ttr,
+       CASE WHEN COALESCE(a.n_tok, 0) = 0 THEN NULL
+            ELSE CAST(a.n_hapax AS DOUBLE) / a.n_tok END AS hapax_share
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         # trapezoidal TWA mirrored in the same exact integer arithmetic
         "ev_time_weighted": """

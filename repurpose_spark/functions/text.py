@@ -333,3 +333,43 @@ def pii_counts(text: str | Column) -> Column:
         )
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return F.struct(*fields)
+
+
+def lexical_diversity(text: str | Column) -> Column:
+    """struct(n_tok, n_types, n_hapax) — exact lexical-diversity counts
+    per document, computed entirely IN-ROW (zero shuffles: the whole
+    thing is one whole-stage-codegen projection over the scan, where the
+    two-aggregate alternative would exchange an exploded (doc, word)
+    stream twice — at 100 TB that is the difference between a map-only
+    pass and reshuffling the tokenized corpus).
+
+    Mechanics: sort the whitespace-token array once, then types and
+    hapaxes are run-length facts — position i starts a run when
+    ``s[i] != s[i-1]``, and is a hapax when it both starts and ends one.
+    Type-token ratio / hapax share stay caller-side divisions of the two
+    exact int64s (single correctly-rounded IEEE op each, so the DuckDB
+    twin is bit-identical).
+    """
+    t = F.trim(F.lower(_c(text)))
+    s = F.array_sort(
+        F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    )
+    n = F.size(s)
+    starts = F.transform(
+        s,
+        lambda x, i: (i == F.lit(0)) | (x != F.get(s, i - 1)),
+    )
+    ends = F.transform(
+        s,
+        lambda x, i: (i == n - 1) | (x != F.get(s, i + 1)),
+    )
+    as_int = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    return F.struct(
+        n.cast("long").alias("n_tok"),
+        as_int(starts).alias("n_types"),
+        as_int(
+            F.zip_with(starts, ends, lambda a, b: a & b)
+        ).alias("n_hapax"),
+    )
