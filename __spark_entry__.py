@@ -440,6 +440,52 @@ def q_ev_rollup_routed_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev_routed(spark, sf_dir, 604800, ["hourly", "daily"])
 
 
+def q_ev_rollup_realtime_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate (plans/router.py::realtime_rollup):
+    the hourly tier is deliberately materialized only up to an UNALIGNED
+    mid-range watermark (2024-01-10 07:31:09); buckets before the
+    watermark's 6 h boundary are served from the tier, the boundary
+    bucket and the live tail from raw — and the union must byte-match
+    the oracle's all-raw aggregate.  A seam (double-counted or dropped
+    boundary bucket) or a wrong cut breaks the hash."""
+    from datetime import datetime
+
+    from repurpose_spark.plans.router import realtime_rollup
+
+    wm = datetime(2024, 1, 10, 7, 31, 9)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    h = (
+        ev.where(F.col("ts") < F.lit(wm))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("tick"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("value_dec").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    out, source = realtime_rollup(
+        21600,
+        {"hourly": (h, 3600)},
+        raw=ev,
+        materialized_until=wm,
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value_dec",
+    )
+    assert source == "hourly"
+    return out.select(
+        "event_type",
+        "tick",
+        F.col("n_points").alias("n_events"),
+        F.col("sum_v").cast("decimal(18,2)").cast("double").alias("sum_v"),
+        "min_v",
+        "max_v",
+    )
+
+
 def q_ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
     dense = gap_fill(
@@ -2151,6 +2197,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rollup_routed_6h": q_ev_rollup_routed_6h,
         "ev_rollup_routed_week": q_ev_rollup_routed_week,
         "doc_lexical_diversity": q_doc_lexical_diversity,
+        "ev_rollup_realtime_6h": q_ev_rollup_realtime_6h,
         "ev_sessions": q_ev_sessions,
         "ev_ohlc": q_ev_ohlc,
         "ev_rolling_zscore": q_ev_rolling_zscore,
@@ -3082,6 +3129,15 @@ FROM d GROUP BY 1, 2
         # equality certifies route + bucket arithmetic + partial merges.
         # make_timestamp(µs) keeps both sides TZ-free (Spark session UTC).
         "ev_rollup_routed_6h": """
+SELECT event_type,
+       make_timestamp(CAST(FLOOR(EPOCH(ts) / 21600) * 21600 * 1000000 AS BIGINT)) AS tick,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_v,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v
+FROM events GROUP BY 1, 2
+""",
+        "ev_rollup_realtime_6h": """
 SELECT event_type,
        make_timestamp(CAST(FLOOR(EPOCH(ts) / 21600) * 21600 * 1000000 AS BIGINT)) AS tick,
        COUNT(*) AS n_events,

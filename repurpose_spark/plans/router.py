@@ -161,3 +161,73 @@ def routed_rollup(
         ),
         "raw",
     )
+
+
+def realtime_rollup(
+    bucket_seconds: int,
+    tiers: dict,
+    raw: DataFrame,
+    materialized_until,
+    key_cols: list = ("cell_id", "doc_id"),
+    ts_col: str = "ts",
+    value_col: str = "token",
+    tick_col: str = "tick",
+) -> tuple:
+    """Real-time continuous aggregate: tiers for history, raw for the tail.
+
+    Continuous-aggregate tiers are materialized up to some watermark; a
+    live query still wants the minutes since.  This serves buckets that
+    end at or before the watermark's bucket boundary from the routed
+    tier (cheap, ledger-sized) and everything from that boundary on from
+    raw (whose pushed-down ``ts >= cut`` filter prunes the scan to the
+    recent partitions — at 100 TB the raw side touches only the tail).
+    The cut is BUCKET-ALIGNED: the bucket containing the watermark is
+    served wholly from raw, so no bucket is ever split across sources —
+    double counting and seams are impossible by construction, and the
+    union equals the all-raw aggregate exactly (test- and
+    oracle-asserted).
+
+    ``materialized_until`` is a datetime (or unix seconds) up to which
+    the tiers are complete.  Returns ``(DataFrame, source)`` with
+    ``source`` the routed tier name feeding the history side.
+    """
+    from datetime import datetime, timezone
+
+    if isinstance(materialized_until, datetime):
+        wm = materialized_until
+        if wm.tzinfo is None:
+            wm = wm.replace(tzinfo=timezone.utc)
+        wm_sec = int(wm.timestamp())
+    else:
+        wm_sec = int(materialized_until)
+    cut = (wm_sec // int(bucket_seconds)) * int(bucket_seconds)
+
+    chosen = choose_tier(
+        bucket_seconds, {n: r for n, (_, r) in tiers.items()}
+    )
+    if chosen is None:
+        raise ValueError(
+            f"no tier divides bucket_seconds={bucket_seconds}; serve "
+            "directly from raw via routed_rollup instead"
+        )
+    tier_df, _res = tiers[chosen]
+    hist = rollup_bucketed_from_partials(
+        tier_df.where(F.unix_timestamp(F.col(tick_col)) < cut),
+        bucket_seconds,
+        key_cols=key_cols,
+        tick_col=tick_col,
+    )
+    tail, _ = routed_rollup(
+        bucket_seconds,
+        {},
+        raw=raw.where(F.unix_timestamp(F.col(ts_col)) >= cut),
+        key_cols=key_cols,
+        ts_col=ts_col,
+        value_col=value_col,
+        tick_col=tick_col,
+    )
+    # the raw tail carries no sketch column; align schemas by dropping
+    # partials the tail cannot produce (callers needing the sketch must
+    # route fully-materialized ranges)
+    hist = hist.select(*tail.columns)
+    return hist.unionByName(tail), chosen

@@ -141,3 +141,64 @@ def test_sketch_partial_carries_through_route(spark):
     assert joined
     for r in joined:
         assert abs(r["est"] - r["exact"]) <= max(2.0, 0.05 * r["exact"])
+
+
+def _realtime_check(spark, wm):
+    from repurpose_spark.plans.router import realtime_rollup
+
+    pts = _points(spark)
+    hourly = rollup(
+        pts.where(F.col("ts") < F.lit(wm)),
+        "hour",
+        key_cols=["grp"],
+        value_col="v",
+    )
+    out, source = realtime_rollup(
+        21600,
+        {"hourly": (hourly, 3600)},
+        raw=pts,
+        materialized_until=wm,
+        key_cols=["grp"],
+        ts_col="ts",
+        value_col="v",
+    )
+    assert source == "hourly"
+    direct, _ = routed_rollup(
+        21600, {}, raw=pts, key_cols=["grp"], ts_col="ts", value_col="v"
+    )
+    key = lambda r: (r["grp"], r["tick"])  # noqa: E731
+    got = sorted(out.collect(), key=key)
+    want = sorted(direct.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_realtime_rollup_unaligned_watermark(spark):
+    """The watermark's own (partial) bucket must come wholly from raw."""
+    _realtime_check(spark, datetime(2024, 3, 11, 13, 47, 9))
+
+
+def test_realtime_rollup_aligned_watermark(spark):
+    _realtime_check(spark, datetime(2024, 3, 9, 6, 0, 0))
+
+
+def test_realtime_rollup_watermark_before_all_data(spark):
+    _realtime_check(spark, datetime(2023, 1, 1))
+
+
+def test_realtime_rollup_watermark_after_all_data(spark):
+    _realtime_check(spark, datetime(2025, 1, 1))
+
+
+def test_realtime_rollup_unroutable_raises(spark):
+    from repurpose_spark.plans.router import realtime_rollup
+
+    pts = _points(spark)
+    hourly = rollup(pts, "hour", key_cols=["grp"], value_col="v")
+    with pytest.raises(ValueError, match="no tier divides"):
+        realtime_rollup(
+            5400,
+            {"hourly": (hourly, 3600)},
+            raw=pts,
+            materialized_until=datetime(2024, 3, 5),
+            key_cols=["grp"],
+        )
