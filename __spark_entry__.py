@@ -2161,6 +2161,37 @@ def q_doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-over-bucket token-frequency lift (operators/cooccur.py::
+    trending_terms) over the synthetic sequence points — "what's
+    trending this hour" with +1 smoothing, gap re-entry as new, and
+    per-bucket top-25 under the (lift desc, token) total order.  One
+    partial+final count aggregate is the only raw pass; the adjacency
+    lag and the rank ride two ledger-sized window exchanges.  EXACT:
+    counts are int64 and the lift one IEEE division, so rows AND ranks
+    byte-match the DuckDB twin."""
+    from repurpose_spark.operators.cooccur import trending_terms
+
+    pts = sequences_to_points(synth_sequences(spark, N_SYNTH), CFG)
+    return trending_terms(pts, "hour", term_col="token", k=25).withColumn(
+        "token", F.col("token").cast("long")
+    )
+
+
+def q_doc_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source 25-doc sample (operators/sampling.py::
+    sample_bottom_k): rank by md5(doc_id || seed), keep each group's k
+    smallest — content-stable eval-holdout sampling.  The plan never
+    shuffles the corpus: per-partition bottom-k heaps (mapInPandas)
+    feed a survivors-only global rank, winners broadcast back as a
+    left-semi join.  EXACT oracle: DuckDB ranks the identical md5
+    strings with the identical tiebreak."""
+    from repurpose_spark.operators.sampling import sample_bottom_k
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sample_bottom_k(d, ["source"], 25, id_col="doc_id", seed="r5")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2220,6 +2251,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_token_hampel": q_seq_token_hampel,
         "ev_holt": q_ev_holt,
         "doc_token_entropy": q_doc_token_entropy,
+        "seq_trending_tokens": q_seq_trending_tokens,
+        "doc_sample_bottomk": q_doc_sample_bottomk,
     }
 
 
@@ -3185,6 +3218,49 @@ SELECT d.doc_id,
        CASE WHEN COALESCE(a.n_tok, 0) = 0 THEN NULL
             ELSE CAST(a.n_hapax AS DOUBLE) / a.n_tok END AS hapax_share
 FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+        # trending: identical count → adjacency-lag → smoothed-division →
+        # rank construction; the lift is one IEEE division of exact
+        # int64s so rows AND row_numbers must byte-match
+        "seq_trending_tokens": _SEQ_CTE
+        + """
+, c AS (
+  SELECT token, (j*60) // 3600 AS b, COUNT(*) AS c_now
+  FROM pts GROUP BY token, (j*60) // 3600
+),
+l AS (
+  SELECT token, b, c_now,
+         CASE WHEN lag(b) OVER (PARTITION BY token ORDER BY b) = b - 1
+              THEN lag(c_now) OVER (PARTITION BY token ORDER BY b)
+              ELSE 0 END AS c_prev
+  FROM c
+),
+r AS (
+  SELECT token, b, c_now, c_prev,
+         CAST(c_now + 1 AS DOUBLE) / CAST(c_prev + 1 AS DOUBLE) AS lift
+  FROM l
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY b ORDER BY lift DESC, token) AS rn
+  FROM r
+)
+SELECT TIMESTAMP '2020-01-01' + b * INTERVAL 1 HOUR AS tick,
+       CAST(token AS BIGINT) AS token,
+       c_now, c_prev, lift, CAST(rn AS INT) AS rn
+FROM rk WHERE rn <= 25
+""",
+        # the sampler's contract IS the naive global window the engine
+        # avoids executing: identical md5 strings, identical tiebreak
+        "doc_sample_bottomk": """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id || chr(31) || 'r5'), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM t WHERE rn <= 25
 """,
         # trapezoidal TWA mirrored in the same exact integer arithmetic
         "ev_time_weighted": """

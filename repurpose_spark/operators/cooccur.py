@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bigram_lift", "token_entropy"]
+__all__ = ["bigram_lift", "token_entropy", "trending_terms"]
 
 _WS = r"\s+"
 
@@ -148,3 +148,75 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     h = F.log(F.col("n_tok").cast("double")) - F.col("_slc") / F.col("n_tok")
     return agg.select("doc_id", "n_tok", h.alias("entropy"))
+
+
+_UNIT_SECONDS = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def trending_terms(
+    points: DataFrame,
+    unit: str = "hour",
+    term_col: str = "token",
+    ts_col: str = "ts",
+    k: int = 20,
+    smoothing: int = 1,
+) -> DataFrame:
+    """Bucket-over-bucket frequency lift per term — "what's trending
+    this hour/day": the temporal twin of :func:`bigram_lift`.
+
+        lift(term, t) = (c_t + s) / (c_{t-1} + s)
+
+    with additive smoothing ``s`` (integer) so brand-new terms score a
+    finite ``c_t + s`` burst instead of dividing by zero; ``c_{t-1}``
+    is the count in the IMMEDIATELY preceding bucket — a term silent
+    for a gap re-enters as new (lag alone would compare against a
+    stale bucket, silently understating the burst).  The division is
+    one IEEE op over exact int64 counts, so the score — and therefore
+    the per-bucket ranking — is byte-stable across engines and
+    partitionings (the bigram_lift / z-score certification discipline).
+
+    Plan shape: one partial+final count aggregate is the ONLY pass
+    over raw points; the adjacency lag rides one window exchange on
+    the term and the per-bucket top-k one more on the bucket — both
+    O(terms × buckets), ledger-sized at 100 TB.  Buckets are integer
+    unix-second arithmetic (the router convention), only
+    second-regular units: no calendar ambiguity, no timezone seams.
+    """
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"unit must be one of {sorted(_UNIT_SECONDS)}, got {unit!r}"
+        )
+    if smoothing < 1:
+        raise ValueError(f"smoothing must be a positive int, got {smoothing}")
+    from pyspark.sql import Window
+
+    step = _UNIT_SECONDS[unit]
+    b = (F.unix_timestamp(F.col(ts_col)) / step).cast("long")
+    counts = (
+        points.groupBy(F.col(term_col), b.alias("_b"))
+        .agg(F.count("*").alias("c_now"))
+    )
+    wt = Window.partitionBy(term_col).orderBy("_b")
+    prev = F.when(
+        F.lag("_b").over(wt) == F.col("_b") - 1, F.lag("c_now").over(wt)
+    ).otherwise(F.lit(0))
+    s = F.lit(int(smoothing))
+    scored = counts.withColumn("c_prev", prev).withColumn(
+        "lift",
+        (F.col("c_now") + s).cast("double") / (F.col("c_prev") + s).cast("double"),
+    )
+    wb = Window.partitionBy("_b").orderBy(
+        F.col("lift").desc(), F.col(term_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= int(k))
+        .select(
+            F.timestamp_seconds(F.col("_b") * step).alias("tick"),
+            term_col,
+            "c_now",
+            "c_prev",
+            "lift",
+            "rn",
+        )
+    )

@@ -1,0 +1,94 @@
+"""Deterministic per-group bottom-k sampling.
+
+A training-data pipeline constantly needs "a fixed, reproducible sample
+of k docs per source/shard/language" — for eval holdouts, human review
+queues, or cheap profiling — and it needs the SAME sample on every run,
+on every cluster size, regardless of partitioning.  Random sampling
+can't promise that; hash-ranked sampling can: rank every row by
+``md5(id || seed)`` and keep each group's k smallest.  The hash is a
+pure function of row identity, so the sample is content-stable (the
+same property split_assign in packing.py uses for train/val/test).
+
+The naive plan — ``row_number() OVER (PARTITION BY group ORDER BY
+hash)`` on the corpus — shuffles and sorts EVERY row to rank the
+handful that survive.  This operator never shuffles the corpus at all:
+
+1. map-side: project (group, id, hash) — hash computed JVM-side.
+2. per-partition bottom-k per group via one ``mapInPandas`` pass
+   (a dict of ≤k-row frames per group seen in that partition — the
+   classic top-k superset property makes local pruning exact).
+3. global rank on the survivors: ≤ k × n_input_partitions rows per
+   group — ledger-sized, one tiny exchange.
+4. winners broadcast back as a left-semi join: the corpus is read
+   once, map-side only, and the payload columns ride the original
+   rows (never the sample machinery).
+
+Reference analog: repurpose subsets grids by deterministic cell lists
+(grid.py subset handling); this is the content-addressed equivalent for
+unordered document corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_hash_expr(id_col: str, seed: str) -> "F.Column":
+    """The rank hash: md5 of id + unit-separator + seed (lowercase hex
+    in both Spark and DuckDB, so oracles compare the same strings)."""
+    return F.md5(F.concat_ws("\x1f", F.col(id_col), F.lit(str(seed))))
+
+
+def sample_bottom_k(
+    df: DataFrame,
+    key_cols: list,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic k-row sample per group: the k rows whose
+    ``md5(id || seed)`` rank smallest within their group (ties broken
+    by id; ids assumed unique within a group).  Returns the original
+    rows, all columns, unshuffled."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key_cols = list(key_cols)
+    tag = df.select(
+        *key_cols, F.col(id_col), sample_hash_expr(id_col, seed).alias("_h")
+    )
+
+    schema = tag.schema
+    gcols, hcol, icol = key_cols, "_h", id_col
+
+    def _local_bottom_k(batches):
+        import pandas as pd
+
+        best: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if gcols:
+                groups = pdf.groupby(gcols, dropna=False, sort=False)
+            else:
+                groups = [((), pdf)]
+            for g, sub in groups:
+                cand = pd.concat([best[g], sub]) if g in best else sub
+                best[g] = cand.sort_values([hcol, icol]).head(k)
+        if best:
+            yield pd.concat(best.values(), ignore_index=True)
+
+    local = tag.mapInPandas(_local_bottom_k, schema)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols).orderBy(hcol, icol)
+    winners = (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(*gcols, icol)
+    )
+    # the equi-join lists its key columns first; restore the caller's order
+    return df.join(
+        F.broadcast(winners), on=gcols + [icol], how="left_semi"
+    ).select(*df.columns)
