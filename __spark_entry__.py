@@ -2178,10 +2178,30 @@ def q_seq_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring (operators/retrieval.py::bm25_scores) of the
+    corpus against a 4-term query — the lexical-retrieval leg beside
+    embedding ANN and chunking.  The corpus text is scanned once and
+    never shuffled (hits-only explode, broadcast stats/df); the per-doc
+    score is an in-row ORDERED fold.  idf takes ln → ERROR-BOUND
+    certification at 1e-9 relative on the micro scale; doc_id, dl,
+    n_hits byte-match."""
+    from repurpose_spark.operators.retrieval import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, ["dup", "scan", "spark", "window"]).select(
+        "doc_id",
+        "dl",
+        "n_hits",
+        (F.col("score") * 1e6).alias("score_micro"),
+    )
+
+
 def q_doc_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source 25-doc sample (operators/sampling.py::
     sample_bottom_k): rank by md5(doc_id || seed), keep each group's k
-    smallest — content-stable eval-holdout sampling.  The plan never
+    smallest — content-stable eval-holdout sampling (k=10 of the 25+
+    docs per source at every SF, so selection is really exercised).  The plan never
     shuffles the corpus: per-partition bottom-k heaps (mapInPandas)
     feed a survivors-only global rank, winners broadcast back as a
     left-semi join.  EXACT oracle: DuckDB ranks the identical md5
@@ -2189,7 +2209,7 @@ def q_doc_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from repurpose_spark.operators.sampling import sample_bottom_k
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    return sample_bottom_k(d, ["source"], 25, id_col="doc_id", seed="r5")
+    return sample_bottom_k(d, ["source"], 10, id_col="doc_id", seed="r5")
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2253,6 +2273,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_entropy": q_doc_token_entropy,
         "seq_trending_tokens": q_seq_trending_tokens,
         "doc_sample_bottomk": q_doc_sample_bottomk,
+        "doc_bm25": q_doc_bm25,
     }
 
 
@@ -2489,6 +2510,42 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
 FROM a
 """,
             "est_col": "entropy_micro",
+            "rel_err": 1e-9,
+        },
+        # same ln caveat as entropy: idf is the one libm step; tf/df/dl
+        # and the corpus stats are exact, so a wrong k1/b, a missed
+        # term, or an avgdl drift lands far outside 1e-9
+        "doc_bm25": {
+            "sql": """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(l)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM tok
+),
+w AS (SELECT doc_id, len(l) AS dl, unnest(l) AS t FROM tok),
+tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf FROM w
+  WHERE t IN ('dup', 'scan', 'spark', 'window') GROUP BY 1, 2, 3
+),
+dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT f.doc_id, f.dl,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / s.avgdl)) AS contrib
+  FROM tf f JOIN dfq d USING (t) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(dl AS INT) AS dl, COUNT(*) AS n_hits,
+       SUM(contrib) * 1e6 AS score_micro
+FROM sc GROUP BY doc_id, dl
+""",
+            "est_col": "score_micro",
             "rel_err": 1e-9,
         },
     }
@@ -3260,7 +3317,7 @@ WITH t AS (
            ORDER BY md5(doc_id || chr(31) || 'r5'), doc_id) AS rn
   FROM documents
 )
-SELECT doc_id, source, n_chars FROM t WHERE rn <= 25
+SELECT doc_id, source, n_chars FROM t WHERE rn <= 10
 """,
         # trapezoidal TWA mirrored in the same exact integer arithmetic
         "ev_time_weighted": """

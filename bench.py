@@ -65,6 +65,8 @@ HEADLINE = [
     "ev_rolling_median",
     "doc_bigram_lift",
     "ev_rollup_routed_6h",
+    "doc_bm25",
+    "doc_sample_bottomk",
 ]
 
 
