@@ -2178,6 +2178,33 @@ def q_seq_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup probe (operators/dedup.py::minhash_probe):
+    a deterministic ~25 % slice of the corpus (md5(doc_id) first hex in
+    0-3) plays the ingest batch, the rest the history index; the batch
+    is banded with the SAME md5 family and equi-joined against the
+    index bands — never against itself, never all-pairs.  The
+    production dedup shape: per-ingest cost scales with the batch, not
+    the corpus.  EXACT oracle: candidates AND verified Jaccard replayed
+    in SQL (the doc_minhash_pairs construction with the split cut)."""
+    from repurpose_spark.operators.dedup import minhash_probe
+
+    d = _t(spark, sf_dir, "documents")
+    is_batch = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2", "3")
+    return minhash_probe(
+        d.where(~is_batch),
+        d.where(is_batch),
+        k=4,
+        bands=2,
+        shingle_n=8,
+        threshold=0.3,
+        step=2,
+        use_md5=True,
+    )
+
+
 def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 scoring (operators/retrieval.py::bm25_scores) of the
     corpus against a 4-term query — the lexical-retrieval leg beside
@@ -2274,6 +2301,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_trending_tokens": q_seq_trending_tokens,
         "doc_sample_bottomk": q_doc_sample_bottomk,
         "doc_bm25": q_doc_bm25,
+        "doc_minhash_incremental": q_doc_minhash_incremental,
     }
 
 
@@ -4168,6 +4196,44 @@ v AS (
   JOIN sh y ON y.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM v WHERE j >= 0.3
+""",
+        # the incremental probe: doc_minhash_pairs' construction with a
+        # deterministic index/batch cut — candidates join batch sigs
+        # against index sigs only (no a<b self-pairing)
+        "doc_minhash_incremental": """
+WITH sh AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+           IN ('0','1','2','3') AS is_batch,
+         list_distinct([text[i:i+7]
+                        for i in generate_series(1, greatest(length(text)-7, 1), 2)])
+           AS s
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, is_batch,
+         list_min(list_transform(s, x -> md5('0' || x))) AS sig0,
+         list_min(list_transform(s, x -> md5('1' || x))) AS sig1,
+         list_min(list_transform(s, x -> md5('2' || x))) AS sig2,
+         list_min(list_transform(s, x -> md5('3' || x))) AS sig3
+  FROM sh
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, i.doc_id AS index_id
+  FROM sig b JOIN sig i
+    ON b.is_batch AND NOT i.is_batch
+   AND ((b.sig0 = i.sig0 AND b.sig1 = i.sig1)
+        OR (b.sig2 = i.sig2 AND b.sig3 = i.sig3))
+),
+v AS (
+  SELECT c.new_id, c.index_id,
+         len(list_intersect(x.s, y.s))::DOUBLE /
+         greatest(len(list_distinct(list_concat(x.s, y.s))), 1) AS j
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.new_id
+  JOIN sh y ON y.doc_id = c.index_id
+)
+SELECT new_id, index_id, round(j, 4) AS jaccard FROM v WHERE j >= 0.3
 """,
         "doc_quality_signals": r"""
 WITH f AS (

@@ -75,34 +75,20 @@ def ngram_jaccard(pairs: DataFrame, left: str = "sh_a", right: str = "sh_b"):
     return inter / F.greatest(union, F.lit(1))
 
 
-def dedup_minhash_lsh(
+def _minhash_base_bands(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-    bands: int = 4,
-    shingle_n: int = 8,
-    threshold: float = 0.6,
-    step: int = 2,
-    use_md5: bool = False,
-) -> DataFrame:
-    """Near-dup pairs via banded MinHash LSH, Jaccard-verified.
-
-    k signatures split into ``bands`` bands of k/bands rows; docs agreeing
-    on any whole band become candidates (equi-join on the band hash);
-    candidates are verified with exact shingle Jaccard.  Returns
-    (doc_a, doc_b, jaccard).
-
-    Shuffle discipline: the band explode and the candidate self-join carry
-    ONLY (id, band, bucket) — never the shingle arrays.  Shingles are
-    re-derived from the (projected, pushed-down) scan and joined back by id
-    once per side for the verification kernel, so shuffle bytes stay
-    O(candidates · avg_shingles), not O(docs · bands · avg_shingles).
-
-    ``use_md5=True`` switches the hash family to md5(seed || shingle) —
-    byte-identical to :func:`functions.text.minhash_signature`, so an ANSI
-    SQL oracle can reproduce candidates AND verification exactly
-    (the default xxhash64 family is the cheap scale path)."""
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+    step: int,
+    use_md5: bool,
+):
+    """Shared LSH front end: (base(id, sh), banded(id, band, bucket)).
+    Factored out so the self-join dedup and the incremental probe band
+    their inputs with byte-identical keys (a probe against an index
+    banded by a different family would silently find nothing)."""
     rows = k // bands
     # shingling+hashing is CPU-bound: widen a narrow scan (e.g. a
     # single-file table) before paying for it; wide scans pass through
@@ -138,6 +124,105 @@ def dedup_minhash_lsh(
     banded = base.select(
         "id",
         F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
+    )
+    return base, banded
+
+
+def minhash_probe(
+    index_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 8,
+    threshold: float = 0.6,
+    step: int = 2,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Incremental near-dup detection: (new_id, index_id, jaccard) pairs
+    of incoming documents that near-duplicate the EXISTING corpus — the
+    production dedup shape, where every ingest batch is checked against
+    history instead of re-running the self-join over the whole corpus.
+
+    Both sides are banded with the identical hash family (shared front
+    end), so the candidate join is ``new.banded ⋈ index.banded`` on
+    (band, bucket) — the batch side is ingest-sized, the index side is
+    bucket-pruned by the join, and nothing is ever compared all-pairs.
+    Shuffle discipline matches :func:`dedup_minhash_lsh`: the band join
+    carries ONLY (id, band, bucket); shingles re-join per side for the
+    verified candidates.  At steady state the index's (id, band, bucket)
+    frame is a materialized table (one column triple per band per doc)
+    and the probe never rescans history text except for the verified
+    candidates' rows.
+
+    Within-batch duplicates are deliberately NOT reported — run
+    :func:`dedup_minhash_lsh` on the batch for that; the two results
+    together cover the full pair space of (index ∪ batch).
+    """
+    base_i, band_i = _minhash_base_bands(
+        index_docs, id_col, text_col, k, bands, shingle_n, step, use_md5
+    )
+    base_n, band_n = _minhash_base_bands(
+        new_docs, id_col, text_col, k, bands, shingle_n, step, use_md5
+    )
+    cand_ids = (
+        band_n.alias("n")
+        .join(
+            band_i.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("i.id").alias("index_id"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    cands = cand_ids.join(
+        base_n.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a")),
+        "new_id",
+    ).join(
+        base_i.select(F.col("id").alias("index_id"), F.col("sh").alias("sh_b")),
+        "index_id",
+    )
+    return (
+        cands.withColumn("jaccard", ngram_jaccard(cands))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 8,
+    threshold: float = 0.6,
+    step: int = 2,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, Jaccard-verified.
+
+    k signatures split into ``bands`` bands of k/bands rows; docs agreeing
+    on any whole band become candidates (equi-join on the band hash);
+    candidates are verified with exact shingle Jaccard.  Returns
+    (doc_a, doc_b, jaccard).
+
+    Shuffle discipline: the band explode and the candidate self-join carry
+    ONLY (id, band, bucket) — never the shingle arrays.  Shingles are
+    re-derived from the (projected, pushed-down) scan and joined back by id
+    once per side for the verification kernel, so shuffle bytes stay
+    O(candidates · avg_shingles), not O(docs · bands · avg_shingles).
+
+    ``use_md5=True`` switches the hash family to md5(seed || shingle) —
+    byte-identical to :func:`functions.text.minhash_signature`, so an ANSI
+    SQL oracle can reproduce candidates AND verification exactly
+    (the default xxhash64 family is the cheap scale path)."""
+    base, banded = _minhash_base_bands(
+        docs, id_col, text_col, k, bands, shingle_n, step, use_md5
     )
     cand_ids = (
         banded.alias("a")

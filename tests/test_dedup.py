@@ -135,3 +135,51 @@ def test_simhash_md5_family_finds_exact_dups(spark, docs):
     far = dedup_simhash(docs, max_hamming=64, use_md5=True)
     all_h = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in far.collect()}
     assert all_h[(0, 2)] < all_h.get((0, 3), 64)
+
+
+def test_minhash_probe_finds_cross_pairs(spark, docs):
+    from repurpose_spark.operators.dedup import minhash_probe
+
+    index = docs.where("doc_id <= 2")  # base + exact dup + near dup
+    batch = docs.where("doc_id >= 3")  # 5 is a near-dup of 0/1
+    got = {
+        (r["new_id"], r["index_id"]): r["jaccard"]
+        for r in minhash_probe(
+            index, batch, k=8, bands=8, threshold=0.3, step=1
+        ).collect()
+    }
+    assert (5, 0) in got and (5, 1) in got
+    assert all(n == 5 for n, _ in got)  # 3, 4 stay unmatched
+
+
+def test_minhash_probe_equals_full_self_join_on_cross_pairs(spark, docs):
+    """The incremental probe must find EXACTLY the pairs the full
+    corpus self-join finds across the index/batch cut — same bands,
+    same buckets, same verification; splitting the corpus loses
+    nothing and invents nothing."""
+    from repurpose_spark.operators.dedup import minhash_probe
+
+    index = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    full = _pairs(dedup_minhash_lsh(docs, k=8, bands=8, threshold=0.2, step=1))
+    cross = {
+        tuple(sorted(p)): j for p, j in full.items() if (p[0] % 2) != (p[1] % 2)
+    }
+    probe = {
+        tuple(sorted((r["new_id"], r["index_id"]))): r["jaccard"]
+        for r in minhash_probe(
+            index, batch, k=8, bands=8, threshold=0.2, step=1
+        ).collect()
+    }
+    assert probe == cross and probe  # non-vacuous: the cut crosses dups
+
+
+def test_minhash_probe_ignores_within_batch_dups(spark, docs):
+    from repurpose_spark.operators.dedup import minhash_probe
+
+    index = docs.where("doc_id = 3")
+    batch = docs.where("doc_id in (0, 1)")  # exact dups of each other
+    assert (
+        minhash_probe(index, batch, k=8, bands=8, threshold=0.3, step=1).count()
+        == 0
+    )
