@@ -193,6 +193,185 @@ def minhash_probe(
     )
 
 
+def _bucket_prefix(n_prefix: int):
+    """Coarse partition key over the (string) band bucket — the dedup
+    index's pruning axis.  pmod(xxhash64) works for both hash families
+    (md5 hex and xxhash64-as-string buckets alike)."""
+    return F.pmod(F.xxhash64(F.col("bucket")), F.lit(n_prefix)).cast("int")
+
+
+def _id_bucket(col, n_id_buckets: int):
+    return F.pmod(
+        F.xxhash64(col.cast("string")), F.lit(n_id_buckets)
+    ).cast("int")
+
+
+def materialize_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 8,
+    step: int = 2,
+    use_md5: bool = False,
+    n_prefix: int = 64,
+    n_id_buckets: int = 64,
+) -> None:
+    """Persist the incremental-dedup scale path: the corpus's LSH state
+    as two partition-pruned tables under ``path``.
+
+    * ``path/bands`` — (id, band, bucket) PARTITIONED BY (band, bprefix)
+      where bprefix = pmod(xxhash64(bucket), n_prefix): a probe batch's
+      distinct (band, bprefix) set lands in PartitionFilters, so a small
+      ingest batch reads only the slice of band state it can possibly
+      collide with.
+    * ``path/shingles`` — (id, sh) PARTITIONED BY idb =
+      pmod(xxhash64(id), n_id_buckets): the verify leg reads only the
+      id-buckets holding actual candidates, and never re-shingles
+      history text (the shingle arrays are precomputed — the batch
+      probe's biggest per-ingest CPU term gone).
+
+    One-time cost amortized across every ingest; steady state appends
+    the accepted batch's own rows to both tables (same schema, same
+    partition keys).  Writer discipline mirrors
+    ``similarity.materialize_ann_index``: rows are clustered by their
+    output partition before the partitioned write, so each directory
+    gets one right-sized file instead of one per (task × partition)."""
+    base, banded = _minhash_base_bands(
+        docs, id_col, text_col, k, bands, shingle_n, step, use_md5
+    )
+    bands_df = banded.withColumn("bprefix", _bucket_prefix(n_prefix))
+    bands_df.repartition(F.col("band"), F.col("bprefix")).write.mode(
+        "overwrite"
+    ).partitionBy("band", "bprefix").parquet(path + "/bands")
+    sh_df = base.withColumn("idb", _id_bucket(F.col("id"), n_id_buckets))
+    sh_df.repartition(F.col("idb")).write.mode("overwrite").partitionBy(
+        "idb"
+    ).parquet(path + "/shingles")
+
+
+# Bounded persist registry for probe candidate frames (same lifecycle
+# discipline as similarity._SIG_CACHE after the ADVICE r4 fix: keep the
+# last few generations so lazily-held results stay cached, bound the
+# leak from long-lived drivers).
+_CAND_CACHE: list = []
+_CAND_CACHE_LOCK = __import__("threading").Lock()
+_CAND_KEEP = 4  # 2 frames per probe call × 2 generations
+
+
+def _retire_cand_caches() -> None:
+    with _CAND_CACHE_LOCK:
+        doomed, _CAND_CACHE[:] = (
+            _CAND_CACHE[:-_CAND_KEEP],
+            _CAND_CACHE[-_CAND_KEEP:],
+        )
+    for df in doomed:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def minhash_probe_indexed(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 8,
+    threshold: float = 0.6,
+    step: int = 2,
+    use_md5: bool = False,
+    n_prefix: int = 64,
+    n_id_buckets: int = 64,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """:func:`minhash_probe` against a :func:`materialize_dedup_index`
+    table — identical pairs and jaccards, different physical plan:
+
+    * the batch's distinct (band, bprefix) set (≤ bands × n_prefix
+      values, one tiny job) prunes the ``bands`` scan via
+      PartitionFilters — the index side of the candidate join reads
+      only colliding-possible state, not the corpus;
+    * the batch side broadcasts (``broadcast_batch``; an ingest batch is
+      dim-sized by assumption), so the surviving index state never
+      shuffles;
+    * candidate index ids map to their idb buckets (second tiny collect)
+      and prune the ``shingles`` scan the same way — the verify leg
+      reads precomputed shingle arrays for candidate buckets only
+      instead of re-shingling the whole corpus.
+
+    k/bands/shingle_n/step/use_md5 MUST match the index build — the
+    shared ``_minhash_base_bands`` front end guarantees byte-identical
+    keys when they do.  The candidates frame is persisted (it feeds both
+    the idb collect and the verify join); the registry keeps the last
+    ``_CAND_KEEP`` generations, mirroring similarity's cache fix."""
+    base_n, band_n = _minhash_base_bands(
+        new_docs, id_col, text_col, k, bands, shingle_n, step, use_md5
+    )
+    band_n = band_n.withColumn("bprefix", _bucket_prefix(n_prefix))
+    band_n = band_n.persist()
+    probe_keys = [
+        f"{r['band']}#{r['bprefix']}"
+        for r in band_n.select("band", "bprefix").distinct().collect()
+    ]
+    part_key = F.concat_ws(
+        "#", F.col("band").cast("string"), F.col("bprefix").cast("string")
+    )
+    idx_bands = (
+        spark.read.parquet(index_path + "/bands")
+        .where(part_key.isin(probe_keys))
+    )
+    n_side = F.broadcast(band_n) if broadcast_batch else band_n
+    cand_ids = (
+        n_side.alias("n")
+        .join(
+            idx_bands.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("i.id").alias("index_id"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+        .persist()
+    )
+    idbs = [
+        r[0]
+        for r in cand_ids.select(
+            _id_bucket(F.col("index_id"), n_id_buckets).alias("idb")
+        )
+        .distinct()
+        .collect()
+    ]
+    with _CAND_CACHE_LOCK:
+        _CAND_CACHE.extend([band_n, cand_ids])
+    _retire_cand_caches()
+    idx_sh = (
+        spark.read.parquet(index_path + "/shingles")
+        .where(F.col("idb").isin(idbs))
+    )
+    cands = cand_ids.join(
+        base_n.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a")),
+        "new_id",
+    ).join(
+        idx_sh.select(
+            F.col("id").alias("index_id"), F.col("sh").alias("sh_b")
+        ),
+        "index_id",
+    )
+    return (
+        cands.withColumn("jaccard", ngram_jaccard(cands))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def dedup_minhash_lsh(
     docs: DataFrame,
     id_col: str = "doc_id",

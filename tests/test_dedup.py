@@ -183,3 +183,59 @@ def test_minhash_probe_ignores_within_batch_dups(spark, docs):
         minhash_probe(index, batch, k=8, bands=8, threshold=0.3, step=1).count()
         == 0
     )
+
+
+def test_indexed_probe_equals_plain_probe(spark, docs, tmp_path):
+    """minhash_probe_indexed against a materialized index returns EXACTLY
+    the plain probe's pairs and jaccards, and both scans are
+    partition-pruned (PartitionFilters carry the batch's band/bprefix
+    set and the candidates' idb set)."""
+    from repurpose_spark.operators.dedup import (
+        materialize_dedup_index,
+        minhash_probe,
+        minhash_probe_indexed,
+    )
+
+    index = docs.where("doc_id <= 2")
+    batch = docs.where("doc_id >= 3")
+    path = str(tmp_path / "dedup_index")
+    materialize_dedup_index(
+        index, path, k=8, bands=8, step=1, n_prefix=8, n_id_buckets=8
+    )
+    plain = {
+        (r["new_id"], r["index_id"]): r["jaccard"]
+        for r in minhash_probe(
+            index, batch, k=8, bands=8, threshold=0.3, step=1
+        ).collect()
+    }
+    idx_df = minhash_probe_indexed(
+        spark, path, batch, k=8, bands=8, threshold=0.3, step=1,
+        n_prefix=8, n_id_buckets=8,
+    )
+    indexed = {
+        (r["new_id"], r["index_id"]): r["jaccard"] for r in idx_df.collect()
+    }
+    assert indexed == plain and (5, 0) in indexed
+
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert any("bprefix" in ln for ln in pf)
+    assert any("idb" in ln for ln in pf)
+
+
+def test_dedup_index_writer_discipline(spark, docs, tmp_path):
+    """One right-sized file per partition dir — rows are clustered by
+    their output partition before the partitioned write."""
+    import glob
+    import os
+
+    from repurpose_spark.operators.dedup import materialize_dedup_index
+
+    path = str(tmp_path / "dedup_index")
+    materialize_dedup_index(docs, path, k=8, bands=4, n_prefix=4,
+                            n_id_buckets=4)
+    for d in glob.glob(path + "/bands/band=*/bprefix=*") + glob.glob(
+        path + "/shingles/idb=*"
+    ):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
