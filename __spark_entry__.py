@@ -2205,6 +2205,49 @@ def q_doc_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_stream_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup probe (streaming/dedup.py::
+    run_streaming_minhash_probe), oracle-certified against the BATCH
+    semantics: the same md5 25 % ingest cut as doc_minhash_incremental
+    drains as multiple micro-batches (maxFilesPerTrigger=1) through a
+    foreachBatch probe of the static history index.  Per-pair results
+    are independent of the micro-batch split, so the drained sink
+    equals the one-shot probe EXACTLY — the SAME DuckDB oracle replays
+    candidates and verified Jaccard in SQL.  Result is materialized
+    before the temp dirs are removed."""
+    import shutil
+    import tempfile
+
+    from repurpose_spark.streaming.dedup import run_streaming_minhash_probe
+
+    d = _t(spark, sf_dir, "documents")
+    is_batch = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 1, 1
+    ).isin("0", "1", "2", "3")
+    base = tempfile.mkdtemp(prefix="stream_probe_")
+    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    try:
+        d.where(is_batch).repartition(3).write.parquet(src)
+        run_streaming_minhash_probe(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            d.where(~is_batch),
+            out,
+            ckpt,
+            k=4,
+            bands=2,
+            shingle_n=8,
+            threshold=0.3,
+            step=2,
+            use_md5=True,
+        )
+        res = spark.read.parquet(out).select("new_id", "index_id", "jaccard")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 scoring (operators/retrieval.py::bm25_scores) of the
     corpus against a 4-term query — the lexical-retrieval leg beside
@@ -2302,6 +2345,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_bottomk": q_doc_sample_bottomk,
         "doc_bm25": q_doc_bm25,
         "doc_minhash_incremental": q_doc_minhash_incremental,
+        "doc_stream_minhash_probe": q_doc_stream_minhash_probe,
     }
 
 
@@ -2766,6 +2810,15 @@ def extra_oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_static() -> dict[str, str]:
+    d = _oracle_sql_static_literal()
+    # the streaming probe's drained sink equals the one-shot batch probe
+    # exactly (pairs are independent of the micro-batch split), so the
+    # two queries share one oracle
+    d["doc_stream_minhash_probe"] = d["doc_minhash_incremental"]
+    return d
+
+
+def _oracle_sql_static_literal() -> dict[str, str]:
     return {
         "seq_salted_rollup": _SEQ_SKEW_CTE
         + """

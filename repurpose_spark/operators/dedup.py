@@ -239,15 +239,50 @@ def materialize_dedup_index(
     ``similarity.materialize_ann_index``: rows are clustered by their
     output partition before the partitioned write, so each directory
     gets one right-sized file instead of one per (task × partition)."""
+    _write_dedup_index(
+        docs, path, "overwrite", id_col, text_col, k, bands, shingle_n,
+        step, use_md5, n_prefix, n_id_buckets,
+    )
+
+
+def append_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 8,
+    step: int = 2,
+    use_md5: bool = False,
+    n_prefix: int = 64,
+    n_id_buckets: int = 64,
+) -> None:
+    """The steady-state half of :func:`materialize_dedup_index`: append
+    an ACCEPTED ingest batch's band/shingle rows to an existing index —
+    same schema, same partition keys, so the extended index is
+    indistinguishable from a from-scratch build over the grown corpus
+    (probe-equality test-enforced).  LSH parameters MUST match the
+    original build."""
+    _write_dedup_index(
+        docs, path, "append", id_col, text_col, k, bands, shingle_n,
+        step, use_md5, n_prefix, n_id_buckets,
+    )
+
+
+def _write_dedup_index(
+    docs, path, mode, id_col, text_col, k, bands, shingle_n, step,
+    use_md5, n_prefix, n_id_buckets,
+) -> None:
     base, banded = _minhash_base_bands(
         docs, id_col, text_col, k, bands, shingle_n, step, use_md5
     )
     bands_df = banded.withColumn("bprefix", _bucket_prefix(n_prefix))
     bands_df.repartition(F.col("band"), F.col("bprefix")).write.mode(
-        "overwrite"
+        mode
     ).partitionBy("band", "bprefix").parquet(path + "/bands")
     sh_df = base.withColumn("idb", _id_bucket(F.col("id"), n_id_buckets))
-    sh_df.repartition(F.col("idb")).write.mode("overwrite").partitionBy(
+    sh_df.repartition(F.col("idb")).write.mode(mode).partitionBy(
         "idb"
     ).parquet(path + "/shingles")
 

@@ -69,3 +69,74 @@ def streaming_curate(
         & (quality_score(F.col(text_col)) >= F.lit(min_quality))
     )
     return streaming_dedup_exact(kept, text_col, ts_col, delay)
+
+
+def run_streaming_minhash_probe(
+    stream_docs: DataFrame,
+    index_docs: DataFrame | None,
+    sink_path: str,
+    checkpoint_dir: str,
+    index_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 8,
+    threshold: float = 0.6,
+    step: int = 2,
+    use_md5: bool = False,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming NEAR-dup detection against the existing corpus — the
+    missing half of ``streaming_curate``'s note: exact dedup streams
+    natively (state = fingerprints), but LSH's self-join does not.  What
+    DOES stream is the production shape: each ingest micro-batch probed
+    against a STATIC history index via
+    :func:`operators.dedup.minhash_probe` inside ``foreachBatch``.
+    Per-pair results are independent of the micro-batch split (every
+    stream doc is compared to the index alone), so the drained sink
+    equals the one-shot batch probe over the same documents EXACTLY —
+    regardless of how the stream was chopped — and within-stream dups
+    remain the periodic batch self-join's job, as documented above.
+
+    Resumability is Spark's own offset log: AvailableNow drains what
+    exists and stops; a rerun after new files land probes ONLY the
+    delta (the sink keeps prior batches' pairs — append mode), which is
+    the per-ingest cost contract of the batch probe made continuous.
+    Each sink row carries ``ingest_batch`` (the foreachBatch epoch) as
+    lineage, mirroring the tier pipeline's per-batch ledger rows.
+
+    Pass ``index_path`` (a :func:`materialize_dedup_index` table) to
+    probe the pruned scale path instead of banding ``index_docs`` from
+    scratch every micro-batch."""
+    from repurpose_spark.operators.dedup import (
+        minhash_probe,
+        minhash_probe_indexed,
+    )
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        if index_path is not None:
+            pairs = minhash_probe_indexed(
+                batch_df.sparkSession, index_path, batch_df,
+                id_col=id_col, text_col=text_col, k=k, bands=bands,
+                shingle_n=shingle_n, threshold=threshold, step=step,
+                use_md5=use_md5,
+            )
+        else:
+            pairs = minhash_probe(
+                index_docs, batch_df,
+                id_col=id_col, text_col=text_col, k=k, bands=bands,
+                shingle_n=shingle_n, threshold=threshold, step=step,
+                use_md5=use_md5,
+            )
+        pairs.withColumn("ingest_batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_path)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -447,3 +447,67 @@ def test_batch_and_streaming_sessionize_agree(spark, tmp_path):
         )
     )
     assert len(got) > 20 and got == want
+
+
+def test_streaming_minhash_probe_matches_batch_and_resumes(spark, tmp_path):
+    """The foreachBatch near-dup probe equals the one-shot batch probe
+    over the same docs regardless of the micro-batch split; a rerun
+    after a new file lands probes ONLY the delta (offset-log resume),
+    appending its pairs with fresh ingest_batch lineage."""
+    from repurpose_spark.operators.dedup import minhash_probe
+    from repurpose_spark.streaming.dedup import run_streaming_minhash_probe
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the loud hunters"
+    )
+    index = spark.createDataFrame(
+        [(0, base), (1, base.replace("green", "dark")),
+         (2, "totally unrelated corpus row about parquet row groups")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        run_streaming_minhash_probe(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index, out, ckpt, k=8, bands=8, threshold=0.3, step=1,
+        )
+        return spark.read.parquet(out)
+
+    # two files -> two micro-batches
+    write([(10, base.replace("quick", "swift"))])
+    write([(11, "another unrelated ingest document"), (12, base)])
+    got = drain()
+    batch_docs = spark.read.parquet(src)
+    want = {
+        (r["new_id"], r["index_id"]): r["jaccard"]
+        for r in minhash_probe(
+            index, batch_docs, k=8, bands=8, threshold=0.3, step=1
+        ).collect()
+    }
+    assert {
+        (r["new_id"], r["index_id"]): r["jaccard"] for r in got.collect()
+    } == want
+    assert (12, 0) in want and want[(12, 0)] == 1.0
+    n_batches_1 = got.select("ingest_batch").distinct().count()
+    assert n_batches_1 >= 2  # the split really was multi-micro-batch
+
+    # delta resume: one new near-dup file; rerun drains ONLY it
+    write([(13, base.replace("lazy", "idle"))])
+    got2 = spark.createDataFrame(drain().collect(), got.schema)
+    new_rows = got2.where(F.col("new_id") == 13)
+    assert new_rows.count() > 0
+    assert got2.count() == len(want) + new_rows.count()  # old pairs kept once
+    assert (
+        new_rows.select(F.min("ingest_batch")).first()[0] >= n_batches_1
+    )  # fresh epoch, not a reprocess
