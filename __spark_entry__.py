@@ -2248,6 +2248,56 @@ def q_doc_stream_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_doc_ingest_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL history-aware dedup ingest loop
+    (operators/ingest.py::ingest_with_dedup), oracle-certified end to
+    end: three deterministic md5 cuts of the corpus ingest sequentially
+    into a scratch Warehouse — batch 2 additionally re-delivers every
+    '0'-cut history doc under a fresh id (exact re-delivery → history
+    probe at jaccard 1.0) and a second copy of every '5'-cut doc (caught
+    by the within-batch exact stage).  The result is the final table's
+    (doc_id, ingest_no) rows.  EXACT oracle: all four stages — exact
+    window-min, within-batch LSH keep-first, and the stratified history
+    probe vs each prior ingest's ACCEPTED set — replayed in SQL with the
+    same md5 signature family (k=4, bands=2, shingle 8 step 2,
+    threshold 0.3)."""
+    import shutil
+    import tempfile
+
+    from repurpose_spark.operators.ingest import ingest_with_dedup
+    from repurpose_spark.sources.tables import Warehouse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    redeliver = d.where(c == "0").select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    indup = d.where(c == "5").select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text"
+    )
+    batches = [
+        d.where(c.isin(*"01234")),
+        d.where(c.isin(*"56789")).unionByName(redeliver).unionByName(indup),
+        d.where(~c.isin(*"0123456789")),
+    ]
+    base = tempfile.mkdtemp(prefix="ingest_oracle_")
+    try:
+        wh = Warehouse(spark, base + "/wh")
+        for i, b in enumerate(batches, 1):
+            ingest_with_dedup(
+                wh,
+                b.withColumn("ingest_no", F.lit(i)),
+                minhash_kwargs=dict(
+                    k=4, bands=2, shingle_n=8, step=2, use_md5=True,
+                    threshold=0.3,
+                ),
+            )
+        res = wh.read("documents").select("doc_id", "ingest_no")
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 scoring (operators/retrieval.py::bm25_scores) of the
     corpus against a 4-term query — the lexical-retrieval leg beside
@@ -2346,6 +2396,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": q_doc_bm25,
         "doc_minhash_incremental": q_doc_minhash_incremental,
         "doc_stream_minhash_probe": q_doc_stream_minhash_probe,
+        "doc_ingest_accepted": q_doc_ingest_accepted,
     }
 
 
@@ -4287,6 +4338,77 @@ v AS (
   JOIN sh y ON y.doc_id = c.index_id
 )
 SELECT new_id, index_id, round(j, 4) AS jaccard FROM v WHERE j >= 0.3
+""",
+        "doc_ingest_accepted": """
+WITH raw AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4') THEN 1
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('5','6','7','8','9') THEN 2
+              ELSE 3 END AS b
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, text, 2 FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+  UNION ALL
+  SELECT doc_id + 20000000, text, 2 FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '5'
+),
+ex AS (
+  SELECT b, doc_id, text FROM (
+    SELECT b, doc_id, text,
+           min(doc_id) OVER (PARTITION BY b, text) AS keep
+    FROM raw)
+  WHERE doc_id = keep
+),
+sh AS (
+  SELECT b, doc_id,
+         list_distinct([text[i:i+7]
+                        for i in generate_series(1, greatest(length(text)-7, 1), 2)])
+           AS s
+  FROM ex
+),
+sig AS (
+  SELECT b, doc_id,
+         list_min(list_transform(s, x -> md5('0' || x))) AS sig0,
+         list_min(list_transform(s, x -> md5('1' || x))) AS sig1,
+         list_min(list_transform(s, x -> md5('2' || x))) AS sig2,
+         list_min(list_transform(s, x -> md5('3' || x))) AS sig3
+  FROM sh
+),
+cand AS (
+  SELECT x.b AS ba, y.b AS bb, x.doc_id AS ida, y.doc_id AS idb
+  FROM sig x JOIN sig y
+    ON ((x.sig0 = y.sig0 AND x.sig1 = y.sig1)
+        OR (x.sig2 = y.sig2 AND x.sig3 = y.sig3))
+  WHERE x.doc_id <> y.doc_id
+),
+ver AS (
+  SELECT c.ba, c.bb, c.ida, c.idb
+  FROM cand c
+  JOIN sh p ON p.doc_id = c.ida
+  JOIN sh q ON q.doc_id = c.idb
+  WHERE len(list_intersect(p.s, q.s))::DOUBLE /
+        greatest(len(list_distinct(list_concat(p.s, q.s))), 1) >= 0.3
+),
+w AS (SELECT DISTINCT idb AS doc_id FROM ver WHERE ba = bb AND ida < idb),
+s1 AS (SELECT doc_id FROM ex WHERE b = 1
+       AND doc_id NOT IN (SELECT doc_id FROM w)),
+s2 AS (SELECT doc_id FROM ex WHERE b = 2
+       AND doc_id NOT IN (SELECT doc_id FROM w)),
+s3 AS (SELECT doc_id FROM ex WHERE b = 3
+       AND doc_id NOT IN (SELECT doc_id FROM w)),
+a1 AS (SELECT doc_id FROM s1),
+a2 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (
+         SELECT ida FROM ver WHERE idb IN (SELECT doc_id FROM a1))),
+a3 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (
+         SELECT ida FROM ver
+         WHERE idb IN (SELECT doc_id FROM a1
+                       UNION ALL SELECT doc_id FROM a2)))
+SELECT doc_id, 1 AS ingest_no FROM a1
+UNION ALL SELECT doc_id, 2 AS ingest_no FROM a2
+UNION ALL SELECT doc_id, 3 AS ingest_no FROM a3
 """,
         "doc_quality_signals": r"""
 WITH f AS (
