@@ -2317,6 +2317,46 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate-line removal (operators/lines.py::
+    remove_boilerplate_lines) — the C4/CCNet boilerplate stage: a line
+    whose normalized key occurs in ≥2 DISTINCT documents drops; unique
+    lines keep their order and original form.  The fixture corpus is
+    single-line, so the query synthesizes the web shape it targets: a
+    per-source header (hot: ~source-count docs share it), the unique
+    body, and a footer that is a shared copyright line for doc_id%3==0
+    (case-varied on %6==0 to exercise lower(trim) matching) and a
+    unique id line otherwise.  Hot detection is an exact two-phase
+    distinct-count; hot keys broadcast back; one exchange on doc_id
+    rebuilds cleaned texts.  EXACT oracle: DuckDB replays the identical
+    split → distinct-doc count → anti-join → ordered string_agg."""
+    from repurpose_spark.operators.lines import remove_boilerplate_lines
+
+    d = _wide(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.concat(
+            F.lit("source: "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit("copyright acme corp")
+            )
+            .when(F.col("doc_id") % 3 == 0, F.lit("Copyright ACME Corp"))
+            .otherwise(
+                F.concat(F.lit("id: "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(d, min_docs=2).select(
+        "doc_id",
+        "text_clean",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 def q_doc_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source 25-doc sample (operators/sampling.py::
     sample_bottom_k): rank by md5(doc_id || seed), keep each group's k
@@ -2393,6 +2433,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_entropy": q_doc_token_entropy,
         "seq_trending_tokens": q_seq_trending_tokens,
         "doc_sample_bottomk": q_doc_sample_bottomk,
+        "doc_line_dedup": q_doc_line_dedup,
         "doc_bm25": q_doc_bm25,
         "doc_minhash_incremental": q_doc_minhash_incremental,
         "doc_stream_minhash_probe": q_doc_stream_minhash_probe,
@@ -3283,6 +3324,34 @@ SELECT event_type, tick, CAST(v AS BIGINT) AS v FROM small
 """,
         # duplicated-span detection: the identical split → window →
         # corpus count → gaps-and-islands merge construction
+        "doc_line_dedup": """
+WITH d AS (
+  SELECT doc_id,
+         'source: ' || source || chr(10) || text || chr(10) ||
+         CASE WHEN doc_id % 6 = 0 THEN 'copyright acme corp'
+              WHEN doc_id % 3 = 0 THEN 'Copyright ACME Corp'
+              ELSE 'id: ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, u.j AS pos, ls[u.j + 1] AS line,
+         lower(trim(ls[u.j + 1])) AS key
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+       unnest(generate_series(0, len(ls) - 1)) u(j)
+),
+hot AS (
+  SELECT key FROM l WHERE key != ''
+  GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT l.doc_id,
+       COALESCE(string_agg(CASE WHEN h.key IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN h.key IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed
+FROM l LEFT JOIN hot h ON l.key = h.key
+GROUP BY l.doc_id
+""",
         "doc_dup_spans": """
 WITH w AS (
   SELECT doc_id,

@@ -1,0 +1,131 @@
+"""Cross-corpus duplicate-line removal (boilerplate filtering).
+
+The C4 / CCNet / RefinedWeb curation stage the rest of the dedup family
+does not cover: navigation menus, cookie banners, and share-bar lines
+repeat across *many* documents while each host document is unique, so
+neither exact dedup (whole-text), MinHash/SimHash (near-whole-text),
+nor ``duplicate_spans`` (token windows inside one text) removes them.
+Reference analog: the per-slice preprocessing hook boundary
+(``/root/reference/src/repurpose/img2ts.py:171-178`` — a cleaning
+stage applied before points enter the grid); the matching rule (one
+normalized key per line, drop when seen in ≥ ``min_docs`` distinct
+documents) follows the public C4 recipe (Raffel et al. 2020, §2.2).
+
+Shape at 100 TB:
+
+1. ``posexplode(split(text, '\\n'))`` fuses into the scan — the
+   exploded line stream is never materialized ahead of its consumer.
+2. The hot-key table is built by an exact two-phase distinct-count
+   (``groupBy(key).agg(count_distinct(doc))`` — partial aggregation
+   dedups (key, doc) pairs map-side, so a banner repeated a billion
+   times shuffles once per (partition, key), not once per occurrence).
+3. Hot keys are BROADCAST back (boilerplate is the head of the line
+   distribution: distinct lines occurring in ≥k documents are ledger-
+   sized next to the corpus).  ``broadcast_hot=False`` opts into a
+   plain shuffled join if a pathological corpus outgrows that.
+4. One shuffle on the document id rebuilds cleaned texts; per-line
+   keep/drop flags ride that single exchange, so original line order,
+   the original line count, and the removed count all come from the
+   same aggregate — raw text is scanned exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["remove_boilerplate_lines", "boilerplate_lines"]
+
+
+def _line_key(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c))
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Distinct normalized line keys occurring in ≥ ``min_docs``
+    DISTINCT documents → ``(line_key, n_docs)``.
+
+    Normalization is ``lower(trim(line))``; blank lines never count.
+    Distinct-document counting (not occurrence counting) is what makes
+    the rule a *cross-corpus* test: a line repeated inside one document
+    is repetition, not boilerplate, and stays."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be ≥ 2, got {min_docs}")
+    lines = docs.select(
+        F.col(id_col).alias("_bl_doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_bl_line"),
+    )
+    return (
+        lines.select("_bl_doc", _line_key("_bl_line").alias("line_key"))
+        .where(F.col("line_key") != "")
+        .groupBy("line_key")
+        .agg(F.count_distinct("_bl_doc").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(min_docs))
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Drop every line whose normalized key occurs in ≥ ``min_docs``
+    distinct documents; keep surviving lines in their original order
+    and original (un-normalized) form.
+
+    Returns one row per input document:
+    ``(id_col, text_clean, n_lines, n_removed)`` — ``n_lines`` counts
+    the document's original lines, ``n_removed`` the dropped
+    occurrences (every occurrence of a hot line drops, including
+    repeats within one document).  A document losing all its lines
+    yields ``text_clean = ''`` and is NOT filtered out — whether to
+    drop gutted documents is the caller's policy (compose with a
+    ``n_removed / n_lines`` threshold)."""
+    hot = boilerplate_lines(
+        docs, id_col=id_col, text_col=text_col, min_docs=min_docs
+    ).select("line_key")
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+
+    lines = docs.select(
+        F.col(id_col).alias("_bl_doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "_bl_pos", "_bl_line"
+        ),
+    ).withColumn("line_key", _line_key("_bl_line"))
+
+    flagged = lines.join(
+        hot.withColumn("_bl_hot", F.lit(True)), on="line_key", how="left"
+    )
+    kept_struct = F.when(
+        F.col("_bl_hot").isNull(),
+        F.struct(F.col("_bl_pos"), F.col("_bl_line")),
+    )
+    # collect_list skips nulls → hot occurrences vanish from the array
+    # while count(*)/sum(hot) still see them; sort_array orders the
+    # (pos, line) structs by pos, restoring the original line order.
+    return (
+        flagged.groupBy(F.col("_bl_doc").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["_bl_line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("_bl_hot").isNotNull(), 1).otherwise(0)
+            ).alias("n_removed"),
+        )
+    )
