@@ -41,12 +41,20 @@ def _line_key(col: str | Column) -> Column:
     return F.lower(F.trim(c))
 
 
+def _split_lit(text_col: str, sep: str) -> Column:
+    """Split on a LITERAL separator (``F.split`` takes a regex)."""
+    import re
+
+    return F.split(F.col(text_col), re.escape(sep), -1)
+
+
 def boilerplate_lines(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
     """Distinct normalized line keys occurring in ≥ ``min_docs``
     DISTINCT documents → ``(line_key, n_docs)``.
@@ -54,12 +62,16 @@ def boilerplate_lines(
     Normalization is ``lower(trim(line))``; blank lines never count.
     Distinct-document counting (not occurrence counting) is what makes
     the rule a *cross-corpus* test: a line repeated inside one document
-    is repetition, not boilerplate, and stays."""
+    is repetition, not boilerplate, and stays.  ``sep`` picks the unit:
+    ``"\\n"`` for lines (C4), ``"\\n\\n"`` for paragraphs (RefinedWeb
+    runs both granularities)."""
     if min_docs < 2:
         raise ValueError(f"min_docs must be ≥ 2, got {min_docs}")
+    if not sep:
+        raise ValueError("sep must be a non-empty literal separator")
     lines = docs.select(
         F.col(id_col).alias("_bl_doc"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("_bl_line"),
+        F.explode(_split_lit(text_col, sep)).alias("_bl_line"),
     )
     return (
         lines.select("_bl_doc", _line_key("_bl_line").alias("line_key"))
@@ -77,10 +89,13 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     min_docs: int = 2,
     broadcast_hot: bool = True,
+    sep: str = "\n",
 ) -> DataFrame:
     """Drop every line whose normalized key occurs in ≥ ``min_docs``
     distinct documents; keep surviving lines in their original order
-    and original (un-normalized) form.
+    and original (un-normalized) form.  ``sep`` picks the unit (lines
+    vs paragraphs — see :func:`boilerplate_lines`); cleaned text is
+    rejoined with the same separator.
 
     Returns one row per input document:
     ``(id_col, text_clean, n_lines, n_removed)`` — ``n_lines`` counts
@@ -91,14 +106,14 @@ def remove_boilerplate_lines(
     drop gutted documents is the caller's policy (compose with a
     ``n_removed / n_lines`` threshold)."""
     hot = boilerplate_lines(
-        docs, id_col=id_col, text_col=text_col, min_docs=min_docs
+        docs, id_col=id_col, text_col=text_col, min_docs=min_docs, sep=sep
     ).select("line_key")
     if broadcast_hot:
         hot = F.broadcast(hot)
 
     lines = docs.select(
         F.col(id_col).alias("_bl_doc"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+        F.posexplode(_split_lit(text_col, sep)).alias(
             "_bl_pos", "_bl_line"
         ),
     ).withColumn("line_key", _line_key("_bl_line"))
@@ -121,7 +136,7 @@ def remove_boilerplate_lines(
                     F.sort_array(F.collect_list(kept_struct)),
                     lambda s: s["_bl_line"],
                 ),
-                "\n",
+                sep,
             ).alias("text_clean"),
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(

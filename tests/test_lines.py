@@ -128,3 +128,38 @@ def test_plan_shape(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_paragraph_granularity(spark):
+    rows = [
+        (1, "Shared intro para.\n\nbody one\nstill body one\n\nTail A"),
+        (2, "shared intro para.\n\nbody two\n\nTail B"),
+        (3, "unrelated\n\nTail C"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(df, sep="\n\n").collect()
+    }
+    # the shared intro paragraph drops (case-insensitive); single '\n'
+    # inside a paragraph is NOT a split point at this granularity
+    assert got[1] == ("body one\nstill body one\n\nTail A", 3, 1)
+    assert got[2] == ("body two\n\nTail B", 3, 1)
+    assert got[3] == ("unrelated\n\nTail C", 2, 0)
+
+
+def test_sep_is_literal_not_regex(spark):
+    rows = [(1, "a|b||c"), (2, "x||c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(df, sep="||").collect()
+    }
+    # '||' splits literally: doc1 = ['a|b', 'c'], doc2 = ['x', 'c'];
+    # 'c' is shared and drops
+    assert got[1] == ("a|b", 2, 1)
+    assert got[2] == ("x", 2, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        remove_boilerplate_lines(df, sep="")
