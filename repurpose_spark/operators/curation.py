@@ -57,12 +57,25 @@ def curate_documents(
     near_dup: bool = True,
     near_dup_policy: str = "keep_first",
     minhash_kwargs: dict | None = None,
+    boilerplate: bool | dict = False,
 ) -> DataFrame:
     """Curated corpus: (id, lang_pred, q) for every kept document.
 
     Stages run cheapest-first; each drops rows before the next pays for
     them.  ``near_dup=False`` stops after exact dedup (the minhash stage
     is the only one that shuffles more than once).
+
+    ``boilerplate`` (opt-in) prepends cross-corpus duplicate-line
+    removal (:func:`repurpose_spark.operators.lines.
+    remove_boilerplate_lines`; pass a dict to forward ``min_docs`` /
+    ``sep``).  It runs FIRST — the C4 ordering — because every later
+    stage reads the text: quality must score the content a model would
+    train on (a banner-padded page must not pass on its boilerplate's
+    stopwords), and exact/near dedup must compare documents by what
+    remains after the shared lines are gone.  This is the one stage
+    that pays corpus-scan cost before the language cut; callers
+    curating a corpus whose boilerplate is known-clean leave it off
+    (the default, and the oracled ``doc_curation`` shape).
 
     ``near_dup_policy``:
 
@@ -79,6 +92,18 @@ def curate_documents(
     """
     if near_dup_policy not in ("keep_first", "components"):
         raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
+    if boilerplate:
+        from repurpose_spark.operators.lines import (
+            remove_boilerplate_lines,
+        )
+
+        bp_kwargs = boilerplate if isinstance(boilerplate, dict) else {}
+        docs = remove_boilerplate_lines(
+            docs.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            **bp_kwargs,
+        ).select(F.col(id_col), F.col("text_clean").alias(text_col))
     annotated = ensure_parallelism(docs).select(
         F.col(id_col),
         F.col(text_col),

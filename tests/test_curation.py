@@ -125,3 +125,50 @@ def test_curate_components_policy_custom_id_col(spark):
         minhash_kwargs=dict(k=4, bands=4, threshold=0.3, step=1),
     )
     assert {r["uid"] for r in out.collect()} == {"x1"}
+
+
+def test_curate_boilerplate_stage(spark):
+    # two hot keys: the banner (case variants normalize together, in
+    # b0/b1/b2/b4) and the footer (b0/b3).  b4 is banner-heavy: its
+    # quality only clears the 0.7 bar once the boilerplate drops.
+    # b2/b3 share their body line under DIFFERENT boilerplate — at line
+    # granularity that shared body is itself cross-corpus-hot, so the
+    # cleaning stage GUTS both pages and the quality bar then drops
+    # them (full-dup content shared between exactly-two docs dies at
+    # the line tier before exact dedup ever sees it).
+    banner = "*** COOKIE BANNER *** | HOME | ABOUT | CONTACT |"
+    footer = "Copyright ACME 2026 - All Rights Reserved"
+    body2 = GOOD.replace("fox", "owl").replace("autumn", "spring")
+    rows = [
+        ("b0", banner + "\n" + GOOD + "\n" + footer),
+        ("b1", banner.lower() + "\n" + GOOD.replace("fox", "cat")),
+        ("b2", banner + "\n" + body2),
+        ("b3", footer + "\n" + body2),
+        (
+            "b4",
+            "\n".join([banner] * 10 + [GOOD.replace("autumn", "winter")]),
+        ),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    kw = dict(min_quality=0.7, near_dup=False)
+
+    plain = {
+        r["doc_id"]: r["q"] for r in curate_documents(docs, **kw).collect()
+    }
+    # banner-diluted b4 misses the bar; b2/b3 both survive (their raw
+    # fingerprints differ by banner case)
+    assert set(plain) == {"b0", "b1", "b2", "b3"}
+    assert plain["b2"] < 0.95  # scored WITH the banner in place
+
+    out = {
+        r["doc_id"]: r["q"]
+        for r in curate_documents(docs, boilerplate=True, **kw).collect()
+    }
+    # b4's clean body clears the bar; b2/b3 are gutted (their whole
+    # body is a shared line) and fall to the quality filter
+    assert set(out) == {"b0", "b1", "b4"}
+    assert all(q > 0.95 for q in out.values())  # scored on clean bodies
+
+    # kwargs forward: min_docs=20 -> nothing is hot -> plain behavior
+    none_hot = curate_documents(docs, boilerplate={"min_docs": 20}, **kw)
+    assert {r["doc_id"] for r in none_hot.collect()} == set(plain)
