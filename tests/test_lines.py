@@ -95,6 +95,18 @@ def test_partition_invariance(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_hash_keys_parity(spark):
+    df = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    a = sorted(map(tuple, remove_boilerplate_lines(df).collect()))
+    b = sorted(
+        map(
+            tuple,
+            remove_boilerplate_lines(df, hash_keys=False).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_no_broadcast_variant_identical(spark):
     df = spark.createDataFrame(ROWS, ["doc_id", "text"])
     a = sorted(
@@ -113,9 +125,16 @@ def test_hot_table_contents(spark):
     df = spark.createDataFrame(ROWS, ["doc_id", "text"])
     hot = {
         r["line_key"]: r["n_docs"]
-        for r in boilerplate_lines(df).collect()
+        for r in boilerplate_lines(df, hash_keys=False).collect()
     }
     assert hot == {"cookie banner": 4, "copyright acme": 2}
+    # hashed variant: same cardinalities, keys are the xxhash64 of them
+    hashed = {
+        r["line_key"]: r["n_docs"]
+        for r in boilerplate_lines(df).collect()
+    }
+    assert sorted(hashed.values()) == sorted(hot.values())
+    assert all(isinstance(k, int) for k in hashed)
 
 
 def test_plan_shape(spark):
