@@ -67,6 +67,7 @@ HEADLINE = [
     "ev_rollup_routed_6h",
     "doc_bm25",
     "doc_sample_bottomk",
+    "doc_line_dedup",
 ]
 
 
