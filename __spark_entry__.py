@@ -3322,8 +3322,8 @@ FROM big JOIN sel ON sel.event_type = big.event_type
 UNION ALL
 SELECT event_type, tick, CAST(v AS BIGINT) AS v FROM small
 """,
-        # duplicated-span detection: the identical split → window →
-        # corpus count → gaps-and-islands merge construction
+        # duplicate-line removal: the identical split → distinct-doc
+        # count → anti-join → ordered string_agg construction
         "doc_line_dedup": """
 WITH d AS (
   SELECT doc_id,
@@ -3352,6 +3352,8 @@ SELECT l.doc_id,
 FROM l LEFT JOIN hot h ON l.key = h.key
 GROUP BY l.doc_id
 """,
+        # duplicated-span detection: the identical split → window →
+        # corpus count → gaps-and-islands merge construction
         "doc_dup_spans": """
 WITH w AS (
   SELECT doc_id,

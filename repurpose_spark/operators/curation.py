@@ -92,7 +92,13 @@ def curate_documents(
     """
     if near_dup_policy not in ("keep_first", "components"):
         raise ValueError(f"unknown near_dup_policy: {near_dup_policy!r}")
-    if boilerplate:
+    # widen BEFORE the boilerplate stage too: its corpus-wide explode /
+    # hash / distinct-count otherwise runs at source parallelism (the
+    # single-row-group-fixture case ensure_parallelism exists for)
+    docs = ensure_parallelism(docs)
+    # `is not False/None` (not truthiness): boilerplate={} means
+    # "enable with defaults", not "disabled"
+    if boilerplate is not False and boilerplate is not None:
         from repurpose_spark.operators.lines import (
             remove_boilerplate_lines,
         )
@@ -104,7 +110,7 @@ def curate_documents(
             text_col=text_col,
             **bp_kwargs,
         ).select(F.col(id_col), F.col("text_clean").alias(text_col))
-    annotated = ensure_parallelism(docs).select(
+    annotated = docs.select(
         F.col(id_col),
         F.col(text_col),
         lang_id(text_col).alias("lang_pred"),

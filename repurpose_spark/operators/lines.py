@@ -26,7 +26,10 @@ Shape at 100 TB:
 4. One shuffle on the document id rebuilds cleaned texts; per-line
    keep/drop flags ride that single exchange, so original line order,
    the original line count, and the removed count all come from the
-   same aggregate — raw text is scanned exactly once.
+   same aggregate.  The corpus is scanned twice by design — the
+   published C4 recipe's count pass + rewrite pass — which beats
+   persisting the exploded line stream (the explode stays fused into
+   each scan and never materializes).
 """
 
 from __future__ import annotations
@@ -42,10 +45,16 @@ def _line_key(col: str | Column) -> Column:
 
 
 def _split_lit(text_col: str, sep: str) -> Column:
-    """Split on a LITERAL separator (``F.split`` takes a regex)."""
+    """Split on a LITERAL separator (``F.split`` takes a regex).
+
+    NULL text coalesces to ``''`` so a NULL-text document still yields
+    its one output row (``text_clean=''``) instead of vanishing in the
+    explode — the one-row-per-input-document contract."""
     import re
 
-    return F.split(F.col(text_col), re.escape(sep), -1)
+    return F.split(
+        F.coalesce(F.col(text_col), F.lit("")), re.escape(sep), -1
+    )
 
 
 def boilerplate_lines(

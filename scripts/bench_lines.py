@@ -106,6 +106,10 @@ def main() -> None:
         "--out", default=os.path.join(REPO, "BENCH_LINES_r05.json")
     )
     args = ap.parse_args()
+    if args.docs < 100:
+        # 50 banner + 50 footer templates: below 100 docs some template
+        # lands in <2 docs and the fixture's removal assert is invalid
+        ap.error("--docs must be >= 100 (one doc per template minimum)")
 
     res: dict = {"docs": args.docs, "hw_probe_open": probe()}
     walls = {}

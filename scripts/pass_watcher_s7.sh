@@ -11,13 +11,16 @@ MAX=${1:-30}
 SLEEP=${2:-300}
 CUR=$(python -c "import json;print(json.load(open('BENCH_SCALING_r05.json'))['efficiency']['pipeline_2_to_8'])")
 echo "[watcher-s7] current record raw efficiency: $CUR"
+# per-run artifact prefix: a rerun must not clobber a committed
+# earlier run's attempt files (the counter restarts at 1)
+RUN=$(date +%H%M)
 for i in $(seq 1 "$MAX"); do
   if [ -e /tmp/spark_busy ]; then
     echo "[watcher-s7] $(date +%T) spark_busy lock present; skipping attempt $i"
     sleep "$SLEEP"
     continue
   fi
-  out="BENCH_SCALING_r05_s7_${i}.json"
+  out="BENCH_SCALING_r05_s7_${RUN}_${i}.json"
   echo "[watcher-s7] $(date +%T) attempt $i -> $out"
   python scripts/pipeline_pass.py --docs 1000000 --min-ops8 8000000 \
     --min-bw-scaling 0.7 \

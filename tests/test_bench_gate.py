@@ -76,11 +76,13 @@ def test_subsecond_jitter_does_not_flag(bench_mod):
 def test_consistent_window_preferred_over_faster_probed_dispersed(bench_mod):
     gate = bench_mod._ProbeGate()
     # attempt 1: fast probes (15) but dispersed passes; attempt 2:
-    # slower probes (10.4, below band of the 15s median -> unhealthy)
-    # but self-consistent passes.  With no healthy attempt the gate
-    # must cite the self-consistent one.
-    _stub_probes(bench_mod, [15.0, 15.0, 10.4, 10.4])
+    # probes at 8.0 — run median is 11.5, band 0.75×11.5 = 8.625, so
+    # attempt 2 is genuinely below band (unhealthy) but self-consistent.
+    # With NO healthy attempt the gate must cite the self-consistent
+    # one via _better, not the faster-probed dispersed one.
+    _stub_probes(bench_mod, [15.0, 15.0, 8.0, 8.0])
     vals = iter([5.0, 40.0, 12.0, 20.0, 21.0, 20.5])
     rec = gate.measure("x", lambda: next(vals), 3, max_attempts=2)
     assert rec["passes"] == [20.0, 21.0, 20.5]
     assert rec["probe"]["disp_ok"]
+    assert not rec["probe"]["healthy"]  # below band — _better chose it

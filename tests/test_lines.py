@@ -182,3 +182,16 @@ def test_sep_is_literal_not_regex(spark):
 
     with _pytest.raises(ValueError):
         remove_boilerplate_lines(df, sep="")
+
+
+def test_null_text_doc_survives(spark):
+    rows = [(1, None), (2, "cookie banner\nbody"), (3, "cookie banner\nother")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(df).collect()
+    }
+    # one row per INPUT document: NULL text coalesces to '' (one blank
+    # line, kept) rather than vanishing in the explode
+    assert got[1] == ("", 1, 0)
+    assert set(got) == {1, 2, 3}
