@@ -2372,6 +2372,54 @@ def q_doc_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_bottom_k(d, ["source"], 10, id_col="doc_id", seed="r5")
 
 
+def q_ev_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic signature (operators/downsample.py::sax): each
+    event_type's hourly-count series → 24 PAA frames → alphabet-4
+    N(0,1) symbols — the classic fixed-width series sketch (Lin/Keogh
+    2003) for whole-series similarity over a rollup tier (reference
+    analog: a per-cell signature of the img2ts.py:652-668 series).
+    EXACT: frame assignment is int64 arithmetic, the PAA mean is one
+    IEEE division of exact int64s, and the symbol comparison runs in
+    the integer-moment domain (A > β·c_f·√V — see the operator
+    docstring) so no compounded float ever differs between engines.
+    Zero Python; one exchange on the series key."""
+    from repurpose_spark.operators.downsample import sax
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    return sax(
+        h, ["event_type"], ts_col="tick", value_col="n_events",
+        n_frames=24, alphabet=4,
+    )
+
+
+def q_ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (operators/robust.py::theil_sen) of each
+    event_type's daily cent-total series over a day-index axis — the
+    median-of-pairwise-slopes trend whose 29 % breakdown point survives
+    outlier days that would drag an OLS fit (pairs with hampel /
+    mad_flags as the robust-monitoring tier).  EXACT: day index and
+    cents are exact ints; every slope is one IEEE division; slope and
+    intercept are LOWER MEDIANS (exact order statistics, no
+    interpolation) — DuckDB's quantile_disc(…, 0.5) picks the identical
+    element (probed in tests/test_robust.py).  O(n²) pairs per series
+    is bounded by the daily tier (n ≈ 365/series-year), one Arrow
+    batch per series, one exchange."""
+    from repurpose_spark.operators.robust import theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    pts = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        F.col("cents").alias("v"),
+    )
+    return theil_sen(pts, ["event_type"], ts_col="t", value_col="v")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2438,6 +2486,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_incremental": q_doc_minhash_incremental,
         "doc_stream_minhash_probe": q_doc_stream_minhash_probe,
         "doc_ingest_accepted": q_doc_ingest_accepted,
+        "ev_sax": q_ev_sax,
+        "ev_theil_sen": q_ev_theil_sen,
     }
 
 
@@ -5196,5 +5246,81 @@ f AS (
   FROM g, q WHERE sig = qsig
 )
 SELECT vec_id, cosine FROM f ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        # ev_sax: breakpoint literals are statistics.NormalDist().inv_cdf
+        # (i/4) — the SAME doubles sax_breakpoints(4) feeds the engine;
+        # the A > β·c_f·√V comparison mirrors the integer-moment algebra
+        # of operators/downsample.py::sax op for op
+        "ev_sax": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, CAST(n_events AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY tick) - 1 AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+f AS (
+  SELECT event_type, CAST(floor(r * 24 / n) AS INT) AS frame,
+         SUM(v) AS sf, COUNT(*) AS n_pts
+  FROM r GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, SUM(v) AS s, SUM(v * v) AS q, COUNT(*) AS n
+  FROM r GROUP BY 1
+),
+j AS (
+  SELECT f.event_type, f.frame, f.n_pts, f.sf, m.s, m.q, m.n,
+         CAST(m.n * f.sf - f.n_pts * m.s AS DOUBLE) AS a,
+         m.n * m.q - m.s * m.s AS var,
+         sqrt(CAST(m.n * m.q - m.s * m.s AS DOUBLE)) AS d
+  FROM f JOIN m USING (event_type)
+)
+SELECT event_type, frame, n_pts,
+       CAST(sf AS DOUBLE) / CAST(n_pts AS DOUBLE) AS paa,
+       CASE WHEN var > 0 THEN
+         substring('abcdefghijklmnop',
+           (CASE WHEN a > -0.6744897501960817 * CAST(n_pts AS DOUBLE) * d
+                 THEN 1 ELSE 0 END)
+           + (CASE WHEN a > 0.0 * CAST(n_pts AS DOUBLE) * d
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN a > 0.6744897501960817 * CAST(n_pts AS DOUBLE) * d
+                   THEN 1 ELSE 0 END) + 1, 1)
+       END AS symbol
+FROM j
+""",
+        # ev_theil_sen: quantile_disc(…, 0.5) IS the lower median
+        # (probed in tests/test_robust.py), matching numpy's
+        # sorted[(m-1)//2] pick in operators/robust.py::theil_sen
+        "ev_theil_sen": """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS t,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+keys AS (SELECT event_type, COUNT(*) AS n_pts FROM daily GROUP BY 1),
+sl AS (
+  SELECT a.event_type,
+         CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.t > a.t
+),
+m AS (
+  SELECT event_type, quantile_disc(s, 0.5) AS slope, COUNT(*) AS n_pairs
+  FROM sl GROUP BY 1
+),
+ic AS (
+  SELECT d.event_type,
+         quantile_disc(CAST(d.v AS DOUBLE) - m.slope * CAST(d.t AS DOUBLE),
+                       0.5) AS icpt
+  FROM daily d JOIN m USING (event_type) GROUP BY 1
+)
+SELECT k.event_type, m.slope, ic.icpt, k.n_pts,
+       COALESCE(m.n_pairs, 0) AS n_pairs
+FROM keys k LEFT JOIN m USING (event_type) LEFT JOIN ic USING (event_type)
 """,
     }

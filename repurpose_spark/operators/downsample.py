@@ -564,3 +564,106 @@ def holt(
     return df.select(*key_cols, ts_col, value_col).groupBy(*key_cols).applyInPandas(
         fn, schema=schema
     )
+
+
+def sax_breakpoints(alphabet: int) -> list:
+    """N(0,1) quantile breakpoints splitting the line into ``alphabet``
+    equiprobable bins (Lin et al. 2003, the SAX paper, Table 3) —
+    computed with the stdlib ``statistics.NormalDist().inv_cdf`` so the
+    engine and the generated oracle SQL embed the SAME doubles."""
+    from statistics import NormalDist
+
+    if alphabet < 2 or alphabet > 16:
+        raise ValueError("alphabet must be in [2, 16]")
+    nd = NormalDist()
+    return [nd.inv_cdf(i / alphabet) for i in range(1, alphabet)]
+
+
+def sax(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "tick",
+    value_col: str = "v",
+    n_frames: int = 16,
+    alphabet: int = 4,
+) -> DataFrame:
+    """SAX symbolic series representation (Lin/Keogh et al. 2003):
+    PAA-downsample each series to ``n_frames`` frame means, z-normalize
+    against the series' own mean/std, and bin each frame into one of
+    ``alphabet`` equiprobable N(0,1) symbols ``a..`` — the classic
+    index/sketch for whole-series similarity and motif mining over a
+    rollup tier (reference analog: the per-cell time-sorted series of
+    img2ts.py:652-668, reduced to a fixed-width signature per cell).
+
+    EXACT certification (integer ``value_col`` required — tier counts
+    or cents): with r = 0-based rank, n = series length, frame
+    f = ⌊r·w/n⌋ is pure int64 arithmetic; the PAA mean is ONE IEEE
+    division S_f/c_f of exact int64s; and the z-vs-breakpoint
+    comparison is done WITHOUT forming z: z_f > β ⟺
+    A > β·c_f·√V with A = n·S_f − c_f·S and V = n·Q − S² both exact
+    int64 (μ = S/n, σ = √V/n algebra) — so the symbol index
+    Σ_k 1[A > β_k·c_f·√V] is byte-identical across engines and
+    partition layouts.  Degenerate series (V = 0, constant) emit NULL
+    symbols: they have no z-scale.  Precondition (same as
+    rolling_zscore exact mode): n·Σv² and (Σv)² must fit int64 —
+    run on tier counts/cents, not raw token sums.
+
+    Plan shape: ONE hash exchange on the series keys feeds the rank
+    window and the per-series moment aggregate; the frame aggregate
+    re-keys on (series, frame); the one-row-per-series moments join
+    back broadcast under AQE when small, hash otherwise.  Zero Python
+    anywhere.
+    """
+    key_cols = list(key_cols)
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    bps = sax_breakpoints(alphabet)
+    v = F.col(value_col).cast("long")
+    w_rank = Window.partitionBy(*key_cols).orderBy(ts_col)
+    ranked = df.select(
+        *key_cols,
+        v.alias("_v"),
+        (F.row_number().over(w_rank) - F.lit(1)).alias("_r"),
+    )
+    n_per = Window.partitionBy(*key_cols)
+    ranked = ranked.withColumn("_n", F.count("*").over(n_per))
+    ranked = ranked.withColumn(
+        "frame", F.floor(F.col("_r") * n_frames / F.col("_n"))
+    )
+    frames = ranked.groupBy(*key_cols, "frame").agg(
+        F.sum("_v").alias("_sf"), F.count("*").alias("n_pts")
+    )
+    moments = ranked.groupBy(*key_cols).agg(
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+        F.count("*").alias("_n"),
+    )
+    # one row per series: AQE broadcasts this side when it is small and
+    # falls back to a hash join when series cardinality is huge — do
+    # not force the hint (10M series × ~40 B would be a 400 MB
+    # broadcast at 100 TB scale)
+    j = frames.join(moments, key_cols)
+    a = (F.col("_n") * F.col("_sf") - F.col("n_pts") * F.col("_s")).cast(
+        "double"
+    )
+    var = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")
+    d = F.sqrt(var.cast("double"))
+    idx = None
+    for bp in bps:
+        ind = (
+            a > F.lit(bp) * F.col("n_pts").cast("double") * d
+        ).cast("int")
+        idx = ind if idx is None else idx + ind
+    sym = F.when(
+        var > 0,
+        F.expr("substring('abcdefghijklmnop', _symidx + 1, 1)"),
+    )
+    paa = F.col("_sf").cast("double") / F.col("n_pts").cast("double")
+    out = j.withColumn("_symidx", idx).select(
+        *key_cols,
+        F.col("frame").cast("int").alias("frame"),
+        F.col("n_pts"),
+        paa.alias("paa"),
+        sym.alias("symbol"),
+    )
+    return out

@@ -39,6 +39,7 @@ __all__ = [
     "hampel",
     "rolling_corr",
     "seasonal_decompose",
+    "theil_sen",
 ]
 
 
@@ -457,3 +458,78 @@ def seasonal_decompose(
         "seasonal",
         (detrend - F.col("seasonal")).alias("resid"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "t",
+    value_col: str = "v",
+    max_points: int = 4096,
+) -> DataFrame:
+    """Theil–Sen robust trend (Sen 1968): per series, the slope is the
+    LOWER MEDIAN (exact order statistic, index ⌊(m−1)/2⌋ of the sorted
+    multiset — no interpolation) of all pairwise slopes
+    (v_j − v_i)/(t_j − t_i) over i<j with t_i ≠ t_j, and the intercept
+    is the lower median of the residuals v_i − slope·t_i.  Breakdown
+    point ~29 %: a third of the points can be arbitrarily wrong before
+    the trend moves — the robust twin of the OLS trend, paired with
+    ``hampel``/``mad_flags`` for tier-drift monitoring.
+
+    EXACT certification: ``ts_col`` and ``value_col`` must be exact
+    integers (day index / tier cents).  Every slope is ONE IEEE
+    division of exact-int doubles; each residual is one multiply + one
+    subtract in that order; lower medians pick elements, never average
+    — so slope and intercept are byte-identical across engines
+    (DuckDB twin: a rank self-join + ``quantile_disc(…, 0.5)``, which
+    this module's pytest probes to be exactly the lower median).
+
+    Scale shape: pairwise O(n²) per series is intentional and BOUNDED —
+    run on a rollup tier (daily: n ≈ 365 → 66k pairs in one numpy
+    outer-difference), never raw points; series longer than
+    ``max_points`` raise rather than silently quadratic-blow-up.  One
+    hash exchange on the series keys; one Arrow batch per series.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_cols = list(key_cols)
+    sel = df.select(*key_cols, ts_col, value_col)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*key_cols).schema.fields
+    )
+    schema = (
+        key_fields
+        + ", slope double, icpt double, n_pts bigint, n_pairs bigint"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_points:
+            raise ValueError(
+                "theil_sen: series of {} points exceeds max_points={} — "
+                "run on a rollup tier, not raw points".format(n, max_points)
+            )
+        t = pdf[ts_col].to_numpy(dtype=np.int64)
+        v = pdf[value_col].to_numpy(dtype=np.int64)
+        order = np.argsort(t, kind="stable")
+        t, v = t[order], v[order]
+        i, jdx = np.triu_indices(n, 1)
+        dt = t[jdx] - t[i]
+        keep = dt != 0
+        dt = dt[keep].astype(np.float64)
+        dv = (v[jdx] - v[i])[keep].astype(np.float64)
+        m = dt.size
+        row = {k: pdf[k].iloc[0] for k in key_cols}
+        if m == 0:
+            row.update(slope=None, icpt=None, n_pts=n, n_pairs=0)
+            return pd.DataFrame([row])
+        slopes = np.sort(dv / dt)
+        slope = slopes[(m - 1) // 2]
+        resid = np.sort(v.astype(np.float64) - slope * t.astype(np.float64))
+        icpt = resid[(n - 1) // 2]
+        row.update(slope=slope, icpt=icpt, n_pts=n, n_pairs=m)
+        return pd.DataFrame([row])
+
+    return sel.groupBy(*key_cols).applyInPandas(fn, schema=schema)

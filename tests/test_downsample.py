@@ -408,3 +408,59 @@ def test_holt_tracks_linear_ramp(spark):
     )[-1]
     # next true value is 3000; converged Holt sits within a few percent
     assert abs(last["forecast"] - 3000.0) < 60.0
+
+
+def test_sax_breakpoints_and_hand_symbols(spark):
+    from repurpose_spark.operators.downsample import sax, sax_breakpoints
+
+    bps = sax_breakpoints(4)
+    assert bps[1] == 0.0 and bps[0] == -bps[2]
+    # 8 points, 4 frames of 2: frame means 1, 3, 5, 7; mean 4,
+    # sd_pop sqrt(...) -> z-signs split symbols a/b/c/d exactly
+    rows = [("s", i, v) for i, v in enumerate([0, 2, 2, 4, 4, 6, 6, 8])]
+    df = spark.createDataFrame(rows, "key string, tick long, v long")
+    out = {
+        r["frame"]: (r["paa"], r["symbol"])
+        for r in sax(df, ["key"], "tick", "v", n_frames=4, alphabet=4).collect()
+    }
+    assert [out[f][0] for f in range(4)] == [1.0, 3.0, 5.0, 7.0]
+    # z = (paa-4)/sd with sd_pop ~ 2.449: z = [-1.22, -0.41, 0.41, 1.22]
+    # vs breakpoints (-0.674, 0, 0.674) -> symbols a, b, c, d
+    assert [out[f][1] for f in range(4)] == ["a", "b", "c", "d"]
+
+
+def test_sax_constant_series_null_symbol_and_partition_invariance(spark):
+    from repurpose_spark.operators.downsample import sax
+
+    rows = [("c", i, 5) for i in range(12)]
+    rng = np.random.RandomState(3)
+    rows += [("r", i, int(rng.randint(0, 1000))) for i in range(37)]
+    ref = None
+    for parts in (1, 8):
+        df = spark.createDataFrame(
+            rows, "key string, tick long, v long"
+        ).repartition(parts)
+        got = sorted(
+            (r["key"], r["frame"], r["n_pts"], r["paa"], r["symbol"])
+            for r in sax(df, ["key"], "tick", "v", n_frames=8).collect()
+        )
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref  # byte-identical across layouts
+    consts = [g for g in ref if g[0] == "c"]
+    assert len(consts) == 8 and all(g[4] is None for g in consts)
+    # ragged split: 37 points over 8 frames -> sizes differ by <=1
+    sizes = [g[2] for g in ref if g[0] == "r"]
+    assert sum(sizes) == 37 and max(sizes) - min(sizes) <= 1
+
+
+def test_sax_zero_python_plan(spark):
+    # the sax plan must stay entirely JVM-side: no Arrow/Python eval
+    from repurpose_spark.operators.downsample import sax
+
+    df = spark.createDataFrame(
+        [("s", i, i) for i in range(16)], "key string, tick long, v long"
+    )
+    plan = sax(df, ["key"], "tick", "v")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

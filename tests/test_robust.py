@@ -333,3 +333,92 @@ def test_token_entropy_hand_values(spark):
     assert got[3]["entropy"] == 0.0  # fully repetitive → zero entropy
     # diversity orders the scores
     assert got[2]["entropy"] > got[1]["entropy"] > got[3]["entropy"]
+
+
+def test_theil_sen_hand_values(spark):
+    # y = 3x + 10 with one wild outlier at x=4: OLS slope moves far
+    # from 3, Theil-Sen stays exactly 3 (the outlier touches only 4 of
+    # the 15 pairwise slopes - below the breakdown point)
+    from repurpose_spark.operators.robust import theil_sen
+
+    pts = [(0, 10), (1, 13), (2, 16), (3, 19), (4, 1000)]
+    df = spark.createDataFrame(
+        [("s", t, v) for t, v in pts], "key string, t long, v long"
+    )
+    row = theil_sen(df, ["key"], "t", "v").collect()[0]
+    assert row["slope"] == 3.0
+    # residuals at slope 3: [10,10,10,10,988] -> lower median 10
+    assert row["icpt"] == 10.0
+    assert row["n_pts"] == 5 and row["n_pairs"] == 10
+
+
+def test_theil_sen_matches_numpy_replay_and_partition_invariance(spark):
+    from repurpose_spark.operators.robust import theil_sen
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for k in ("a", "b"):
+        for t in range(40):
+            rows.append((k, t, int(rng.randint(-500, 500) + 7 * t)))
+    ref = {}
+    for k in ("a", "b"):
+        t = np.array([r[1] for r in rows if r[0] == k], dtype=np.int64)
+        v = np.array([r[2] for r in rows if r[0] == k], dtype=np.int64)
+        i, j = np.triu_indices(len(t), 1)
+        s = np.sort((v[j] - v[i]).astype(float) / (t[j] - t[i]).astype(float))
+        slope = s[(s.size - 1) // 2]
+        resid = np.sort(v.astype(float) - slope * t.astype(float))
+        ref[k] = (slope, resid[(resid.size - 1) // 2])
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "key string, t long, v long").repartition(
+            parts
+        )
+        got = {
+            r["key"]: (r["slope"], r["icpt"])
+            for r in theil_sen(df, ["key"], "t", "v").collect()
+        }
+        assert got == ref, parts
+
+
+def test_theil_sen_degenerate_and_cap(spark):
+    from repurpose_spark.operators.robust import theil_sen
+
+    # single point: no pairs -> NULL slope/icpt, counted row survives
+    df = spark.createDataFrame([("s", 5, 42)], "key string, t long, v long")
+    row = theil_sen(df, ["key"], "t", "v").collect()[0]
+    assert row["slope"] is None and row["icpt"] is None
+    assert row["n_pts"] == 1 and row["n_pairs"] == 0
+    # duplicate-t pairs are excluded from the slope multiset
+    df2 = spark.createDataFrame(
+        [("s", 0, 0), ("s", 0, 100), ("s", 1, 3)],
+        "key string, t long, v long",
+    )
+    row2 = theil_sen(df2, ["key"], "t", "v").collect()[0]
+    assert row2["n_pairs"] == 2  # (0,0)-(1,3) and (0,100)-(1,3) only
+    # max_points guard raises rather than going quadratic on raw data
+    big = spark.createDataFrame(
+        [("s", i, i) for i in range(30)], "key string, t long, v long"
+    )
+    with pytest.raises(Exception, match="max_points"):
+        theil_sen(big, ["key"], "t", "v", max_points=10).collect()
+
+
+def test_duckdb_quantile_disc_is_lower_median():
+    # the ev_theil_sen certification rests on this engine fact: DuckDB's
+    # quantile_disc(x, 0.5) picks EXACTLY sorted(x)[(n-1)//2]
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        [1.0, 2.0, 3.0, 4.0],
+        [5.0, 1.0, 9.0],
+        [2.0, 2.0, 7.0, 7.0],
+        [1.0, 2.0],
+        [0.1 + 0.2, 0.3, -1.5, -1.5],  # near-tie doubles
+    ]
+    for vals in cases:
+        got = con.execute(
+            "SELECT quantile_disc(x, 0.5) FROM (SELECT unnest(?::DOUBLE[]) x)",
+            [vals],
+        ).fetchone()[0]
+        assert got == np.sort(vals)[(len(vals) - 1) // 2], vals
