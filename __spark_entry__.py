@@ -2420,6 +2420,36 @@ def q_ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(pts, ["event_type"], ts_col="t", value_col="v")
 
 
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/semdedup.py::semantic_dedup,
+    Abbas et al. 2023): hash-seeded medoid clusters (k=8, the
+    content-stable md5 rank of the sampling family), then within each
+    cluster every member with a higher-priority near-duplicate at
+    cosine ≥ 0.3 is dropped — priority (centroid_cos ASC, id ASC) keeps
+    the member LEAST like its centroid, the paper's best keep rule.
+    EXACT oracle: both engines fold the dot products sequentially
+    (F.aggregate / list_dot_product), the kept-set compares UNROUNDED
+    doubles, and DuckDB replays seed rank, lowest-sid-ties argmax, and
+    the drop join verbatim.  Plan: in-row assignment (literal seed
+    arrays, zero shuffle — test-enforced), one cluster_id self-join."""
+    from repurpose_spark.operators.semdedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(e, k=8, threshold=0.3)
+
+
+def q_emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster audit of the semantic-dedup assignment
+    (operators/semdedup.py::cluster_profile): size + min/max centroid
+    cosine per hash-seeded cluster.  Extremes, not means, so the values
+    stay EXACT (a distributed float sum is partition-order-dependent;
+    an order statistic of bitwise-reproducible doubles is not)."""
+    from repurpose_spark.operators.semdedup import cluster_profile
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cluster_profile(e, k=8)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2488,6 +2518,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ingest_accepted": q_doc_ingest_accepted,
         "ev_sax": q_ev_sax,
         "ev_theil_sen": q_ev_theil_sen,
+        "emb_semdedup": q_emb_semdedup,
+        "emb_cluster_profile": q_emb_cluster_profile,
     }
 
 
@@ -5322,5 +5354,67 @@ ic AS (
 SELECT k.event_type, m.slope, ic.icpt, k.n_pts,
        COALESCE(m.n_pairs, 0) AS n_pairs
 FROM keys k LEFT JOIN m USING (event_type) LEFT JOIN ic USING (event_type)
+""",
+        # emb_semdedup / emb_cluster_profile: seed rank, lowest-sid-ties
+        # argmax, and the keep-low drop join replayed verbatim; the
+        # sequential list_dot_product fold matches Spark's F.aggregate
+        # bitwise, so thresholds/argmax on UNROUNDED doubles agree
+        "emb_semdedup": """
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sd AS (SELECT vec_id, e,
+              md5(CAST(vec_id AS VARCHAR) || chr(31) || 'r5') AS rk FROM s),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY rk, vec_id) - 1 AS sid, e AS c
+  FROM sd ORDER BY rk, vec_id LIMIT 8
+),
+asg AS (
+  SELECT vec_id, e, sid, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, sid) AS rn
+  FROM (
+    SELECT s.vec_id, s.e, seeds.sid,
+           list_dot_product(s.e, seeds.c) /
+           (sqrt(list_dot_product(s.e, s.e)) *
+            sqrt(list_dot_product(seeds.c, seeds.c))) AS cos
+    FROM s CROSS JOIN seeds)
+),
+a1 AS (SELECT vec_id, e, sid AS cluster_id, cos AS ccos
+       FROM asg WHERE rn = 1),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM a1 a JOIN a1 b ON a.cluster_id = b.cluster_id
+   AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+   AND list_dot_product(a.e, b.e) /
+       (sqrt(list_dot_product(a.e, a.e)) *
+        sqrt(list_dot_product(b.e, b.e))) >= 0.3
+)
+SELECT a1.vec_id, CAST(cluster_id AS INT) AS cluster_id,
+       round(ccos, 4) AS centroid_cos,
+       d.vec_id IS NULL AS kept
+FROM a1 LEFT JOIN drops d ON a1.vec_id = d.vec_id
+""",
+        "emb_cluster_profile": """
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sd AS (SELECT vec_id, e,
+              md5(CAST(vec_id AS VARCHAR) || chr(31) || 'r5') AS rk FROM s),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY rk, vec_id) - 1 AS sid, e AS c
+  FROM sd ORDER BY rk, vec_id LIMIT 8
+),
+asg AS (
+  SELECT vec_id, sid, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, sid) AS rn
+  FROM (
+    SELECT s.vec_id, seeds.sid,
+           list_dot_product(s.e, seeds.c) /
+           (sqrt(list_dot_product(s.e, s.e)) *
+            sqrt(list_dot_product(seeds.c, seeds.c))) AS cos
+    FROM s CROSS JOIN seeds)
+)
+SELECT CAST(sid AS INT) AS cluster_id, COUNT(*) AS n,
+       round(MIN(cos), 4) AS min_centroid_cos,
+       round(MAX(cos), 4) AS max_centroid_cos
+FROM asg WHERE rn = 1 GROUP BY sid
 """,
     }
