@@ -2450,6 +2450,41 @@ def q_emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_profile(e, k=8)
 
 
+def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate overlap matrix (operators/dedup.py::
+    source_overlap): the doc_minhash_pairs verified near-dups rolled up
+    per unordered source pair — the table curation teams read before
+    setting mixture weights (RefinedWeb/Dolma report exactly this).
+    Pair side broadcasts (AQE; dup pairs ≪ corpus), similarity mass
+    summed as exact int64 1e-4 ticks so the aggregate is shuffle-order-
+    free.  EXACT oracle: the minhash-pair SQL plus two source joins and
+    the same integer-tick rollup."""
+    from repurpose_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        source_overlap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(
+        d, k=4, bands=2, shingle_n=8, threshold=0.3, step=2, use_md5=True
+    )
+    return source_overlap(pairs, d)
+
+
+def q_ev_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness monitor (operators/drift.py::fano_factor):
+    index of dispersion of daily event counts per event_type over the
+    CLOSED bucket range (silent days count 0) — PSI's companion alarm:
+    PSI watches WHAT arrives drifting, this watches HOW it arrives
+    (≈1 Poisson, ≫1 bursty).  EXACT: counts/moments are int64, fano
+    folds to (n·s2−s1²)/((n−1)·s1) — exact integer numerator and
+    denominator, ONE IEEE division."""
+    from repurpose_spark.operators.drift import fano_factor
+
+    ev = _t(spark, sf_dir, "events")
+    return fano_factor(ev, ["event_type"], ts_col="ts", width_s=86400)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2520,6 +2555,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_theil_sen": q_ev_theil_sen,
         "emb_semdedup": q_emb_semdedup,
         "emb_cluster_profile": q_emb_cluster_profile,
+        "doc_source_overlap": q_doc_source_overlap,
+        "ev_burstiness": q_ev_burstiness,
     }
 
 
@@ -5416,5 +5453,76 @@ SELECT CAST(sid AS INT) AS cluster_id, COUNT(*) AS n,
        round(MIN(cos), 4) AS min_centroid_cos,
        round(MAX(cos), 4) AS max_centroid_cos
 FROM asg WHERE rn = 1 GROUP BY sid
+""",
+        # doc_source_overlap: the doc_minhash_pairs pipeline + two source
+        # joins + the exact int64-tick rollup per unordered source pair
+        "doc_source_overlap": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([text[i:i+7]
+                        for i in generate_series(1, greatest(length(text)-7, 1), 2)])
+           AS s
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(s, x -> md5('0' || x))) AS sig0,
+         list_min(list_transform(s, x -> md5('1' || x))) AS sig1,
+         list_min(list_transform(s, x -> md5('2' || x))) AS sig2,
+         list_min(list_transform(s, x -> md5('3' || x))) AS sig3
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+        OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(x.s, y.s))::DOUBLE /
+         greatest(len(list_distinct(list_concat(x.s, y.s))), 1) AS j
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+),
+p AS (SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM v WHERE j >= 0.3),
+m AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         p.jaccard
+  FROM p JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id
+)
+SELECT source_a, source_b, COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(round(jaccard * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_sim_e4,
+       MIN(jaccard) AS min_sim, MAX(jaccard) AS max_sim
+FROM m GROUP BY 1, 2
+""",
+        # ev_burstiness: integer-second floor (epoch_us // 1e6 ≡ Spark's
+        # unix_timestamp truncation), closed bucket range, exact integer
+        # moments, ONE IEEE division
+        "ev_burstiness": """
+WITH per AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000) // 86400 AS b,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+a AS (
+  SELECT event_type,
+         MAX(b) - MIN(b) + 1 AS n_buckets,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per GROUP BY 1
+)
+SELECT event_type, n_buckets, n_events,
+       CASE WHEN n_buckets > 1 THEN
+         round(CAST(n_buckets * s2 - n_events * n_events AS DOUBLE) /
+               CAST((n_buckets - 1) * n_events AS DOUBLE), 6)
+       END AS fano
+FROM a
 """,
     }

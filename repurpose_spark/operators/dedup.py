@@ -614,3 +614,57 @@ def duplicate_spans(
         )
         .drop("span_id")
     )
+
+
+def source_overlap(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Cross-source duplicate overlap matrix: which corpora duplicate
+    which.  Curation teams read this before setting mixture weights —
+    a source pair with heavy near-dup overlap (a CommonCrawl snapshot
+    vs its re-crawl, a books corpus vs a pirate mirror) double-counts
+    tokens unless one side is down-weighted or deduped first; the
+    published pipelines (RefinedWeb, Dolma) all report exactly this
+    table.
+
+    ``pairs`` is any verified near-dup pair frame ((doc_a, doc_b,
+    <sim_col>) — minhash/simhash/semdedup tiers all qualify); ``docs``
+    maps id → source.  Each pair fetches its endpoints' sources (two
+    equi-joins: the PAIR side is the small one at any realistic dup
+    rate, so AQE broadcasts it and the corpus never shuffles), then one
+    partial+final aggregate per unordered source pair.
+
+    Determinism: n_pairs is an exact count; the similarity mass is
+    aggregated as ``sum_sim_e4`` — the 4dp-rounded similarities scaled
+    to exact int64 ticks, so the sum is shuffle-order-free (a float sum
+    would not be) and the mean is recoverable as sum_sim_e4 / 1e4 /
+    n_pairs; min/max ride as order statistics.  Output: (source_a,
+    source_b [lexicographic], n_pairs, sum_sim_e4, min_sim, max_sim).
+    """
+    src = docs.select(
+        F.col(id_col).alias("_sid"), F.col(source_col).alias("_src")
+    )
+    p = (
+        pairs.join(src, pairs["doc_a"] == F.col("_sid"))
+        .select(
+            "doc_a", "doc_b", sim_col, F.col("_src").alias("_src_a")
+        )
+        .join(src, F.col("doc_b") == F.col("_sid"))
+        .select(
+            F.least("_src_a", "_src").alias("source_a"),
+            F.greatest("_src_a", "_src").alias("source_b"),
+            F.col(sim_col).alias("_sim"),
+        )
+    )
+    return p.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.round(F.col("_sim") * 10000).cast("long")).alias(
+            "sum_sim_e4"
+        ),
+        F.min("_sim").alias("min_sim"),
+        F.max("_sim").alias("max_sim"),
+    )

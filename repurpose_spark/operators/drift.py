@@ -124,3 +124,55 @@ def psi_drift(
     return paired.select(
         *key_cols, "slice", "n_cur", "n_ref", psi.alias("psi")
     )
+
+
+def fano_factor(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    width_s: int = 86400,
+) -> DataFrame:
+    """Burstiness monitor: the Fano factor (index of dispersion,
+    var/mean) of per-bucket event counts for each key — ≈1 for a
+    Poisson arrival stream, ≫1 for bursty keys (thundering herds, bot
+    floods, replay storms), ≪1 for metronomic ones.  Alongside PSI this
+    is the other standing ingestion alarm: PSI watches WHAT arrives
+    drifting, the Fano factor watches HOW it arrives.
+
+    The bucket axis is the CLOSED range [min_bucket, max_bucket] per
+    key — silent buckets count as 0 events (dropping them would
+    understate variance exactly where burstiness matters most) — so no
+    gap-fill pass is needed: n comes from the range, the sums from the
+    observed rows.
+
+    Scale shape: two partial+final count aggregates (points → per-bucket
+    counts → per-key moments), nothing else; the first exchange is
+    bounded by keys × buckets map-side.  Determinism (the z-score/TWA
+    contract): counts and moment sums are exact int64, sample variance
+    over mean folds to (n·s2 − s1²)/((n−1)·s1) — exact integer
+    numerator and denominator, ONE IEEE division → byte-stable.  n = 1
+    keys yield NULL (a variance needs two buckets).  Int64 bounds: the
+    numerator stays exact below n·s2 < 2⁶³ — at 86400 s buckets that is
+    ~10⁹ buckets × (10⁷ events/bucket)², far past any per-key tier.
+    """
+    key_cols = list(key_cols)
+    sec = F.unix_timestamp(F.col(ts_col))
+    bucket = F.floor(sec / F.lit(int(width_s))).cast("long")
+    per = df.groupBy(
+        *key_cols, bucket.alias("_bucket")
+    ).agg(F.count("*").alias("_c"))
+    agg = per.groupBy(*key_cols).agg(
+        (F.max("_bucket") - F.min("_bucket") + 1).alias("n_buckets"),
+        F.sum("_c").alias("n_events"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    n, s1, s2 = F.col("n_buckets"), F.col("n_events"), F.col("_s2")
+    fano = (n * s2 - s1 * s1).cast("double") / (
+        ((n - F.lit(1)) * s1).cast("double")
+    )
+    return agg.select(
+        *key_cols,
+        "n_buckets",
+        "n_events",
+        F.when(n > 1, F.round(fano, 6)).alias("fano"),
+    )

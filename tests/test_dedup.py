@@ -239,3 +239,61 @@ def test_dedup_index_writer_discipline(spark, docs, tmp_path):
     ):
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, d
+
+
+# ---------------------------------------------------------------------------
+# source_overlap
+# ---------------------------------------------------------------------------
+
+def test_source_overlap_hand_values(spark):
+    from repurpose_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "cc"), (2, "cc"), (3, "books"), (4, "wiki"), (5, "books")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (1, 3, 0.5), (3, 1, 0.7), (2, 4, 0.31), (3, 5, 1.0)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(pairs, docs).collect()
+    }
+    # unordered source pair: (1,3) cc-books and (3,1) books-cc merge
+    bc = got[("books", "cc")]
+    assert bc["n_pairs"] == 2
+    assert bc["sum_sim_e4"] == 5000 + 7000
+    assert (bc["min_sim"], bc["max_sim"]) == (0.5, 0.7)
+    assert got[("cc", "cc")]["n_pairs"] == 1
+    assert got[("cc", "wiki")]["sum_sim_e4"] == 3100
+    assert got[("books", "books")]["max_sim"] == 1.0
+    assert len(got) == 4
+
+
+def test_source_overlap_mean_recoverable_and_invariant(spark):
+    from repurpose_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(60)], "doc_id long, source string"
+    )
+    import random
+
+    rnd = random.Random(3)
+    pairs = spark.createDataFrame(
+        [
+            (a, b, round(rnd.uniform(0.3, 1.0), 4))
+            for a in range(0, 60, 3)
+            for b in range(a + 1, 60, 7)
+        ],
+        "doc_a long, doc_b long, jaccard double",
+    )
+
+    def run(p):
+        return sorted(map(tuple, source_overlap(p, docs).collect()))
+
+    one, many = run(pairs.repartition(1)), run(pairs.repartition(11))
+    assert one == many  # int64-tick sum: shuffle-order-free
+    for r in one:
+        n, ticks = r[2], r[3]
+        assert 0.3 <= ticks / 1e4 / n <= 1.0  # mean recoverable

@@ -108,3 +108,64 @@ def test_psi_partition_invariance(spark):
         )
 
     assert run(df.repartition(1)) == run(df.repartition(17, "ts"))
+
+
+# ---------------------------------------------------------------------------
+# fano_factor
+# ---------------------------------------------------------------------------
+
+from repurpose_spark.operators.drift import fano_factor  # noqa: E402
+
+
+def _fano_rows(out):
+    return {r["event_type"]: r for r in out.collect()}
+
+
+def test_fano_hand_values(spark):
+    # uniform: 3 events on each of days 1..4 → var 0 → fano 0
+    # bursty: 12 events on day 1, 0 on days 2-3, 0+1 on day 4
+    rows = [("uni", _day(d, i)) for d in (1, 2, 3, 4) for i in range(3)]
+    rows += [("burst", _day(1, i)) for i in range(12)]
+    rows += [("burst", _day(4, 0))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = _fano_rows(fano_factor(df, ["event_type"], width_s=86400))
+    u = got["uni"]
+    assert (u["n_buckets"], u["n_events"], u["fano"]) == (4, 12, 0.0)
+    b = got["burst"]
+    # counts over the CLOSED range: [12, 0, 0, 1] — silent days count
+    assert b["n_buckets"] == 4 and b["n_events"] == 13
+    n, s1, s2 = 4, 13, 12 * 12 + 1
+    want = round((n * s2 - s1 * s1) / ((n - 1) * s1), 6)
+    assert b["fano"] == pytest.approx(want, abs=0)
+
+
+def test_fano_single_bucket_null(spark):
+    rows = [("k", _day(1, i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = _fano_rows(fano_factor(df, ["event_type"], width_s=86400))["k"]
+    assert out["n_buckets"] == 1 and out["fano"] is None
+
+
+def test_fano_poisson_near_one(spark):
+    rng = np.random.RandomState(5)
+    rows = []
+    for d in range(1, 29):
+        for _ in range(int(rng.poisson(40))):
+            rows.append(("p", _day(d, int(rng.randint(0, 24 * 60)))))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = _fano_rows(fano_factor(df, ["event_type"], width_s=86400))["p"]
+    assert 0.4 < out["fano"] < 2.5  # dispersion ≈ 1 for Poisson counts
+
+
+def test_fano_partition_invariance(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        ("k%d" % (i % 3), _day(1 + int(rng.randint(0, 9)), i))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    def run(d):
+        return sorted(map(tuple, fano_factor(d, ["event_type"]).collect()))
+
+    assert run(df.repartition(1)) == run(df.repartition(13, "ts"))
