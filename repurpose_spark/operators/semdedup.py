@@ -112,6 +112,55 @@ def assign_to_seeds(
     )
 
 
+def refine_seeds(
+    emb: DataFrame,
+    seeds: list,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Distributed Lloyd refinement of the medoid seeds — the opt-in
+    quality path (the certified default is 0 rounds: Lloyd's cluster
+    means are distributed float sums, so the refined centroids are
+    partition-order-sensitive in the last bits and deliberately NOT in
+    the exact-oracle contract; determinism-critical pipelines skip it).
+
+    Each round is ONE aggregate: in-row nearest-seed assignment (no
+    shuffle) → groupBy(cluster) of dim per-element means (map-side
+    partials; k×dim cells to the driver — constants, never data).
+    Empty clusters keep their previous centroid.  Returns the same
+    ``[(sid, id, vector)]`` shape (id = None for moved centroids) for
+    :func:`assign_to_seeds` / :func:`semantic_dedup`.
+    """
+    if iters <= 0:
+        return seeds
+    dim = len(seeds[0][2])
+    cur = seeds
+    for _ in range(iters):
+        asg = assign_to_seeds(
+            emb.select(id_col, vec_col), cur, id_col, vec_col
+        )
+        rows = (
+            asg.groupBy("cluster_id")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[j]).alias(f"m{j}")
+                    for j in range(dim)
+                ]
+            )
+            .collect()
+        )
+        moved = {
+            r["cluster_id"]: [float(r[f"m{j}"]) for j in range(dim)]
+            for r in rows
+        }
+        cur = [
+            (sid, None if sid in moved else _id, moved.get(sid, vec))
+            for sid, _id, vec in cur
+        ]
+    return cur
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,
@@ -120,6 +169,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: str = "r5",
     round_to: int = 4,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup over ``emb``: hash-seeded medoid clustering, then within
     each cluster drop every member that has a HIGHER-PRIORITY neighbour
@@ -135,8 +185,16 @@ def semantic_dedup(
     Returns one row per input: ``(id, cluster_id, centroid_cos
     [rounded], kept)``.  Downstream keeps ``kept`` rows; the full frame
     is the audit/lineage surface (how much each cluster shed).
+
+    ``lloyd_iters > 0`` refines the medoid seeds with that many
+    distributed Lloyd rounds first (:func:`refine_seeds`) — better
+    clusters, but the kept-set inherits the float-sum partition
+    sensitivity of the cluster means and leaves the exact-oracle
+    contract; the certified default is 0.
     """
     seeds = seed_medoids(emb, k, id_col, vec_col, seed)
+    if lloyd_iters:
+        seeds = refine_seeds(emb, seeds, lloyd_iters, id_col, vec_col)
     # the assignment frame feeds three plan legs (both self-join sides
     # and the output); persist it and bound its lifetime through the
     # similarity module's generation cache (ADVICE r4 low: a module

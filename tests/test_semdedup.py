@@ -160,3 +160,44 @@ def test_validation(spark):
     df, _ = _mk_emb(spark, n=20)
     with pytest.raises(ValueError):
         seed_medoids(df, 0)
+
+
+def test_refine_seeds_matches_numpy_lloyd(spark):
+    from repurpose_spark.operators.semdedup import refine_seeds
+
+    df, vecs = _mk_emb(spark, n=90, dim=6)
+    seeds0 = seed_medoids(df, 4)
+    got = refine_seeds(df, seeds0, iters=2)
+    # numpy replay: same init, argmax-cosine assignment (lowest-sid
+    # ties), per-cluster element means, 2 rounds
+    cents = np.array([v for _, _, v in seeds0])
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    for _ in range(2):
+        cn = np.sqrt((cents * cents).sum(axis=1))
+        cos = (vecs @ cents.T) / (norms[:, None] * cn[None, :])
+        cl = cos.argmax(axis=1)
+        for c in range(len(cents)):
+            if (cl == c).any():
+                cents[c] = vecs[cl == c].mean(axis=0)
+    for sid, _id, vec in got:
+        assert np.allclose(vec, cents[sid], atol=1e-9), sid
+
+
+def test_refine_seeds_keeps_empty_cluster_centroid(spark):
+    from repurpose_spark.operators.semdedup import refine_seeds
+
+    # two tight groups, 3 seeds: at least one seed goes empty after the
+    # first assignment and must keep its previous centroid
+    rows = [(i, [10.0, 0.0, 0.1 * (i % 3)]) for i in range(6)]
+    rows += [(i, [0.0, 10.0, 0.1 * (i % 3)]) for i in range(6, 12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds0 = seed_medoids(df, 3)
+    got = refine_seeds(df, seeds0, iters=1)
+    assert len(got) == 3 and all(len(v) == 3 for _, _, v in got)
+
+
+def test_semantic_dedup_lloyd_path_runs(spark):
+    df, _ = _mk_emb(spark, n=60, dim=6)
+    out = semantic_dedup(df, k=3, threshold=0.9, lloyd_iters=1).collect()
+    assert len(out) == 60
+    assert {r["cluster_id"] for r in out} <= {0, 1, 2}
