@@ -2485,6 +2485,45 @@ def q_ev_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fano_factor(ev, ["event_type"], ts_col="ts", width_s=86400)
 
 
+def q_ev_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail-energy spectrum (operators/downsample.py::
+    haar_energy): per event_type, the unnormalized Haar pyramid's detail
+    energy at 3 dyadic scales — Fano's companion: Fano says a key is
+    bursty, this says at WHICH timescale.  EXACT: details quantize to
+    int64 1e-4 ticks BEFORE squaring (detail_e8 is an integer sum,
+    shuffle-order-free); the approx chain is one IEEE add + halving per
+    level, identical in both engines."""
+    from repurpose_spark.operators.downsample import haar_energy
+
+    ev = _t(spark, sf_dir, "events")
+    return haar_energy(
+        ev,
+        keys=("event_type",),
+        ts_col="ts",
+        value_col="value",
+        order_cols=("event_id",),
+        levels=3,
+    )
+
+
+def q_doc_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-similarity verification tier (operators/dedup.py::
+    edit_distance_pairs): Levenshtein over the banded-MinHash candidate
+    pairs, kept when edit_sim = 1 − dist/max_len ≥ 0.8 — the "same page,
+    small diff" check shingle Jaccard under-reports on long insertions
+    (reference analog: exact distance predicate after the cheap spatial
+    bucket join, src/repurpose/resample.py:230-244).  md5 family so the
+    oracle reproduces candidates; both engines run classic Levenshtein,
+    so verification is EXACT (the thresholded banded-DP kernel is the
+    scale path, pytest-pinned output-identical)."""
+    from repurpose_spark.operators.dedup import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(
+        d, min_sim=0.8, k=4, bands=2, shingle_n=8, step=2, use_md5=True
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2557,6 +2596,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cluster_profile": q_emb_cluster_profile,
         "doc_source_overlap": q_doc_source_overlap,
         "ev_burstiness": q_ev_burstiness,
+        "doc_edit_dup_pairs": q_doc_edit_dup_pairs,
+        "ev_haar_energy": q_ev_haar_energy,
     }
 
 
@@ -5524,5 +5565,96 @@ SELECT event_type, n_buckets, n_events,
                CAST((n_buckets - 1) * n_events AS DOUBLE), 6)
        END AS fano
 FROM a
+""",
+        # doc_edit_dup_pairs: minhash band candidates (the
+        # doc_minhash_pairs CTEs) verified with classic levenshtein —
+        # both engines' kernels agree exactly; the relative cut
+        # dist ≤ (1−0.8)·max_len is one IEEE multiply + integer compare
+        "doc_edit_dup_pairs": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([text[i:i+7]
+                        for i in generate_series(1, greatest(length(text)-7, 1), 2)])
+           AS s
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(s, x -> md5('0' || x))) AS sig0,
+         list_min(list_transform(s, x -> md5('1' || x))) AS sig1,
+         list_min(list_transform(s, x -> md5('2' || x))) AS sig2,
+         list_min(list_transform(s, x -> md5('3' || x))) AS sig3
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+        OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         levenshtein(x.text, y.text) AS edit_dist,
+         greatest(length(x.text), length(y.text)) AS mx
+  FROM cand c
+  JOIN documents x ON x.doc_id = c.doc_a
+  JOIN documents y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, edit_dist,
+       round(1.0 - edit_dist / greatest(mx, 1), 4) AS edit_sim
+FROM v
+WHERE edit_dist <= (1.0 - 0.8) * mx
+""",
+        # ev_haar_energy: the unnormalized Haar pyramid as 3 chained
+        # pair-mean CTEs; i//2 ≡ Spark's shiftright(i,1) on the
+        # 0-based row_number; details quantized to int64 ticks before
+        # squaring so detail_e8 is an exact integer sum
+        "ev_haar_energy": """
+WITH base AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) - 1 AS i,
+         value AS v
+  FROM events
+),
+l1 AS (
+  SELECT event_type, i // 2 AS i,
+         (max(CASE WHEN i % 2 = 0 THEN v END)
+          + max(CASE WHEN i % 2 = 1 THEN v END)) / 2 AS v,
+         (max(CASE WHEN i % 2 = 0 THEN v END)
+          - max(CASE WHEN i % 2 = 1 THEN v END)) / 2 AS d
+  FROM base GROUP BY event_type, i // 2 HAVING count(*) = 2
+),
+l2 AS (
+  SELECT event_type, i // 2 AS i,
+         (max(CASE WHEN i % 2 = 0 THEN v END)
+          + max(CASE WHEN i % 2 = 1 THEN v END)) / 2 AS v,
+         (max(CASE WHEN i % 2 = 0 THEN v END)
+          - max(CASE WHEN i % 2 = 1 THEN v END)) / 2 AS d
+  FROM l1 GROUP BY event_type, i // 2 HAVING count(*) = 2
+),
+l3 AS (
+  SELECT event_type, i // 2 AS i,
+         (max(CASE WHEN i % 2 = 0 THEN v END)
+          + max(CASE WHEN i % 2 = 1 THEN v END)) / 2 AS v,
+         (max(CASE WHEN i % 2 = 0 THEN v END)
+          - max(CASE WHEN i % 2 = 1 THEN v END)) / 2 AS d
+  FROM l2 GROUP BY event_type, i // 2 HAVING count(*) = 2
+)
+SELECT event_type, CAST(1 AS INT) AS level, count(*) AS n_coef,
+       SUM(CAST(round(d * 10000) AS BIGINT)
+           * CAST(round(d * 10000) AS BIGINT)) AS detail_e8
+FROM l1 GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(2 AS INT), count(*),
+       SUM(CAST(round(d * 10000) AS BIGINT)
+           * CAST(round(d * 10000) AS BIGINT))
+FROM l2 GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(3 AS INT), count(*),
+       SUM(CAST(round(d * 10000) AS BIGINT)
+           * CAST(round(d * 10000) AS BIGINT))
+FROM l3 GROUP BY event_type
 """,
     }

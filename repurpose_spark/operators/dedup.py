@@ -668,3 +668,114 @@ def source_overlap(
         F.min("_sim").alias("min_sim"),
         F.max("_sim").alias("max_sim"),
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.8,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 8,
+    step: int = 2,
+    use_md5: bool = False,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Character-level verification tier: Levenshtein distance over LSH
+    candidates (the sixth dedup tier — edit similarity is the classic
+    "same page, small diff" check that shingle Jaccard under-reports
+    when the diff is a single long insertion; reference analog: repurpose
+    verifies collocated points with an exact distance predicate after the
+    cheap spatial bucket join, src/repurpose/resample.py:230-244).
+
+    Candidates come from the shared banded-MinHash front end (identical
+    keys to :func:`dedup_minhash_lsh`), so the pair space is bounded by
+    bucket collisions — the O(n·m) DP kernel never sees an all-pairs
+    shuffle.  Two exact prunes run before the DP, both pure JVM:
+
+    * length gap — ``lev(a, b) >= |len(a) - len(b)|`` always, so a pair
+      whose length gap already exceeds the similarity budget is dropped
+      by an integer comparison, no DP;
+    * banded DP (scale path) — ``max_dist`` caps the kernel via Spark's
+      thresholded ``levenshtein(l, r, threshold)`` (early-exit banded
+      DP, returns -1 past the cap).  Leave it ``None`` for the
+      oracle-exact full kernel; pytest pins that any cap ≥ the
+      similarity budget is output-identical.
+
+    Similarity is relative: ``edit_sim = 1 - dist / greatest(len_a,
+    len_b)``; pairs with ``edit_sim >= min_sim`` survive.  Returns
+    (doc_a, doc_b, edit_dist, edit_sim) with edit_sim rounded to 4dp.
+
+    Shuffle discipline matches the LSH tier: the band self-join carries
+    only (id, band, bucket); text joins back by id for the surviving
+    candidates only, so shuffle bytes stay O(candidates · avg_len).
+    """
+    _, banded = _minhash_base_bands(
+        docs, id_col, text_col, k, bands, shingle_n, step, use_md5
+    )
+    cand_ids = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    texts = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    cands = (
+        cand_ids.join(
+            texts.select(
+                F.col("id").alias("doc_a"), F.col("txt").alias("t_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            texts.select(
+                F.col("id").alias("doc_b"), F.col("txt").alias("t_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "mx", F.greatest(F.length("t_a"), F.length("t_b"))
+        )
+        # exact prune: dist >= |len gap|, so sim < min_sim is decided
+        # before the DP whenever the gap alone blows the budget
+        .where(
+            F.abs(F.length("t_a") - F.length("t_b"))
+            <= (F.lit(1.0) - F.lit(min_sim)) * F.col("mx")
+        )
+    )
+    if max_dist is None:
+        dist = F.levenshtein("t_a", "t_b")
+    else:
+        dist = F.levenshtein("t_a", "t_b", max_dist)
+    out = (
+        cands.withColumn("edit_dist", dist.cast("long"))
+        .where(
+            (F.col("edit_dist") >= 0)
+            & (
+                F.col("edit_dist")
+                <= (F.lit(1.0) - F.lit(min_sim)) * F.col("mx")
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            F.round(
+                F.lit(1.0)
+                - F.col("edit_dist") / F.greatest(F.col("mx"), F.lit(1)),
+                4,
+            ).alias("edit_sim"),
+        )
+    )
+    return out

@@ -667,3 +667,85 @@ def sax(
         sym.alias("symbol"),
     )
     return out
+
+
+def haar_energy(
+    df: DataFrame,
+    keys: list | tuple = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: list | tuple = (),
+    levels: int = 3,
+) -> DataFrame:
+    """Haar wavelet detail-energy spectrum per series — multi-resolution
+    burst localization.  Fano (operators/drift.py) says a key is bursty;
+    this says at WHICH timescale: level L's detail coefficients are the
+    half-differences of level L−1's pairwise means, so energy piling up
+    at small L means point-to-point jitter, at large L means slow swings
+    (reference analog: repurpose's per-cell time-sorted series handed to
+    order-aware resample reductions, src/repurpose/img2ts.py:652-668).
+
+    Construction (classic unnormalized Haar pyramid): order the series
+    by (ts, *order_cols), index i from 0; at each level pair (2j, 2j+1)
+    → approx s = (a+b)/2 carried up, detail d = (a−b)/2 scored; an
+    unpaired tail element is dropped (documented lossy edge, standard
+    for dyadic transforms on non-power-of-2 lengths).
+
+    Determinism: details are quantized to exact int64 1e-4 ticks BEFORE
+    squaring, so ``detail_e8`` (units of 1e-8) is an integer sum —
+    shuffle-order-free, same trick as source_overlap's sum_sim_e4; the
+    approx chain (a+b)/2 is one IEEE add + halving per level, identical
+    in any engine.  Returns one row per (keys…, level): (keys…, level,
+    n_coef, detail_e8).
+
+    Scale notes: level L groups by (keys, i//2) on n/2^L rows — the
+    exchange volume HALVES per level (geometric, < 2n total rows
+    shuffled regardless of ``levels``); every step is a partial+final
+    HashAggregate, no window beyond the one initial row_number sort.
+    """
+    keys = list(keys)
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cur = df.select(
+        *keys,
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    even = F.max(F.when(F.col("i") % 2 == 0, F.col("v")))
+    odd = F.max(F.when(F.col("i") % 2 == 1, F.col("v")))
+    outs = []
+    for lvl in range(1, levels + 1):
+        paired = (
+            cur.groupBy(*keys, F.shiftright("i", 1).alias("p"))
+            .agg(
+                even.alias("a"),
+                odd.alias("b"),
+                F.count("*").alias("n"),
+            )
+            .where(F.col("n") == 2)
+            .select(
+                *keys,
+                F.col("p").alias("i"),
+                ((F.col("a") + F.col("b")) / 2).alias("v"),
+                ((F.col("a") - F.col("b")) / 2).alias("d"),
+            )
+        )
+        ticks = F.round(F.col("d") * 10000).cast("long")
+        outs.append(
+            paired.groupBy(*keys)
+            .agg(
+                F.count("*").alias("n_coef"),
+                F.sum(ticks * ticks).alias("detail_e8"),
+            )
+            .select(
+                *keys,
+                F.lit(lvl).cast("int").alias("level"),
+                "n_coef",
+                "detail_e8",
+            )
+        )
+        cur = paired.select(*keys, "i", "v")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

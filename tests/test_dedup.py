@@ -297,3 +297,63 @@ def test_source_overlap_mean_recoverable_and_invariant(spark):
     for r in one:
         n, ticks = r[2], r[3]
         assert 0.3 <= ticks / 1e4 / n <= 1.0  # mean recoverable
+
+
+def test_edit_distance_pairs_exact_and_relative_cut(spark, docs):
+    from repurpose_spark.operators.dedup import edit_distance_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["edit_dist"], r["edit_sim"])
+        for r in edit_distance_pairs(
+            docs, min_sim=0.8, k=8, bands=8, step=1
+        ).collect()
+    }
+    # exact dup: zero edits, similarity 1
+    assert got[(0, 1)] == (0, 1.0)
+    # near dup: "green"→"dark" is a 5↔4-char substitution block
+    d02, s02 = got[(0, 2)]
+    assert d02 == 5 and 0.8 <= s02 < 1.0
+    # unrelated docs never survive the relative cut
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_edit_distance_thresholded_kernel_is_output_identical(spark, docs):
+    """The banded-DP scale path (max_dist cap ≥ the similarity budget)
+    must be byte-identical to the oracle-exact full kernel."""
+    from repurpose_spark.operators.dedup import edit_distance_pairs
+
+    full = sorted(
+        map(
+            tuple,
+            edit_distance_pairs(
+                docs, min_sim=0.8, k=8, bands=8, step=1
+            ).collect(),
+        )
+    )
+    capped = sorted(
+        map(
+            tuple,
+            edit_distance_pairs(
+                docs, min_sim=0.8, k=8, bands=8, step=1, max_dist=64
+            ).collect(),
+        )
+    )
+    assert full == capped and len(full) >= 2
+
+
+def test_edit_distance_length_gap_prune_is_exact(spark):
+    """A pair whose length gap alone blows the similarity budget is
+    pruned before the DP — and that prune is semantics-free: lev(a,b)
+    >= |len(a)-len(b)| always, so no surviving pair is lost."""
+    from repurpose_spark.operators.dedup import edit_distance_pairs
+
+    long_tail = "x" * 200
+    rows = [
+        (0, "shared prefix of twenty words " * 4),
+        (1, "shared prefix of twenty words " * 4 + long_tail),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = edit_distance_pairs(df, min_sim=0.8, k=8, bands=8, step=1)
+    # gap = 200 > 0.2 * max_len (320) → pruned; and indeed true
+    # edit_sim = 1 - 200/320 = 0.375 < 0.8, so the prune lost nothing
+    assert out.count() == 0

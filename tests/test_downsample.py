@@ -464,3 +464,59 @@ def test_sax_zero_python_plan(spark):
     )
     plan = sax(df, ["key"], "tick", "v")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_haar_energy_hand_values(spark):
+    from repurpose_spark.operators.downsample import haar_energy
+
+    # series a: 8 points → 4+2+1 coefficients across 3 levels
+    vals = [4.0, 2.0, 6.0, 8.0, 1.0, 1.0, 5.0, 3.0]
+    rows = [("a", _ts(m), m, v) for m, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        (r["key"], r["level"]): (r["n_coef"], r["detail_e8"])
+        for r in haar_energy(
+            df, keys=("key",), order_cols=("event_id",), levels=3
+        ).collect()
+    }
+    # l1 details: (4-2)/2=1, (6-8)/2=-1, 0, 1 → ticks 1e4 → e8: 3e8
+    assert out[("a", 1)] == (4, 3 * 10**8)
+    # l1 approx: 3, 7, 1, 4 → l2 details: (3-7)/2=-2, (1-4)/2=-1.5
+    assert out[("a", 2)] == (2, (2 * 10**4) ** 2 + (15 * 10**3) ** 2)
+    # l2 approx: 5, 2.5 → l3 detail: 1.25
+    assert out[("a", 3)] == (1, (125 * 10**2) ** 2)
+
+
+def test_haar_energy_tail_drop_and_partition_invariance(spark):
+    from repurpose_spark.operators.downsample import haar_energy
+
+    # 7 points: l1 pairs 3 (7th dropped), l2 pairs 1 (3rd l1 approx
+    # dropped), l3 has 0 complete pairs → no level-3 row for the key
+    vals = [float(x) for x in (9, 1, 4, 4, 2, 8, 99)]
+    rows = [("k", _ts(m), m, v) for m, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, event_id long, value double"
+    )
+    got = sorted(
+        map(
+            tuple,
+            haar_energy(
+                df, keys=("key",), order_cols=("event_id",), levels=3
+            ).collect(),
+        )
+    )
+    assert [(k, lv, n) for k, lv, n, _ in got] == [("k", 1, 3), ("k", 2, 1)]
+    repartitioned = sorted(
+        map(
+            tuple,
+            haar_energy(
+                df.repartition(7),
+                keys=("key",),
+                order_cols=("event_id",),
+                levels=3,
+            ).collect(),
+        )
+    )
+    assert repartitioned == got
