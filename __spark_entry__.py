@@ -2514,8 +2514,11 @@ def q_doc_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference analog: exact distance predicate after the cheap spatial
     bucket join, src/repurpose/resample.py:230-244).  md5 family so the
     oracle reproduces candidates; both engines run classic Levenshtein,
-    so verification is EXACT (the thresholded banded-DP kernel is the
-    scale path, pytest-pinned output-identical)."""
+    so verification is EXACT — and the entry runs the banded-DP scale
+    kernel: max_dist="auto" derives the cap ceil((1−min_sim)·max_len)
+    from one projected scan, so banding is output-identical BY
+    CONSTRUCTION (3.9× at sf0.1, BENCH_EDIT_r05.json; pytest pins
+    full == capped == auto)."""
     from repurpose_spark.operators.dedup import edit_distance_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -5643,18 +5646,18 @@ l3 AS (
   FROM l2 GROUP BY event_type, i // 2 HAVING count(*) = 2
 )
 SELECT event_type, CAST(1 AS INT) AS level, count(*) AS n_coef,
-       SUM(CAST(round(d * 10000) AS BIGINT)
-           * CAST(round(d * 10000) AS BIGINT)) AS detail_e8
+       CAST(SUM(CAST(round(d * 10000) AS BIGINT)
+                * CAST(round(d * 10000) AS BIGINT)) AS BIGINT) AS detail_e8
 FROM l1 GROUP BY event_type
 UNION ALL
 SELECT event_type, CAST(2 AS INT), count(*),
-       SUM(CAST(round(d * 10000) AS BIGINT)
-           * CAST(round(d * 10000) AS BIGINT))
+       CAST(SUM(CAST(round(d * 10000) AS BIGINT)
+                * CAST(round(d * 10000) AS BIGINT)) AS BIGINT)
 FROM l2 GROUP BY event_type
 UNION ALL
 SELECT event_type, CAST(3 AS INT), count(*),
-       SUM(CAST(round(d * 10000) AS BIGINT)
-           * CAST(round(d * 10000) AS BIGINT))
+       CAST(SUM(CAST(round(d * 10000) AS BIGINT)
+                * CAST(round(d * 10000) AS BIGINT)) AS BIGINT)
 FROM l3 GROUP BY event_type
 """,
     }

@@ -680,7 +680,7 @@ def edit_distance_pairs(
     shingle_n: int = 8,
     step: int = 2,
     use_md5: bool = False,
-    max_dist: int | None = None,
+    max_dist: int | str | None = "auto",
 ) -> DataFrame:
     """Character-level verification tier: Levenshtein distance over LSH
     candidates (the sixth dedup tier — edit similarity is the classic
@@ -699,9 +699,13 @@ def edit_distance_pairs(
       by an integer comparison, no DP;
     * banded DP (scale path) — ``max_dist`` caps the kernel via Spark's
       thresholded ``levenshtein(l, r, threshold)`` (early-exit banded
-      DP, returns -1 past the cap).  Leave it ``None`` for the
-      oracle-exact full kernel; pytest pins that any cap ≥ the
-      similarity budget is output-identical.
+      DP, returns -1 past the cap).  ``None`` runs the full kernel;
+      ``"auto"`` derives the exact-safe cap ``ceil((1−min_sim) ·
+      max_len)`` from one projected min/max scan of the corpus (no
+      shuffle; any pair's budget is ≤ that cap, so the banded kernel
+      is output-identical BY CONSTRUCTION — measured 3.9× at sf0.1,
+      BENCH_EDIT_r05.json); pytest additionally pins that any explicit
+      cap ≥ the similarity budget matches the full kernel.
 
     Similarity is relative: ``edit_sim = 1 - dist / greatest(len_a,
     len_b)``; pairs with ``edit_sim >= min_sim`` survive.  Returns
@@ -754,6 +758,13 @@ def edit_distance_pairs(
             <= (F.lit(1.0) - F.lit(min_sim)) * F.col("mx")
         )
     )
+    if max_dist == "auto":
+        import math
+
+        max_len = docs.agg(
+            F.max(F.length(text_col)).alias("m")
+        ).first()["m"]
+        max_dist = max(1, math.ceil((1.0 - min_sim) * (max_len or 0)))
     if max_dist is None:
         dist = F.levenshtein("t_a", "t_b")
     else:

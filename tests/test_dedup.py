@@ -326,7 +326,7 @@ def test_edit_distance_thresholded_kernel_is_output_identical(spark, docs):
         map(
             tuple,
             edit_distance_pairs(
-                docs, min_sim=0.8, k=8, bands=8, step=1
+                docs, min_sim=0.8, k=8, bands=8, step=1, max_dist=None
             ).collect(),
         )
     )
@@ -338,7 +338,15 @@ def test_edit_distance_thresholded_kernel_is_output_identical(spark, docs):
             ).collect(),
         )
     )
-    assert full == capped and len(full) >= 2
+    auto = sorted(
+        map(
+            tuple,
+            edit_distance_pairs(
+                docs, min_sim=0.8, k=8, bands=8, step=1, max_dist="auto"
+            ).collect(),
+        )
+    )
+    assert full == capped == auto and len(full) >= 2
 
 
 def test_edit_distance_length_gap_prune_is_exact(spark):
