@@ -2506,6 +2506,43 @@ def q_ev_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_dtw_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW template matching (operators/dtw.py::dtw_to_references):
+    score each event_type's CLOSED-range hourly arrival-count series
+    (silent hours = 0, fano's discipline) against a burst template
+    under unconstrained time warping — "which streams' arrival shape
+    looks like this incident signature".  EXACT: counts are int64, so
+    every DP cell is |int−int| + min of exact values — integer-valued
+    end to end; a cell's value is the same expression tree in ANY DP
+    visit order, so the numpy anti-diagonal kernel and the oracle's
+    unrolled row-DP recursive CTE agree byte-for-byte."""
+    from repurpose_spark.operators.dtw import dtw_to_references
+
+    ev = _t(spark, sf_dir, "events")
+    h = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600)).cast("long")
+    per = ev.groupBy("event_type", h.alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    bounds = per.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    dense = grid.join(per, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("c", F.lit(0)).cast("double").alias("c"),
+    )
+    refs = spark.createDataFrame(
+        [("burst", [0.0, 10.0, 40.0, 80.0, 40.0, 10.0, 0.0, 0.0])],
+        "ref_id string, pattern array<double>",
+    )
+    return dtw_to_references(
+        dense, refs, keys=("event_type",), ts_col="h", value_col="c"
+    )
+
+
 def q_doc_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-similarity verification tier (operators/dedup.py::
     edit_distance_pairs): Levenshtein over the banded-MinHash candidate
@@ -2601,6 +2638,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_burstiness": q_ev_burstiness,
         "doc_edit_dup_pairs": q_doc_edit_dup_pairs,
         "ev_haar_energy": q_ev_haar_energy,
+        "ev_dtw_template": q_ev_dtw_template,
     }
 
 
@@ -5659,5 +5697,59 @@ SELECT event_type, CAST(3 AS INT), count(*),
        CAST(SUM(CAST(round(d * 10000) AS BIGINT)
                 * CAST(round(d * 10000) AS BIGINT)) AS BIGINT)
 FROM l3 GROUP BY event_type
+""",
+        # ev_dtw_template: DTW via an unrolled row-DP recursive CTE --
+        # each cell |int-int| + min of exact values, integer-valued in
+        # doubles, so any DP visit order (the Spark kernel iterates
+        # anti-diagonals) yields byte-identical results; DuckDB lateral
+        # column aliases express the within-row left dependency
+        "ev_dtw_template": """
+WITH RECURSIVE per AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM per GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM bounds
+),
+dense AS (
+  SELECT g.event_type, g.h, COALESCE(p.c, 0) AS c
+  FROM grid g
+  LEFT JOIN per p ON p.event_type = g.event_type AND p.h = g.h
+),
+ser AS (
+  SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY h) AS xs,
+         COUNT(*)::BIGINT AS n
+  FROM dense GROUP BY 1
+),
+pat AS (SELECT [0.0, 10.0, 40.0, 80.0, 40.0, 10.0, 0.0, 0.0] AS p),
+rec AS (
+  SELECT event_type, n, 1 AS i,
+         abs(xs[1] - p[1]) AS r1,
+         abs(xs[1] - p[2]) + r1 AS r2,
+         abs(xs[1] - p[3]) + r2 AS r3,
+         abs(xs[1] - p[4]) + r3 AS r4,
+         abs(xs[1] - p[5]) + r4 AS r5,
+         abs(xs[1] - p[6]) + r5 AS r6,
+         abs(xs[1] - p[7]) + r6 AS r7,
+         abs(xs[1] - p[8]) + r7 AS r8
+  FROM ser, pat
+  UNION ALL
+  SELECT rec.event_type, rec.n, rec.i + 1,
+         abs(xs[rec.i + 1] - p[1]) + r1 AS s1,
+         abs(xs[rec.i + 1] - p[2]) + least(r2, s1, r1) AS s2,
+         abs(xs[rec.i + 1] - p[3]) + least(r3, s2, r2) AS s3,
+         abs(xs[rec.i + 1] - p[4]) + least(r4, s3, r3) AS s4,
+         abs(xs[rec.i + 1] - p[5]) + least(r5, s4, r4) AS s5,
+         abs(xs[rec.i + 1] - p[6]) + least(r6, s5, r5) AS s6,
+         abs(xs[rec.i + 1] - p[7]) + least(r7, s6, r6) AS s7,
+         abs(xs[rec.i + 1] - p[8]) + least(r8, s7, r7) AS s8
+  FROM rec JOIN ser USING (event_type), pat
+  WHERE rec.i < rec.n
+)
+SELECT event_type, 'burst' AS ref_id, n AS n_points, r8 AS dtw_dist
+FROM rec WHERE i = n
 """,
     }
