@@ -2506,6 +2506,24 @@ def q_ev_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema-on-read: extract a typed field from the
+    events table's JSON ``props`` bag (the observability-pipeline shape
+    — a fixed relational core plus a free-form attribute bag) and roll
+    it up per event_type.  ``get_json_object`` evaluates JVM-side
+    inside the scan's codegen span — no UDF, no second pass; the cast
+    to long makes every aggregate integer-exact.  EXACT oracle:
+    DuckDB's ->> extraction with the identical cast."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def q_ev_dtw_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW template matching (operators/dtw.py::dtw_to_references):
     score each event_type's CLOSED-range hourly arrival-count series
@@ -2639,6 +2657,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_edit_dup_pairs": q_doc_edit_dup_pairs,
         "ev_haar_energy": q_ev_haar_energy,
         "ev_dtw_template": q_ev_dtw_template,
+        "ev_props_stats": q_ev_props_stats,
     }
 
 
@@ -5751,5 +5770,15 @@ rec AS (
 )
 SELECT event_type, 'burst' AS ref_id, n AS n_points, r8 AS dtw_dist
 FROM rec WHERE i = n
+""",
+        # ev_props_stats: JSON-bag field extraction; NULL-on-missing in
+        # both engines, integer-exact aggregates after the cast
+        "ev_props_stats": """
+SELECT event_type,
+       COUNT(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+       SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+       MIN(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+       MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
 """,
     }
