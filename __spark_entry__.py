@@ -2506,6 +2506,20 @@ def q_ev_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source (operators/cooccur.py::zipf_slope):
+    OLS slope of ln(freq) on ln(rank) over the freq≥2 vocabulary —
+    the corpus-health monitor (natural text ≈ −1; tokenizer bugs and
+    template spam bend it).  n_ranks certifies byte-exactly; the slope
+    certifies under the error-bound oracle (rel 1e-6 — JVM vs libm ln
+    differ by 1 ulp on ~1%% of inputs and the moment sums are
+    order-dependent doubles, both ~1e-12 effects)."""
+    from repurpose_spark.operators.cooccur import zipf_slope
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_slope(d, by=("source",), min_freq=2)
+
+
 def q_ev_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured schema-on-read: extract a typed field from the
     events table's JSON ``props`` bag (the observability-pipeline shape
@@ -2658,6 +2672,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_haar_energy": q_ev_haar_energy,
         "ev_dtw_template": q_ev_dtw_template,
         "ev_props_stats": q_ev_props_stats,
+        "doc_zipf_slope": q_doc_zipf_slope,
     }
 
 
@@ -2931,6 +2946,42 @@ FROM sc GROUP BY doc_id, dl
 """,
             "est_col": "score_micro",
             "rel_err": 1e-9,
+        },
+        # Zipf slope: the OLS moment sums are IEEE doubles (shuffle-
+        # order noise ~1e-12); any logic bug (wrong hapax cut, unsorted
+        # rank, off-by-one) moves the slope by orders more than 1e-6
+        "doc_zipf_slope": {
+            "sql": """
+WITH w AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+  FROM documents
+),
+c AS (
+  SELECT source, word, COUNT(*) AS n
+  FROM w WHERE word != '' GROUP BY 1, 2
+),
+r AS (
+  SELECT source, n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n DESC, word) AS rnk
+  FROM c WHERE n >= 2
+),
+a AS (
+  SELECT source, COUNT(*) AS n_ranks,
+         SUM(ln(rnk)) AS sx, SUM(ln(n)) AS sy,
+         SUM(ln(rnk) * ln(rnk)) AS sxx,
+         SUM(ln(rnk) * ln(n)) AS sxy
+  FROM r GROUP BY 1
+)
+SELECT source, n_ranks,
+       CASE WHEN n_ranks > 1 THEN
+         (n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx)
+       END AS zipf_slope
+FROM a
+""",
+            "est_col": "zipf_slope",
+            "rel_err": 1e-6,
         },
     }
     out["ev_stream_quantiles"] = {

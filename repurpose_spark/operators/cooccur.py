@@ -220,3 +220,64 @@ def trending_terms(
             "rn",
         )
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    by: list | tuple = ("source",),
+    min_freq: int = 2,
+) -> DataFrame:
+    """Zipf's-law fit per corpus slice — the classic corpus-health
+    monitor: natural text sits near slope −1 on the log-log
+    rank-frequency line; tokenizer bugs, boilerplate floods, and
+    template spam bend it (reference analog: per-cell summary
+    attributes computed during conversion, src/repurpose/img2ts.py
+    metadata path — a per-partition health statistic, not a data
+    transform).
+
+    OLS of ln(freq) on ln(rank) over the ``freq >= min_freq``
+    vocabulary (the hapax tail is rank-ordering noise, standard cut).
+    Plan: tokenize → (by, word) count → per-slice rank (ONE window
+    sort on the vocabulary, corpus never re-shuffles) → the five OLS
+    moments as one partial+final aggregate → closed-form slope.
+    Returns (by…, n_ranks, zipf_slope); slices with < 2 ranks yield
+    NULL.  Float contract: the moment sums are IEEE doubles (order-
+    dependent), so the driver certifies this entry under the
+    error-bound oracle mode (rel 1e-6 ≫ shuffle noise ~1e-12; any
+    logic bug — wrong cut, unsorted rank, off-by-one — moves the
+    slope by orders more)."""
+    by = list(by)
+    toks = _tokens(df, text_col)
+    words = df.select(*by, F.explode(toks).alias("w"))
+    c = (
+        words.groupBy(*by, "w")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_freq)
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy(*by).orderBy(F.desc("n"), F.asc("w"))
+    )
+    r = c.select(
+        *by,
+        F.log(rnk.cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    a = r.groupBy(*by).agg(
+        F.count("*").alias("n_ranks"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return a.select(
+        *by,
+        "n_ranks",
+        F.when(F.col("n_ranks") > 1, slope).alias("zipf_slope"),
+    )

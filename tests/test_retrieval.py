@@ -89,3 +89,34 @@ def test_rarer_term_outranks_common_at_equal_tf(spark):
 def test_empty_query_rejected(spark):
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(_spark_corpus(spark), [])
+
+
+def test_zipf_slope_matches_numpy_ols(spark):
+    import numpy as np
+
+    from repurpose_spark.operators.cooccur import zipf_slope
+
+    # engineered frequencies: 'a'x8 'b'x4 'c'x2 (+ hapax 'z' cut away)
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a b b c z", "s1"),
+            (1, "a a a a b b c", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    row = zipf_slope(docs, by=("source",), min_freq=2).collect()[0]
+    assert row["source"] == "s1" and row["n_ranks"] == 3
+    x = np.log(np.array([1.0, 2.0, 3.0]))  # ranks: a, b, c
+    y = np.log(np.array([8.0, 4.0, 2.0]))
+    want = np.polyfit(x, y, 1)[0]
+    assert row["zipf_slope"] == pytest.approx(want, rel=1e-9)
+
+
+def test_zipf_slope_single_rank_is_null(spark):
+    from repurpose_spark.operators.cooccur import zipf_slope
+
+    docs = spark.createDataFrame(
+        [(0, "only only word", "s")], "doc_id long, text string, source string"
+    )
+    row = zipf_slope(docs, by=("source",), min_freq=2).collect()[0]
+    assert row["n_ranks"] == 1 and row["zipf_slope"] is None
