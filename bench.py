@@ -68,6 +68,11 @@ HEADLINE = [
     "doc_bm25",
     "doc_sample_bottomk",
     "doc_line_dedup",
+    "doc_edit_dup_pairs",
+    "ev_haar_energy",
+    "ev_dtw_template",
+    "doc_zipf_slope",
+    "ev_props_stats",
 ]
 
 
