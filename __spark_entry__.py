@@ -2506,6 +2506,31 @@ def q_ev_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-step funnel (operators/funnel.py::
+    funnel_counts): users whose earliest view precedes their earliest
+    subsequent click precedes their earliest subsequent purchase —
+    first-touch attribution over the raw stream.  After the first
+    per-user min-aggregate every join side is one row per user, so
+    nothing user-sized reshuffles.  EXACT: timestamp comparisons and
+    counts only, no float arithmetic anywhere."""
+    from repurpose_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle (operators/funnel.py::retention_cohorts):
+    first-activity-day cohorts × day offset, distinct active users per
+    cell, offsets pruned at 7.  EXACT: epoch-day int64 arithmetic and
+    distinct counts only."""
+    from repurpose_spark.operators.funnel import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, max_offset=7)
+
+
 def q_doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit per source (operators/cooccur.py::zipf_slope):
     OLS slope of ln(freq) on ln(rank) over the freq≥2 vocabulary —
@@ -2673,6 +2698,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_dtw_template": q_ev_dtw_template,
         "ev_props_stats": q_ev_props_stats,
         "doc_zipf_slope": q_doc_zipf_slope,
+        "ev_funnel": q_ev_funnel,
+        "ev_retention": q_ev_retention,
     }
 
 
@@ -5831,5 +5858,41 @@ SELECT event_type,
        MIN(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
        MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
+""",
+        # ev_funnel: chained strict-after min-aggregates, one row per
+        # user per stage; timestamps compare exactly
+        "ev_funnel": """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+)
+SELECT CAST(1 AS INT) AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT CAST(2 AS INT), 'click', COUNT(*) FROM s2
+UNION ALL SELECT CAST(3 AS INT), 'purchase', COUNT(*) FROM s3
+""",
+        # ev_retention: epoch-day floor ≡ Spark's unix_timestamp//86400;
+        # (u, d) distinct first so counts are distinct active users
+        "ev_retention": """
+WITH acts AS (
+  SELECT DISTINCT user_id AS u,
+         (epoch_us(ts) // 1000000) // 86400 AS d
+  FROM events
+),
+f AS (SELECT u, MIN(d) AS d0 FROM acts GROUP BY 1)
+SELECT f.d0 AS cohort_day, a.d - f.d0 AS day_offset,
+       COUNT(*) AS n_users
+FROM acts a JOIN f USING (u)
+WHERE a.d - f.d0 <= 7
+GROUP BY 1, 2
 """,
     }

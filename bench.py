@@ -73,6 +73,8 @@ HEADLINE = [
     "ev_dtw_template",
     "doc_zipf_slope",
     "ev_props_stats",
+    "ev_funnel",
+    "ev_retention",
 ]
 
 
