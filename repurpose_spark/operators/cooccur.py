@@ -247,7 +247,10 @@ def zipf_slope(
     error-bound oracle mode (rel 1e-6 ≫ shuffle noise ~1e-12; any
     logic bug — wrong cut, unsorted rank, off-by-one — moves the
     slope by orders more)."""
+    from repurpose_spark.plans.parallelism import ensure_parallelism
+
     by = list(by)
+    df = ensure_parallelism(df)  # tokenize is CPU-bound: widen a narrow scan
     toks = _tokens(df, text_col)
     words = df.select(*by, F.explode(toks).alias("w"))
     c = (
