@@ -2621,6 +2621,77 @@ def q_doc_edit_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_ev_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval union (operators/intervals.py::
+    interval_union): per user-group, the TOTAL time covered by the
+    union of 2-hour incident windows opened by error events, plus the
+    peak number of simultaneously-open windows — "how much of the day
+    was under incident, and how deep did incidents stack".  One
+    shuffle on grp feeding two per-key window sorts (merge-intervals
+    running-max + the ±1 boundary sweep); every quantity is integer
+    epoch micros, so the aggregate is EXACT.  Oracle: DuckDB runs the
+    identical sweep — the windowed running max is semantics, not an
+    optimization, so both engines must agree byte-for-byte."""
+    from repurpose_spark.operators.intervals import interval_union
+
+    ev = _t(spark, sf_dir, "events")
+    ivs = ev.where(F.col("event_type") == "error").select(
+        (F.col("user_id") % 8).alias("grp"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    return interval_union(
+        ivs, by=("grp",), start_col="start_ts", end_col="end_ts"
+    )
+
+
+def q_ev_trimmed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-trimmed daily rollup (operators/robust.py::trimmed_agg):
+    per (event_type, day) drop the ⌊n·0.1⌋ lowest and highest integer
+    cents by rank (ties broken by (ts, event_id), a total order) and
+    aggregate the surviving 80 % — the heavy-tail-proof tier a plain
+    mean can't give (one stuck sensor at MAX_INT moves the mean
+    arbitrarily; it cannot move this).  Trimming by COUNT rather than
+    by percentile value keeps everything int64 — no interpolation —
+    and the kept VALUE multiset is tie-order-invariant by
+    construction, so the oracle is EXACT."""
+    from repurpose_spark.operators.robust import trimmed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    return trimmed_agg(
+        rows,
+        by=("event_type", "day"),
+        value_col="cents",
+        tie_cols=("ts", "event_id"),
+        trim_frac=0.1,
+    )
+
+
+def q_doc_heaps_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source (operators/
+    cooccur.py::heaps_slope) — Zipf's companion corpus-health monitor:
+    V ≈ K·N^β with β ≈ 0.4–0.6 for natural text; dedup failures
+    flatten the curve, tokenizer explosions steepen it.  First
+    occurrences via one (source, word) min-doc aggregate — no
+    stateful distinct scan — then a per-source cumulative window and
+    a five-moment OLS of ln V on ln N.  n_docs/vocab certify
+    byte-exactly; heaps_beta rides the error-bound oracle (rel 1e-6,
+    the same JVM-vs-libm ln + order-dependent moment-sum contract as
+    doc_zipf_slope)."""
+    from repurpose_spark.operators.cooccur import heaps_slope
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_slope(d, by=("source",))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2700,6 +2771,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zipf_slope": q_doc_zipf_slope,
         "ev_funnel": q_ev_funnel,
         "ev_retention": q_ev_retention,
+        "ev_interval_coverage": q_ev_interval_coverage,
+        "ev_trimmed_daily": q_ev_trimmed_daily,
+        "doc_heaps_beta": q_doc_heaps_beta,
     }
 
 
@@ -3008,6 +3082,56 @@ SELECT source, n_ranks,
 FROM a
 """,
             "est_col": "zipf_slope",
+            "rel_err": 1e-6,
+        },
+        "doc_heaps_beta": {
+            "sql": """
+WITH dn AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x != '')) AS nt
+  FROM documents
+),
+w AS (
+  SELECT source, doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+  FROM documents
+),
+fo AS (
+  SELECT source, word, MIN(doc_id) AS doc_id
+  FROM w WHERE word != '' GROUP BY 1, 2
+),
+nw AS (SELECT source, doc_id, COUNT(*) AS new_w FROM fo GROUP BY 1, 2),
+cum AS (
+  SELECT dn.source, dn.doc_id,
+         SUM(nt) OVER (PARTITION BY dn.source ORDER BY dn.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS N,
+         SUM(COALESCE(new_w, 0)) OVER (
+                       PARTITION BY dn.source ORDER BY dn.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS V
+  FROM dn LEFT JOIN nw
+    ON dn.source = nw.source AND dn.doc_id = nw.doc_id
+),
+pt AS (
+  SELECT source, ln(N) AS x, ln(V) AS y, V
+  FROM cum WHERE N >= 1 AND V >= 1
+),
+a AS (
+  SELECT source, COUNT(*) AS n_docs, MAX(V) AS vocab,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pt GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(vocab AS BIGINT) AS vocab,
+       CASE WHEN n_docs > 1 THEN
+         (n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx)
+       END AS heaps_beta
+FROM a
+""",
+            "est_col": "heaps_beta",
             "rel_err": 1e-6,
         },
     }
@@ -3986,6 +4110,71 @@ FROM moments
 """,
         # the oracle is the NAIVE theta-join the operator exists to
         # avoid — bucketing must be invisible in the result multiset
+        "ev_interval_coverage": """
+WITH iv AS (
+  SELECT user_id % 8 AS grp, epoch_us(ts) AS s,
+         epoch_us(ts + INTERVAL 2 HOUR) AS e
+  FROM events WHERE event_type = 'error'
+),
+m AS (
+  SELECT grp, s, e,
+         max(e) OVER (PARTITION BY grp ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pe
+  FROM iv
+),
+cov AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pe, s))))
+              AS BIGINT) AS covered_us
+  FROM m GROUP BY 1
+),
+ed AS (
+  SELECT grp, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT grp, e AS t, -1 AS d FROM iv
+),
+sw AS (
+  SELECT grp, SUM(d) OVER (PARTITION BY grp ORDER BY t, d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS depth
+  FROM ed
+),
+mc AS (
+  SELECT grp, CAST(MAX(depth) AS INT) AS max_concurrency FROM sw GROUP BY 1
+)
+SELECT cov.grp, n_intervals, covered_us, max_concurrency
+FROM cov JOIN mc USING (grp)
+""",
+        "ev_trimmed_daily": """
+WITH p AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+  FROM events
+),
+r AS (
+  SELECT event_type, day, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY cents, ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, day) AS n
+  FROM p
+)
+SELECT event_type, day,
+       CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST(COUNT(CASE WHEN rn > FLOOR(n * 0.1)
+                        AND rn <= n - FLOOR(n * 0.1)
+                       THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > FLOOR(n * 0.1)
+                      AND rn <= n - FLOOR(n * 0.1)
+                     THEN cents END) AS BIGINT) AS sum_kept,
+       MIN(CASE WHEN rn > FLOOR(n * 0.1)
+                 AND rn <= n - FLOOR(n * 0.1)
+                THEN cents END) AS min_kept,
+       MAX(CASE WHEN rn > FLOOR(n * 0.1)
+                 AND rn <= n - FLOOR(n * 0.1)
+                THEN cents END) AS max_kept
+FROM r GROUP BY 1, 2
+""",
         "ev_interval_join": """
 WITH iv AS (
   SELECT event_id AS iid, user_id % 8 AS grp, ts AS start_ts,

@@ -284,3 +284,82 @@ def zipf_slope(
         "n_ranks",
         F.when(F.col("n_ranks") > 1, slope).alias("zipf_slope"),
     )
+
+def heaps_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    by: list | tuple = ("source",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit per corpus slice — Zipf's companion health
+    monitor: vocabulary grows as V ≈ K·N^β with β ≈ 0.4–0.6 for
+    natural text; dedup failures and template floods flatten the
+    curve, tokenizer explosions steepen it (reference analog: the
+    same per-partition summary-metadata family as :func:`zipf_slope`,
+    src/repurpose/img2ts.py metadata path).
+
+    Scans the slice in ``id_col`` order, recording at every document
+    boundary the cumulative token count N and the cumulative distinct
+    vocabulary V, then OLS-fits ln V on ln N.  V's increments come
+    from first occurrences — per (slice, word) the minimal ``id_col``
+    — so the curve needs NO stateful distinct scan: one vocabulary
+    aggregate + one per-slice cumulative window over document rows.
+
+    Plan: tokenize → (by, word) min(id) [the only corpus-sized
+    shuffle] → new-word count per doc → join onto per-doc token
+    counts → per-slice cumulative window ordered by ``id_col`` →
+    five OLS moments as one partial+final aggregate.  Returns
+    (by…, n_docs, vocab, heaps_beta): ``n_docs``/``vocab`` are
+    byte-exact int64; ``heaps_beta`` certifies under the error-bound
+    oracle (rel 1e-6 — same ln/moment-sum float contract as
+    zipf_slope).  Slices with < 2 usable boundaries yield NULL."""
+    from pyspark.sql import Window
+
+    from repurpose_spark.plans.parallelism import ensure_parallelism
+
+    by = list(by)
+    df = ensure_parallelism(df)  # tokenize is CPU-bound: widen a narrow scan
+    toks = _tokens(df, text_col)
+    words = df.select(*by, F.col(id_col), F.explode(toks).alias("w"))
+    first = words.groupBy(*by, "w").agg(F.min(id_col).alias(id_col))
+    new_per_doc = first.groupBy(*by, id_col).agg(F.count("*").alias("_new"))
+
+    per_doc = df.select(*by, F.col(id_col), F.size(toks).alias("_nt")).join(
+        new_per_doc, [*by, id_col], "left"
+    )
+    w_cum = (
+        Window.partitionBy(*by)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_doc.select(
+        *by,
+        F.sum("_nt").over(w_cum).alias("_N"),
+        F.sum(F.coalesce("_new", F.lit(0))).over(w_cum).alias("_V"),
+    ).where((F.col("_N") >= 1) & (F.col("_V") >= 1))
+
+    pts = cum.select(
+        *by,
+        F.log(F.col("_N").cast("double")).alias("x"),
+        F.log(F.col("_V").cast("double")).alias("y"),
+        F.col("_N").alias("_N"),
+        F.col("_V").alias("_V"),
+    )
+    a = pts.groupBy(*by).agg(
+        F.count("*").alias("n_docs"),
+        F.max("_V").alias("vocab"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_docs").cast("double")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return a.select(
+        *by,
+        "n_docs",
+        "vocab",
+        F.when(F.col("n_docs") > 1, beta).alias("heaps_beta"),
+    )

@@ -118,3 +118,91 @@ def interval_join(
     keep_pts = [pts[c] for c in points.columns]
     keep_ivs = [ivs[c] for c in intervals.columns if c not in on]
     return joined.select(*keep_pts, *keep_ivs)
+
+def interval_union(
+    intervals: DataFrame,
+    *,
+    by: list | tuple = (),
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Per-key sweep-line union of ``[start, end)`` intervals: total
+    covered time, interval count, and peak concurrency — the
+    "how much of the day was under an incident / maintenance window /
+    session, and how deep did they stack" rollup (reference analog:
+    the per-cell coverage metadata img2ts accumulates while matching
+    observation windows, ``src/repurpose/img2ts.py:652-668`` — here as
+    a set-oriented aggregate instead of a per-cell loop).
+
+    Returns one row per ``by`` key:
+
+    * ``n_intervals``  — valid (end > start) interval count,
+    * ``covered_us``   — length of the UNION of the intervals in
+      integer epoch micros (overlaps counted once),
+    * ``max_concurrency`` — the sweep's peak open-interval depth.
+
+    Plan: ONE shuffle on ``by`` feeding two per-key window sorts —
+    (a) the classic merge-intervals scan: running ``max(end)`` over
+    rows up to the previous one, each row contributing
+    ``greatest(0, end − greatest(start, prev_max_end))``; (b) the
+    ±1 boundary sweep for concurrency (ends sort before starts at the
+    same tick — end-exclusive semantics).  Every quantity is integer
+    micros end to end, so the aggregate is EXACT (no float epoch
+    math).  At scale this is the same shape as any per-key ordered
+    scan (collocate, sessionize): partition by key, sort within —
+    skewed keys are ordinary sort-skew, AQE-splittable, and the
+    output is one row per key so nothing downstream reshuffles.
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+    if not by:
+        raise ValueError("interval_union needs at least one 'by' key")
+
+    def _us(c):
+        # exact integer epoch micros; cast lifts TIMESTAMP_NTZ exactly
+        # as interval_join does, so both operators agree on the axis
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    iv = intervals.where(F.col(end_col) > F.col(start_col)).select(
+        *by, _us(start_col).alias("_s"), _us(end_col).alias("_e")
+    )
+
+    # (a) union length: merge-intervals scan ordered by (start, end)
+    w_prev = (
+        Window.partitionBy(*by)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max("_e").over(w_prev)
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("_e") - F.greatest(F.col("_s"), F.coalesce(prev_end, F.col("_s"))),
+    )
+    covered = iv.select(*by, contrib.alias("_c")).groupBy(*by).agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("_c").alias("covered_us"),
+    )
+
+    # (b) peak concurrency: ±1 boundary sweep; at an equal tick the −1
+    # (close) sorts first — [a, b) and [b, c) never stack
+    edges = iv.select(
+        *by,
+        F.explode(
+            F.array(
+                F.struct(F.col("_s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("_e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("ev"),
+    ).select(*by, F.col("ev.t").alias("t"), F.col("ev.d").alias("d"))
+    w_sweep = (
+        Window.partitionBy(*by)
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    conc = (
+        edges.select(*by, F.sum("d").over(w_sweep).alias("_depth"))
+        .groupBy(*by)
+        .agg(F.max("_depth").cast("int").alias("max_concurrency"))
+    )
+    return covered.join(conc, by)

@@ -40,6 +40,7 @@ __all__ = [
     "rolling_corr",
     "seasonal_decompose",
     "theil_sen",
+    "trimmed_agg",
 ]
 
 
@@ -533,3 +534,55 @@ def theil_sen(
         return pd.DataFrame([row])
 
     return sel.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+def trimmed_agg(
+    df: DataFrame,
+    *,
+    by: list | tuple,
+    value_col: str,
+    tie_cols: list | tuple = (),
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Rank-trimmed per-group aggregate: drop the ``⌊n·trim_frac⌋``
+    lowest AND highest rows of each group (counted by rank, ties
+    broken deterministically by ``tie_cols``) and aggregate what
+    survives — the heavy-tail-proof rollup tier (a sensor stuck at
+    MAX_INT or a bot burst moves a plain mean arbitrarily; it cannot
+    move a 10 %-trimmed one).  Reference analog: the same robust-hook
+    family as :func:`hampel` (img2ts.py resample preprocess hooks);
+    trimming-by-count rather than by percentile VALUE keeps the
+    semantics integer-exact — no interpolation, no float thresholds.
+
+    Returns (by…, n_total, n_kept, sum_kept, min_kept, max_kept) —
+    all int64-exact when ``value_col`` is integral, so the oracle is
+    EXACT.  Groups with n ≤ 2·k keep nothing and report n_kept = 0
+    with NULL aggregates (the window frame is empty, not absent).
+
+    Plan: ONE shuffle on ``by``; ascending row_number + per-group
+    count over the same window partition (a single sort — Catalyst
+    collapses same-partition windows), filter k < rn ≤ n − k, one
+    partial+final hash aggregate.  The descending rank is derived as
+    n − rn + 1 instead of a second window sort."""
+    by = list(by)
+    tie = list(tie_cols)
+    if not 0 <= trim_frac < 0.5:
+        raise ValueError("trim_frac must be in [0, 0.5)")
+    w = Window.partitionBy(*by).orderBy(F.col(value_col).asc(), *tie)
+    w_all = Window.partitionBy(*by)
+    k = F.floor(F.col("_n") * F.lit(float(trim_frac))).cast("long")
+    ranked = df.select(
+        *by,
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(w_all).alias("_n"),
+    )
+    kept = F.when(
+        (F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k), F.col(value_col)
+    )
+    return ranked.groupBy(*by).agg(
+        F.max("_n").alias("n_total"),
+        F.count(kept).alias("n_kept"),
+        F.sum(kept).alias("sum_kept"),
+        F.min(kept).alias("min_kept"),
+        F.max(kept).alias("max_kept"),
+    )

@@ -118,3 +118,64 @@ def test_bad_args(frames):
         interval_join(pts, ivs, how="outer")
     with pytest.raises(ValueError, match="positive"):
         interval_join(pts, ivs, bucket_seconds=0)
+
+
+# ---------------------------------------------------------------- union
+
+
+class TestIntervalUnion:
+    def _run(self, spark, rows):
+        from repurpose_spark.operators.intervals import interval_union
+
+        df = spark.createDataFrame(
+            rows, "grp string, start timestamp, end timestamp"
+        )
+        out = interval_union(df, by=("grp",))
+        return {r["grp"]: r.asDict() for r in out.collect()}
+
+    def test_overlap_nested_disjoint(self, spark):
+        got = self._run(
+            spark,
+            [
+                # a: [9,11) ∪ [10,12) ∪ [10:30,10:45) → [9,12) = 3h, depth 3
+                ("a", _ts(9), _ts(11)),
+                ("a", _ts(10), _ts(12)),
+                ("a", _ts(10, 30), _ts(10, 45)),
+                # b: disjoint hours → 2h, depth 1
+                ("b", _ts(1), _ts(2)),
+                ("b", _ts(3), _ts(4)),
+            ],
+        )
+        assert got["a"]["n_intervals"] == 3
+        assert got["a"]["covered_us"] == 3 * 3600 * 1_000_000
+        assert got["a"]["max_concurrency"] == 3
+        assert got["b"]["covered_us"] == 2 * 3600 * 1_000_000
+        assert got["b"]["max_concurrency"] == 1
+
+    def test_touching_is_end_exclusive(self, spark):
+        # [1,2) and [2,3): union 2h, but they never stack (close sorts
+        # before open at the shared tick)
+        got = self._run(
+            spark, [("a", _ts(1), _ts(2)), ("a", _ts(2), _ts(3))]
+        )
+        assert got["a"]["covered_us"] == 2 * 3600 * 1_000_000
+        assert got["a"]["max_concurrency"] == 1
+
+    def test_invalid_intervals_dropped(self, spark):
+        got = self._run(
+            spark,
+            [
+                ("a", _ts(5), _ts(5)),   # zero-length: end !> start
+                ("a", _ts(7), _ts(6)),   # inverted
+                ("a", _ts(1), _ts(2)),
+            ],
+        )
+        assert got["a"]["n_intervals"] == 1
+        assert got["a"]["covered_us"] == 3600 * 1_000_000
+
+    def test_requires_key(self, spark):
+        from repurpose_spark.operators.intervals import interval_union
+
+        df = spark.createDataFrame([], "start timestamp, end timestamp")
+        with pytest.raises(ValueError, match="by"):
+            interval_union(df, by=())

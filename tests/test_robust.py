@@ -422,3 +422,98 @@ def test_duckdb_quantile_disc_is_lower_median():
             [vals],
         ).fetchone()[0]
         assert got == np.sort(vals)[(len(vals) - 1) // 2], vals
+
+
+# ---------------------------------------------------------------- trimmed
+
+
+class TestTrimmedAgg:
+    def _run(self, spark, vals, frac=0.1):
+        from repurpose_spark.operators.robust import trimmed_agg
+
+        rows = [("g", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, rid long, v long")
+        out = trimmed_agg(
+            df, by=("g",), value_col="v", tie_cols=("rid",), trim_frac=frac
+        )
+        return out.collect()[0].asDict()
+
+    def test_drops_k_each_tail(self, spark):
+        # n=10, k=1: drop min (−1000) and max (1000)
+        got = self._run(spark, [-1000, 1, 2, 3, 4, 5, 6, 7, 8, 1000])
+        assert got["n_total"] == 10
+        assert got["n_kept"] == 8
+        assert got["sum_kept"] == sum(range(1, 9))
+        assert (got["min_kept"], got["max_kept"]) == (1, 8)
+
+    def test_kept_multiset_tie_invariant(self, spark):
+        # ties straddle the cut: k=1 on [5,5,5,9] drops ONE 5 and the 9
+        got = self._run(spark, [5, 5, 5, 9], frac=0.25)
+        assert got["n_kept"] == 2
+        assert got["sum_kept"] == 10
+        assert (got["min_kept"], got["max_kept"]) == (5, 5)
+
+    def test_small_group_keeps_nothing(self, spark):
+        # n=2, frac=0.5 is invalid; frac=0.49 → k=0 keeps all;
+        # n=1 with frac just under .5 → k=0 too.  Empty-kept needs
+        # n ≤ 2k, i.e. frac high enough: n=3, frac=0.4 → k=1, keeps 1
+        got = self._run(spark, [1, 2, 3], frac=0.4)
+        assert (got["n_kept"], got["sum_kept"]) == (1, 2)
+
+    def test_zero_frac_is_plain_agg(self, spark):
+        got = self._run(spark, [4, 2, 9], frac=0.0)
+        assert got["n_kept"] == 3
+        assert got["sum_kept"] == 15
+
+    def test_validates_frac(self, spark):
+        from repurpose_spark.operators.robust import trimmed_agg
+
+        df = spark.createDataFrame([("g", 1, 1)], "g string, rid long, v long")
+        with pytest.raises(ValueError, match="trim_frac"):
+            trimmed_agg(df, by=("g",), value_col="v", trim_frac=0.5)
+
+
+# ---------------------------------------------------------------- heaps
+
+
+class TestHeapsSlope:
+    def test_matches_numpy_fit(self, spark):
+        from repurpose_spark.operators.cooccur import heaps_slope
+
+        docs = [
+            ("s", "d0", "a b c"),
+            ("s", "d1", "a b d e"),
+            ("s", "d2", "a f"),
+            ("s", "d3", "g g g h"),
+        ]
+        df = spark.createDataFrame(docs, "source string, doc_id string, text string")
+        got = heaps_slope(df, by=("source",)).collect()[0].asDict()
+        # boundaries: N = 3,7,9,13  V = 3,5,6,8
+        assert got["n_docs"] == 4
+        assert got["vocab"] == 8
+        N = np.array([3, 7, 9, 13], dtype=float)
+        V = np.array([3, 5, 6, 8], dtype=float)
+        x, y = np.log(N), np.log(V)
+        beta = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+                / (len(x) * (x * x).sum() - x.sum() ** 2))
+        assert abs(got["heaps_beta"] - beta) < 1e-9
+
+    def test_empty_doc_repeats_boundary(self, spark):
+        from repurpose_spark.operators.cooccur import heaps_slope
+
+        docs = [("s", "d0", "a b"), ("s", "d1", " "), ("s", "d2", "c")]
+        df = spark.createDataFrame(docs, "source string, doc_id string, text string")
+        got = heaps_slope(df, by=("source",)).collect()[0].asDict()
+        # d1 tokenizes to nothing: boundary repeats (N=2, V=2)
+        assert got["n_docs"] == 3
+        assert got["vocab"] == 3
+
+    def test_single_doc_null_beta(self, spark):
+        from repurpose_spark.operators.cooccur import heaps_slope
+
+        df = spark.createDataFrame(
+            [("s", "d0", "a b a")], "source string, doc_id string, text string"
+        )
+        got = heaps_slope(df, by=("source",)).collect()[0].asDict()
+        assert got["n_docs"] == 1 and got["vocab"] == 2
+        assert got["heaps_beta"] is None
