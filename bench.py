@@ -75,6 +75,9 @@ HEADLINE = [
     "ev_props_stats",
     "ev_funnel",
     "ev_retention",
+    "ev_interval_coverage",
+    "ev_trimmed_daily",
+    "doc_heaps_beta",
 ]
 
 
