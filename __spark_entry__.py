@@ -2692,6 +2692,97 @@ def q_doc_heaps_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_slope(d, by=("source",))
 
 
+
+def q_ev_spearman_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per event_type (operators/robust.py::
+    spearman_corr) between hourly event volume and hourly cent mass —
+    "does value track volume, monotonically?" — the outlier-proof
+    sibling of ev_lag_corr's Pearson (one whale transaction saturates
+    Pearson; ranks cap its leverage at 1/n).  Doubled average ranks
+    (2·rank_min + ties − 1) keep every moment int64-exact; the finish
+    is the same ≤4 correctly-rounded IEEE ops as the cross-corr
+    family, so the oracle is EXACT."""
+    from repurpose_spark.operators.robust import spearman_corr
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hh")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    )
+    return spearman_corr(h, by=("event_type",), x_col="x", y_col="y")
+
+
+def q_ev_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough drawdown per event_type (operators/robust.py::
+    max_drawdown) of the net-flow series: each event credits its
+    integer cents and burns a flat 500 — the quota/budget-monitoring
+    shape ("how far below its high-water mark did the balance fall").
+    One window sort by (ts, event_id), all int64 — EXACT oracle:
+    DuckDB replays the identical running-sum/running-max scan."""
+    from repurpose_spark.operators.robust import max_drawdown
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") - F.lit(500)).alias(
+            "flow"
+        ),
+    )
+    return max_drawdown(
+        rows,
+        by=("event_type",),
+        ts_col="ts",
+        value_col="flow",
+        tie_cols=("event_id",),
+    )
+
+
+def q_doc_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of token mass per source (operators/
+    cooccur.py::gini_concentration) — the mixture-health companion to
+    doc_zipf_slope/doc_heaps_beta: is a source's token budget spread
+    across documents or locked in a few megadocs?  The numerator is
+    assembled from two exact int64 sums, so the only float op is one
+    correctly-rounded division — EXACT oracle."""
+    from repurpose_spark.operators.cooccur import gini_concentration
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    rows = d.select(
+        "source", "doc_id", F.size(toks).cast("long").alias("nt")
+    )
+    return gini_concentration(rows, "nt", by=("source",), id_col="doc_id")
+
+
+def q_doc_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic (PPS) sample per source (operators/
+    sampling.py::systematic_sample): documents laid end-to-end on
+    their cumulative token axis, one draw per 500-token grid point —
+    "sample training docs by token mass, not by count", the PPS
+    counterpart of doc_sample_bottomk's uniform hash sample.  Rides
+    pack_sequences' two-phase distributed prefix sum (no driver scan,
+    partition-count-independent); selection is one integer predicate,
+    so the selected id set is EXACT — DuckDB replays the cumsum."""
+    from repurpose_spark.operators.sampling import systematic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    rows = d.select(
+        "source", "doc_id", F.size(toks).cast("long").alias("n_tok")
+    )
+    return systematic_sample(
+        rows, stride=500, by="source", id_col="doc_id", weight_col="n_tok"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2774,6 +2865,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_interval_coverage": q_ev_interval_coverage,
         "ev_trimmed_daily": q_ev_trimmed_daily,
         "doc_heaps_beta": q_doc_heaps_beta,
+        "ev_spearman_hourly": q_ev_spearman_hourly,
+        "ev_max_drawdown": q_ev_max_drawdown,
+        "doc_token_gini": q_doc_token_gini,
+        "doc_systematic_sample": q_doc_systematic_sample,
     }
 
 
@@ -4110,6 +4205,111 @@ FROM moments
 """,
         # the oracle is the NAIVE theta-join the operator exists to
         # avoid — bucketing must be invisible in the result multiset
+        "ev_spearman_hourly": """
+WITH h AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+r AS (
+  SELECT event_type,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+         2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+  FROM h
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n_pairs,
+         SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+  FROM r GROUP BY 1
+)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN (n_pairs * sxx - sx * sx) > 0
+             AND (n_pairs * syy - sy * sy) > 0 THEN
+         CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+       END AS spearman_rho
+FROM a
+""",
+        "ev_max_drawdown": """
+WITH p AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) - 500 AS flow
+  FROM events
+),
+c AS (
+  SELECT event_type, ts, event_id, flow,
+         SUM(flow) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+  FROM p
+),
+m AS (
+  SELECT event_type, flow, cum,
+         MAX(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS peak
+  FROM c
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(flow) AS BIGINT) AS final_v,
+       CAST(MAX(cum) AS BIGINT) AS peak_v,
+       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown
+FROM m GROUP BY 1
+""",
+        "doc_token_gini": """
+WITH dn AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x != '')) AS BIGINT) AS nt
+  FROM documents
+),
+r AS (
+  SELECT source, nt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt, doc_id) AS i
+  FROM dn
+),
+a AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(nt) AS total_w,
+         SUM(i * nt) AS six
+  FROM r GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_w AS BIGINT) AS total_w,
+       CASE WHEN n_docs > 1 AND total_w > 0 THEN
+         CAST(2 * six - (n_docs + 1) * total_w AS DOUBLE)
+         / CAST(n_docs * total_w AS DOUBLE)
+       END AS gini
+FROM a
+""",
+        "doc_systematic_sample": """
+WITH dn AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n_tok AS start
+  FROM dn
+),
+k AS (
+  SELECT source, doc_id, n_tok, start,
+         (start + 499) // 500 AS grid_k
+  FROM c
+)
+SELECT source, doc_id, n_tok,
+       CAST(start AS BIGINT) AS start, CAST(grid_k AS BIGINT) AS grid_k
+FROM k WHERE grid_k * 500 < start + n_tok
+""",
         "ev_interval_coverage": """
 WITH iv AS (
   SELECT user_id % 8 AS grp, epoch_us(ts) AS s,

@@ -41,6 +41,8 @@ __all__ = [
     "seasonal_decompose",
     "theil_sen",
     "trimmed_agg",
+    "spearman_corr",
+    "max_drawdown",
 ]
 
 
@@ -585,4 +587,96 @@ def trimmed_agg(
         F.sum(kept).alias("sum_kept"),
         F.min(kept).alias("min_kept"),
         F.max(kept).alias("max_kept"),
+    )
+
+def spearman_corr(
+    df: DataFrame,
+    *,
+    by: list | tuple,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per group — Pearson's outlier-proof
+    sibling: one stuck-counter spike saturates a Pearson coefficient
+    on heavy-tailed tier counts; ranks cap its leverage at 1/n (the
+    same robustness family as :func:`hampel` / :func:`theil_sen`).
+
+    Exactness discipline: the average rank of a tied value is
+    ``rank_min + (ties − 1)/2`` — a half-integer — so both engines
+    compute DOUBLED ranks ``2·rank_min + ties − 1`` (exact int64),
+    push them through the identical five-moment sums as
+    :func:`cross_corr`, and finish with the same ≤4 correctly-rounded
+    IEEE ops (two sqrt, one multiply, one divide) on double-exact
+    integers: byte-identical across engines and partition layouts,
+    certified EXACT.  Doubling cancels in the correlation (it scales
+    x and y linearly).
+
+    Plan: two rank windows + two tie-count windows (tier-sized
+    frames), one partial+final moment aggregate.  Groups where either
+    side is constant (zero rank variance) yield NULL."""
+    by = list(by)
+    out_cols = [*by]
+
+    def _r2(col):
+        w_rank = Window.partitionBy(*by).orderBy(F.col(col).asc())
+        w_tie = Window.partitionBy(*by, col)
+        return (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - F.lit(1)
+        ).cast("long")
+
+    ranked = df.select(*by, _r2(x_col).alias("_x"), _r2(y_col).alias("_y"))
+    agg = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_pairs")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    va = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vb = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    rho = F.when((va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb)))
+    return agg.select(*out_cols, "n_pairs", rho.alias("spearman_rho"))
+
+
+def max_drawdown(
+    df: DataFrame,
+    *,
+    by: list | tuple,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    tie_cols: list | tuple = (),
+) -> DataFrame:
+    """Peak-to-trough drawdown of each group's CUMULATIVE series —
+    "how far below its high-water mark did this counter/balance/token
+    budget fall, at worst" (net-flow monitoring: ingest minus
+    eviction, quota credit minus burn).  The ordered-scan sibling of
+    :func:`counter_increase`-style rate analysis.
+
+    One shuffle on ``by``, ONE window sort by (ts, ties): running sum,
+    running max of the running sum, their difference, then a single
+    partial+final aggregate.  Every quantity is int64 end to end —
+    EXACT.  Returns (by…, n_points, final_v, peak_v, max_drawdown)."""
+    by = list(by)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_col, *tie_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(value_col).cast("long")).over(w)
+    scanned = df.select(
+        *by,
+        F.col(value_col).cast("long").alias("_v"),
+        cum.alias("_cum"),
+        F.max(cum).over(w).alias("_peak"),
+    )
+    return scanned.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_v").alias("final_v"),
+        F.max("_cum").alias("peak_v"),
+        F.max(F.col("_peak") - F.col("_cum")).alias("max_drawdown"),
     )

@@ -92,3 +92,68 @@ def sample_bottom_k(
     return df.join(
         F.broadcast(winners), on=gcols + [icol], how="left_semi"
     ).select(*df.columns)
+
+def systematic_sample(
+    seqs: DataFrame,
+    stride: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tok",
+    offset: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Weighted systematic sample per stratum: lay every stratum's
+    documents end-to-end on their cumulative weight axis (ordered by
+    ``id_col``) and select each document containing a grid point
+    ``k·stride + offset`` — the classic probability-proportional-to-
+    size design (a 5k-token doc is 5× likelier in than a 1k one;
+    expected draw Σw/stride per stratum, at most one grid point
+    apart).  The PPS counterpart of :func:`sample_bottom_k`'s uniform
+    hash sample — "sample training docs by token mass, not by count".
+
+    Rides :func:`operators.packing.pack_sequences`' two-phase
+    distributed prefix sum (budget = stride), so the global offsets
+    need NO driver-side scan and inherit packing's partition-count-
+    independence guarantee; selection is then one integer predicate —
+    the first grid point ≥ start falls before start + len.  Every
+    quantity is int64, so the selected id set is EXACT and any SQL
+    engine replaying the same cumsum certifies it byte-for-byte.
+
+    Returns (by, id_col, weight_col, start, grid_k) for selected docs —
+    ``grid_k`` the index of the first grid point the doc contains
+    (consecutive across a stratum's draw, a free systematic-sample
+    self-check).  Zero-weight docs are never selected (they contain
+    no axis point)."""
+    from repurpose_spark.operators.packing import pack_sequences
+
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    if not 0 <= offset < stride:
+        raise ValueError("offset must be in [0, stride)")
+    packs = pack_sequences(
+        seqs,
+        budget=stride,
+        by=by,
+        id_col=id_col,
+        len_col=weight_col,
+        num_partitions=num_partitions,
+    )
+    start = F.col("pack_id") * F.lit(stride) + F.col("pack_offset")
+    # first grid index k with k·stride + offset ≥ start: integer ceil
+    # division — NOT float floor(a/b), which drops exactness past 2^53
+    # on a 100-TB token axis.  The dividend is ≥ 0 (offset < stride),
+    # so `div` truncation IS floor.
+    with_start = packs.withColumn("_start", start.cast("long"))
+    k = F.expr(
+        f"(_start - {int(offset)} + {int(stride)} - 1) div {int(stride)}"
+    ).cast("long")
+    sel = (k * F.lit(stride) + F.lit(offset)) < (
+        F.col("_start") + F.col(weight_col)
+    )
+    return with_start.where(sel).select(
+        by,
+        id_col,
+        F.col(weight_col).cast("long").alias(weight_col),
+        F.col("_start").alias("start"),
+        k.alias("grid_k"),
+    )

@@ -517,3 +517,76 @@ class TestHeapsSlope:
         got = heaps_slope(df, by=("source",)).collect()[0].asDict()
         assert got["n_docs"] == 1 and got["vocab"] == 2
         assert got["heaps_beta"] is None
+
+
+# ---------------------------------------------------------------- spearman
+
+
+class TestSpearmanCorr:
+    def _run(self, spark, pairs):
+        from repurpose_spark.operators.robust import spearman_corr
+
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in pairs], "g string, x long, y long"
+        )
+        return spearman_corr(df, by=("g",), x_col="x", y_col="y").collect()[
+            0
+        ].asDict()
+
+    def test_perfect_monotone_nonlinear(self, spark):
+        # y = x^3 is monotone: Pearson < 1 but Spearman == 1 exactly
+        got = self._run(spark, [(1, 1), (2, 8), (3, 27), (4, 64)])
+        assert got["n_pairs"] == 4
+        # sqrt(v)*sqrt(v) rounds once, so "exactly 1" lands within
+        # 1 ulp — deterministically (the oracle matches byte-for-byte)
+        assert abs(got["spearman_rho"] - 1.0) < 1e-15
+
+    def test_ties_average_ranks(self, spark):
+        # x = [1,2,2,3], y = [10,20,20,40]: tied middle pair on both
+        # sides → average ranks align perfectly, rho == 1.0
+        got = self._run(spark, [(1, 10), (2, 20), (2, 20), (3, 40)])
+        assert abs(got["spearman_rho"] - 1.0) < 1e-15
+        # break the tie correspondence: x ties where y doesn't
+        got2 = self._run(spark, [(1, 10), (2, 20), (2, 30), (3, 40)])
+        assert 0.9 < got2["spearman_rho"] < 1.0
+
+    def test_reversed_is_minus_one(self, spark):
+        got = self._run(spark, [(1, 30), (2, 20), (3, 10)])
+        assert abs(got["spearman_rho"] + 1.0) < 1e-15
+
+    def test_constant_side_null(self, spark):
+        got = self._run(spark, [(1, 5), (2, 5), (3, 5)])
+        assert got["spearman_rho"] is None
+
+
+# ---------------------------------------------------------------- drawdown
+
+
+class TestMaxDrawdown:
+    def _run(self, spark, flows):
+        from repurpose_spark.operators.robust import max_drawdown
+
+        rows = [("g", i, f) for i, f in enumerate(flows)]
+        df = spark.createDataFrame(rows, "g string, t long, flow long")
+        return max_drawdown(
+            df, by=("g",), ts_col="t", value_col="flow"
+        ).collect()[0].asDict()
+
+    def test_classic_shape(self, spark):
+        # cum: 10, 30, 15, 5, 25 → peak 30, trough-after-peak 5 → dd 25
+        got = self._run(spark, [10, 20, -15, -10, 20])
+        assert got["n_points"] == 5
+        assert got["final_v"] == 25
+        assert got["peak_v"] == 30
+        assert got["max_drawdown"] == 25
+
+    def test_monotone_up_zero_drawdown(self, spark):
+        got = self._run(spark, [1, 2, 3])
+        assert got["max_drawdown"] == 0
+        assert got["peak_v"] == got["final_v"] == 6
+
+    def test_all_down(self, spark):
+        # cum: -5, -9, -12 → peak -5, dd = 7
+        got = self._run(spark, [-5, -4, -3])
+        assert got["peak_v"] == -5
+        assert got["max_drawdown"] == 7

@@ -163,3 +163,115 @@ def test_trending_unit_validation(spark):
         trending_terms(pts, "month")
     with pytest.raises(ValueError, match="smoothing"):
         trending_terms(pts, "hour", smoothing=0)
+
+
+# ------------------------------------------------------------- systematic
+
+
+class TestSystematicSample:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "source string, doc_id long, n_tok long"
+        )
+
+    def test_hand_selection(self, spark):
+        from repurpose_spark.operators.sampling import systematic_sample
+
+        # axis: d1 [0,3) d2 [3,10) d3 [10,12) d4 [12,20); grid 0,5,10,15
+        df = self._df(
+            spark, [("s", 1, 3), ("s", 2, 7), ("s", 3, 2), ("s", 4, 8)]
+        )
+        got = {
+            r["doc_id"]: (r["start"], r["grid_k"])
+            for r in systematic_sample(df, stride=5).collect()
+        }
+        # d1 contains 0; d2 contains 5; d3 contains 10; d4 contains 15
+        assert got == {1: (0, 0), 2: (3, 1), 3: (10, 2), 4: (12, 3)}
+
+    def test_pps_property_and_offset(self, spark):
+        from repurpose_spark.operators.sampling import systematic_sample
+
+        # tiny docs between two whales: whales always in, minnows not
+        rows = [("s", 1, 100)] + [("s", i, 1) for i in range(2, 12)] + [
+            ("s", 99, 100)
+        ]
+        df = self._df(spark, rows)
+        ids = {r["doc_id"] for r in systematic_sample(df, stride=90).collect()}
+        assert 1 in ids and 99 in ids
+        assert len(ids) <= 3
+        # offset shifts the grid deterministically
+        ids_off = {
+            r["doc_id"]
+            for r in systematic_sample(df, stride=90, offset=50).collect()
+        }
+        assert 1 in ids_off
+
+    def test_zero_weight_never_selected(self, spark):
+        from repurpose_spark.operators.sampling import systematic_sample
+
+        df = self._df(spark, [("s", 1, 0), ("s", 2, 4), ("s", 3, 0)])
+        ids = {r["doc_id"] for r in systematic_sample(df, stride=2).collect()}
+        assert ids == {2}
+
+    def test_partition_count_independent(self, spark):
+        from repurpose_spark.operators.sampling import systematic_sample
+
+        rows = [
+            ("s%d" % (i % 3), i, 1 + (i * 7) % 23) for i in range(200)
+        ]
+        df = self._df(spark, rows)
+        a = sorted(
+            tuple(r)
+            for r in systematic_sample(
+                df, stride=37, num_partitions=2
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in systematic_sample(
+                df, stride=37, num_partitions=13
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_validation(self, spark):
+        from repurpose_spark.operators.sampling import systematic_sample
+
+        df = self._df(spark, [("s", 1, 1)])
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="stride"):
+            systematic_sample(df, stride=0)
+        with _pt.raises(ValueError, match="offset"):
+            systematic_sample(df, stride=5, offset=5)
+
+
+class TestGiniConcentration:
+    def _run(self, spark, weights):
+        from repurpose_spark.operators.cooccur import gini_concentration
+
+        df = spark.createDataFrame(
+            [("s", i, w) for i, w in enumerate(weights)],
+            "source string, doc_id long, nt long",
+        )
+        return gini_concentration(df, "nt", by=("source",)).collect()[
+            0
+        ].asDict()
+
+    def test_equal_weights_zero(self, spark):
+        got = self._run(spark, [5, 5, 5, 5])
+        assert got["n_docs"] == 4 and got["total_w"] == 20
+        assert got["gini"] == 0.0
+
+    def test_one_hot_is_n_minus_1_over_n(self, spark):
+        got = self._run(spark, [0, 0, 0, 12])
+        assert got["gini"] == (4 - 1) / 4
+
+    def test_known_value(self, spark):
+        # sorted [1,2,3,4]: G = Σ(2i-n-1)x / (n Σx) = (−3·1 −1·2 +1·3 +3·4)/(4·10)
+        got = self._run(spark, [3, 1, 4, 2])
+        assert got["gini"] == 10 / 40
+
+    def test_single_doc_null(self, spark):
+        got = self._run(spark, [7])
+        assert got["gini"] is None
