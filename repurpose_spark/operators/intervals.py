@@ -141,17 +141,18 @@ def interval_union(
       integer epoch micros (overlaps counted once),
     * ``max_concurrency`` — the sweep's peak open-interval depth.
 
-    Plan: ONE shuffle on ``by`` feeding two per-key window sorts —
-    (a) the classic merge-intervals scan: running ``max(end)`` over
-    rows up to the previous one, each row contributing
-    ``greatest(0, end − greatest(start, prev_max_end))``; (b) the
-    ±1 boundary sweep for concurrency (ends sort before starts at the
-    same tick — end-exclusive semantics).  Every quantity is integer
-    micros end to end, so the aggregate is EXACT (no float epoch
-    math).  At scale this is the same shape as any per-key ordered
-    scan (collocate, sessionize): partition by key, sort within —
-    skewed keys are ordinary sort-skew, AQE-splittable, and the
-    output is one row per key so nothing downstream reshuffles.
+    Plan: ONE shuffle on ``by`` and ONE window sort — every interval
+    becomes two ±1 boundary edges (ends sort before starts at an
+    equal tick: end-exclusive semantics), and a single sweep yields
+    all three outputs at once: the running ±1 sum is the depth (peak
+    = max), and the union length is Σ (next_t − t) over edges whose
+    depth is positive — ``lead`` rides the same partition/order as
+    the running sum, so Catalyst plans one sort, no self-join.
+    Every quantity is integer micros end to end, so the aggregate is
+    EXACT (no float epoch math).  At scale this is the same shape as
+    any per-key ordered scan (collocate, sessionize): skewed keys are
+    ordinary sort-skew, AQE-splittable, and the output is one row per
+    key so nothing downstream reshuffles.
     """
     from pyspark.sql import Window
 
@@ -167,25 +168,6 @@ def interval_union(
     iv = intervals.where(F.col(end_col) > F.col(start_col)).select(
         *by, _us(start_col).alias("_s"), _us(end_col).alias("_e")
     )
-
-    # (a) union length: merge-intervals scan ordered by (start, end)
-    w_prev = (
-        Window.partitionBy(*by)
-        .orderBy("_s", "_e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev_end = F.max("_e").over(w_prev)
-    contrib = F.greatest(
-        F.lit(0).cast("long"),
-        F.col("_e") - F.greatest(F.col("_s"), F.coalesce(prev_end, F.col("_s"))),
-    )
-    covered = iv.select(*by, contrib.alias("_c")).groupBy(*by).agg(
-        F.count("*").alias("n_intervals"),
-        F.sum("_c").alias("covered_us"),
-    )
-
-    # (b) peak concurrency: ±1 boundary sweep; at an equal tick the −1
-    # (close) sorts first — [a, b) and [b, c) never stack
     edges = iv.select(
         *by,
         F.explode(
@@ -195,14 +177,21 @@ def interval_union(
             )
         ).alias("ev"),
     ).select(*by, F.col("ev.t").alias("t"), F.col("ev.d").alias("d"))
-    w_sweep = (
-        Window.partitionBy(*by)
-        .orderBy("t", "d")
-        .rowsBetween(Window.unboundedPreceding, 0)
+
+    w_order = Window.partitionBy(*by).orderBy("t", "d")
+    w_sweep = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    depth = F.sum("d").over(w_sweep)
+    gap = F.lead("t").over(w_order) - F.col("t")  # null on the last edge
+    swept = edges.select(
+        *by,
+        F.col("d"),
+        depth.alias("_depth"),
+        F.when(depth > 0, gap).otherwise(F.lit(0)).alias("_covered"),
     )
-    conc = (
-        edges.select(*by, F.sum("d").over(w_sweep).alias("_depth"))
-        .groupBy(*by)
-        .agg(F.max("_depth").cast("int").alias("max_concurrency"))
+    return swept.groupBy(*by).agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_intervals"),
+        F.sum("_covered").alias("covered_us"),
+        F.max("_depth").cast("int").alias("max_concurrency"),
     )
-    return covered.join(conc, by)
