@@ -2783,6 +2783,24 @@ def q_doc_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise unigram-LM KL divergence between sources (operators/
+    cooccur.py::unigram_kl) — the distributional drift matrix
+    complementing doc_source_overlap's duplicate matrix: two sources
+    can share zero documents yet read identically, and vice versa.
+    KL(p_a‖q_b) over a's observed vocabulary, q_b additively smoothed
+    over the global vocab (finite cost for unseen words — the
+    held-out LM-eval shape).  Every post-vocabulary frame is
+    O(|V|·sources); totals and |V| ride broadcasts.  n_types certifies
+    byte-exactly; kl_nats rides the error-bound oracle (rel 1e-6,
+    the zipf/heaps ln contract)."""
+    from repurpose_spark.operators.cooccur import unigram_kl
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_kl(d, by="source", alpha=0.5)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2869,6 +2887,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_max_drawdown": q_ev_max_drawdown,
         "doc_token_gini": q_doc_token_gini,
         "doc_systematic_sample": q_doc_systematic_sample,
+        "doc_source_kl": q_doc_source_kl,
     }
 
 
@@ -3227,6 +3246,39 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
 FROM a
 """,
             "est_col": "heaps_beta",
+            "rel_err": 1e-6,
+        },
+        "doc_source_kl": {
+            "sql": """
+WITH w AS (
+  SELECT source AS s,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+  FROM documents
+),
+c AS (
+  SELECT s, word, COUNT(*) AS n FROM w WHERE word != '' GROUP BY 1, 2
+),
+t AS (SELECT s, SUM(n) AS N FROM c GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS vsz FROM c),
+pair AS (
+  SELECT a.s AS src_a, tb.s AS src_b,
+         CAST(a.n AS DOUBLE) AS n_a, CAST(ta.N AS DOUBLE) AS tot_a,
+         CAST(COALESCE(bc.n, 0) AS DOUBLE) AS n_b,
+         CAST(tb.N AS DOUBLE) AS tot_b, v.vsz AS vsz
+  FROM c a
+  JOIN t ta ON ta.s = a.s
+  CROSS JOIN t tb
+  CROSS JOIN v
+  LEFT JOIN c bc ON bc.s = tb.s AND bc.word = a.word
+  WHERE tb.s != a.s
+)
+SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_types,
+       SUM((n_a / tot_a)
+           * (ln(n_a / tot_a)
+              - ln((n_b + 0.5) / (tot_b + 0.5 * vsz)))) AS kl_nats
+FROM pair GROUP BY 1, 2
+""",
+            "est_col": "kl_nats",
             "rel_err": 1e-6,
         },
     }

@@ -407,3 +407,69 @@ def gini_concentration(
     den = (n * F.col("total_w")).cast("double")
     gini = F.when((n > 1) & (F.col("total_w") > 0), num / den)
     return a.select(*by, "n_docs", "total_w", gini.alias("gini"))
+
+def unigram_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Pairwise KL divergence between corpus slices' unigram language
+    models — the distributional drift matrix ("which sources read
+    alike, which one quietly changed register") complementing the
+    duplicate-based overlap matrix: two sources can share zero
+    documents yet be distributionally identical, and vice versa.
+
+    KL(pₐ‖q_b) over slice a's OBSERVED vocabulary: pₐ is the MLE
+    (c/Nₐ), q_b is additively smoothed over the GLOBAL vocabulary
+    (q_b(w) = (c_bw + α)/(N_b + α·|V|)) so unseen words cost a finite
+    ln, never ∞ — the standard held-out LM-eval shape.
+
+    Plan: tokenize → (slice, word) count [the one corpus-sized
+    shuffle] → per-slice totals (tiny, broadcast) → a-side words
+    equi-joined to b-side counts ON word then cross-paired with the
+    slice-total dim — every post-vocab frame is O(|V|·slices) or
+    smaller, never corpus-sized.  Returns (src_a, src_b, n_types,
+    kl_nats) for ordered pairs a ≠ b; ``n_types`` (a's distinct
+    observed words) certifies byte-exactly, ``kl_nats`` rides the
+    error-bound oracle (rel 1e-6 — ln/moment-sum float contract, as
+    zipf/heaps)."""
+    from repurpose_spark.plans.parallelism import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = df.select(F.col(by).alias("s"), F.explode(_tokens(df, text_col)).alias("w"))
+    c = words.groupBy("s", "w").agg(F.count("*").alias("n"))
+    totals = c.groupBy("s").agg(F.sum("n").alias("N"))
+    # |V| as an in-plan 1-row broadcast (no eager driver action, no
+    # second scan of the corpus)
+    vsz = c.agg(F.count_distinct("w").cast("double").alias("_vsz"))
+
+    a_side = c.select(
+        F.col("s").alias("src_a"), "w", F.col("n").alias("n_a")
+    ).join(
+        F.broadcast(totals.select(F.col("s").alias("src_a"), F.col("N").alias("tot_a"))),
+        "src_a",
+    )
+    b_counts = c.select(F.col("s").alias("src_b"), "w", F.col("n").alias("n_b"))
+    b_tot = totals.select(F.col("s").alias("src_b"), F.col("N").alias("tot_b"))
+
+    # pair every a-word with every b slice (|V_a| × slices rows), then
+    # pick up b's count for that word where it exists
+    paired = (
+        a_side.crossJoin(F.broadcast(b_tot))
+        .where(F.col("src_a") != F.col("src_b"))
+        .join(b_counts, ["src_b", "w"], "left")
+        .crossJoin(F.broadcast(vsz))
+    )
+    p_a = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
+    q_b = (F.coalesce(F.col("n_b"), F.lit(0)).cast("double") + F.lit(alpha)) / (
+        F.col("tot_b").cast("double") + F.lit(alpha) * F.col("_vsz")
+    )
+    term = p_a * (F.log(p_a) - F.log(q_b))
+    return (
+        paired.groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(term).alias("kl_nats"),
+        )
+    )

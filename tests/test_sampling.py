@@ -275,3 +275,38 @@ class TestGiniConcentration:
     def test_single_doc_null(self, spark):
         got = self._run(spark, [7])
         assert got["gini"] is None
+
+
+class TestUnigramKL:
+    def test_matches_hand_math(self, spark):
+        import math
+
+        from repurpose_spark.operators.cooccur import unigram_kl
+
+        docs = [("a", "x y x"), ("a", "y z"), ("b", "x q q")]
+        df = spark.createDataFrame(docs, "source string, text string")
+        got = {
+            (r["src_a"], r["src_b"]): (r["n_types"], r["kl_nats"])
+            for r in unigram_kl(df).collect()
+        }
+        # corpus: a = {x:2, y:2, z:1} (N=5), b = {x:1, q:2} (N=3), |V|=4
+        pa = {"x": 0.4, "y": 0.4, "z": 0.2}
+        qb = {"x": 1.5 / 5, "y": 0.5 / 5, "z": 0.5 / 5}
+        want_ab = sum(p * (math.log(p) - math.log(qb[w])) for w, p in pa.items())
+        assert got[("a", "b")][0] == 3
+        assert abs(got[("a", "b")][1] - want_ab) < 1e-12
+        # KL is asymmetric; the reverse direction uses b's vocabulary
+        assert got[("b", "a")][0] == 2
+        assert got[("b", "a")][1] != got[("a", "b")][1]
+
+    def test_identical_slices_near_zero(self, spark):
+        from repurpose_spark.operators.cooccur import unigram_kl
+
+        docs = [("a", "x x y"), ("b", "x x y")]
+        df = spark.createDataFrame(docs, "source string, text string")
+        got = {(r["src_a"], r["src_b"]): r["kl_nats"] for r in unigram_kl(df).collect()}
+        # identical NON-uniform distributions: only smoothing separates
+        # p (MLE) from q (smoothed) — small but positive.  (A uniform
+        # pair would give exactly 0: additive smoothing is a fixed
+        # point at the uniform distribution.)
+        assert 0 < got[("a", "b")] < 0.5
