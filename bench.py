@@ -78,6 +78,11 @@ HEADLINE = [
     "ev_interval_coverage",
     "ev_trimmed_daily",
     "doc_heaps_beta",
+    "ev_spearman_hourly",
+    "ev_max_drawdown",
+    "doc_token_gini",
+    "doc_systematic_sample",
+    "doc_source_kl",
 ]
 
 
