@@ -2801,6 +2801,25 @@ def q_doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_kl(d, by="source", alpha=0.5)
 
 
+
+def q_ev_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of arrival rates per event_type (operators/
+    drift.py::allan_variance) at three averaging timescales — the
+    third standing ingestion alarm next to PSI (what arrives) and
+    Fano (how bursty): it localizes WHICH timescale a stream is
+    unstable at.  Closed-range semantics with NO gap-fill pass (the
+    implicit-zero pairs fold into c² terms on one lag window); counts
+    and the squared-diff sum are int64 end to end and allan_var is
+    one correctly-rounded division — EXACT oracle."""
+    from repurpose_spark.operators.drift import allan_variance
+
+    ev = _t(spark, sf_dir, "events")
+    out = allan_variance(
+        ev, ["event_type"], ts_col="ts", taus=(3600, 7200, 21600)
+    )
+    return out.withColumn("tau", F.col("tau").cast("long"))
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2888,6 +2907,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_gini": q_doc_token_gini,
         "doc_systematic_sample": q_doc_systematic_sample,
         "doc_source_kl": q_doc_source_kl,
+        "ev_allan_variance": q_ev_allan_variance,
     }
 
 
@@ -4257,6 +4277,40 @@ FROM moments
 """,
         # the oracle is the NAIVE theta-join the operator exists to
         # avoid — bucketing must be invisible in the result multiset
+        "ev_allan_variance": """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events
+),
+tagged AS (
+  SELECT event_type, t.tau, sec // t.tau AS b
+  FROM pts CROSS JOIN (VALUES (3600), (7200), (21600)) t(tau)
+),
+c AS (
+  SELECT event_type, tau, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tagged GROUP BY 1, 2, 3
+),
+l AS (
+  SELECT event_type, tau, b, c,
+         LAG(b) OVER (PARTITION BY event_type, tau ORDER BY b) AS pb,
+         LAG(c) OVER (PARTITION BY event_type, tau ORDER BY b) AS pc
+  FROM c
+),
+s AS (
+  SELECT event_type, tau, b, c,
+         CASE WHEN pb IS NULL THEN 0
+              WHEN b - pb = 1 THEN (c - pc) * (c - pc)
+              ELSE pc * pc + c * c END AS sq
+  FROM l
+)
+SELECT event_type, CAST(tau AS BIGINT) AS tau,
+       CAST(MAX(b) - MIN(b) + 1 AS BIGINT) AS n_buckets,
+       CAST(SUM(sq) AS BIGINT) AS diff_sq_sum,
+       CASE WHEN MAX(b) - MIN(b) + 1 > 1 THEN
+         CAST(SUM(sq) AS DOUBLE)
+         / (2.0 * CAST(MAX(b) - MIN(b) AS DOUBLE))
+       END AS allan_var
+FROM s GROUP BY 1, 2
+""",
         "ev_spearman_hourly": """
 WITH h AS (
   SELECT event_type,

@@ -83,6 +83,7 @@ HEADLINE = [
     "doc_token_gini",
     "doc_systematic_sample",
     "doc_source_kl",
+    "ev_allan_variance",
 ]
 
 

@@ -176,3 +176,73 @@ def fano_factor(
         "n_events",
         F.when(n > 1, F.round(fano, 6)).alias("fano"),
     )
+
+def allan_variance(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    taus: tuple = (3600, 7200, 14400),
+) -> DataFrame:
+    """Allan variance of per-key arrival rates across averaging
+    timescales — the third standing ingestion alarm next to
+    :func:`psi_drift` (WHAT arrives) and :func:`fano_factor` (HOW
+    bursty): AVAR(τ) = Σ(c_{i+1} − c_i)² / (2(M−1)) over consecutive
+    τ-bucket counts says at WHICH timescale the stream is unstable —
+    white noise falls as 1/τ, a drifting source flattens, a periodic
+    thundering herd spikes at its period.  (Allan 1966, the clock-
+    stability statistic, applied to event counts.)
+
+    Same closed-range discipline as the Fano factor: the bucket axis
+    is [min, max] per (key, τ) and silent buckets count 0 — but NO
+    gap-fill pass materializes them: between observed buckets g apart,
+    the implicit zero pairs contribute exactly c_j² + c_{j+1}² (drop
+    to 0, rise from 0) when g ≥ 2 and (Δc)² when g = 1, so ONE lag
+    window over observed rows reproduces the dense sum.  Pair count
+    M − 1 = max − min comes from the range.
+
+    Scale shape: the raw scan explodes ×|taus| (bounded, documented) →
+    one partial+final count aggregate on (keys, τ, bucket) → one
+    per-(key, τ) lag window over bucket rows → final aggregate.
+    Exactness: counts and the squared-diff sum are int64 end to end;
+    ``allan_var`` is ONE correctly-rounded IEEE division of exact
+    integers — byte-stable, certified EXACT.  Keys with M < 2 yield
+    NULL.  Int64 bound: Σ diff² < 2⁶³ holds below ~10⁹ buckets ×
+    (10⁷ events/bucket)² per key — far past any per-key tier."""
+    key_cols = list(key_cols)
+    if not taus or any(int(t) <= 0 for t in taus):
+        raise ValueError("taus must be positive bucket widths in seconds")
+    sec = F.unix_timestamp(F.col(ts_col))
+    tagged = df.select(
+        *key_cols,
+        sec.alias("_sec"),
+        F.explode(F.array(*[F.lit(int(t)) for t in taus])).alias("tau"),
+    ).select(
+        # integer `div`, not float floor(a/b) — the bucket id must stay
+        # exact past 2^53 (same discipline as the packing prefix sum)
+        *key_cols, "tau", F.expr("_sec div tau").alias("_b")
+    )
+    counts = tagged.groupBy(*key_cols, "tau", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy(*key_cols, "tau").orderBy("_b")
+    prev_b = F.lag("_b").over(w)
+    prev_c = F.lag("_c").over(w)
+    d = F.col("_c") - prev_c
+    pair_sq = F.when(prev_b.isNull(), F.lit(0)).when(
+        F.col("_b") - prev_b == 1, d * d
+    ).otherwise(prev_c * prev_c + F.col("_c") * F.col("_c"))
+    scanned = counts.select(
+        *key_cols, "tau", "_b", pair_sq.alias("_sq")
+    )
+    a = scanned.groupBy(*key_cols, "tau").agg(
+        (F.max("_b") - F.min("_b") + 1).alias("n_buckets"),
+        F.sum("_sq").alias("diff_sq_sum"),
+    )
+    m1 = (F.col("n_buckets") - 1).cast("double")
+    avar = F.when(
+        F.col("n_buckets") > 1,
+        F.col("diff_sq_sum").cast("double") / (F.lit(2.0) * m1),
+    )
+    return a.select(
+        *key_cols, "tau", "n_buckets", "diff_sq_sum", avar.alias("allan_var")
+    )

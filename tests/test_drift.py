@@ -169,3 +169,57 @@ def test_fano_partition_invariance(spark):
         return sorted(map(tuple, fano_factor(d, ["event_type"]).collect()))
 
     assert run(df.repartition(1)) == run(df.repartition(13, "ts"))
+
+
+class TestAllanVariance:
+    def _run(self, spark, secs, taus=(10,)):
+        import datetime as dt
+
+        from repurpose_spark.operators.drift import allan_variance
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("k", base + dt.timedelta(seconds=int(s))) for s in secs]
+        df = spark.createDataFrame(rows, "k string, ts timestamp")
+        out = allan_variance(df, ["k"], taus=taus)
+        return {r["tau"]: r.asDict() for r in out.collect()}
+
+    def test_hand_dense_series(self, spark):
+        # tau=10 buckets: counts [2, 1, 3] → diffs (-1, 2) → sq sum 5
+        got = self._run(spark, [1, 2, 11, 21, 22, 23])[10]
+        assert got["n_buckets"] == 3
+        assert got["diff_sq_sum"] == 5
+        assert got["allan_var"] == 5 / (2 * 2)
+
+    def test_gap_counts_as_zero_bucket(self, spark):
+        # buckets 0 (c=2) and 2 (c=1): implicit zero bucket between →
+        # pairs (2→0)² + (0→1)² = 5 over M−1 = 2 pairs
+        got = self._run(spark, [1, 2, 25])[10]
+        assert got["n_buckets"] == 3
+        assert got["diff_sq_sum"] == 5
+        assert got["allan_var"] == 5 / 4
+
+    def test_single_bucket_null(self, spark):
+        got = self._run(spark, [1, 2, 3])[10]
+        assert got["n_buckets"] == 1
+        assert got["allan_var"] is None
+
+    def test_white_noise_falls_with_tau(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        secs = sorted(rng.integers(0, 40000, size=4000).tolist())
+        got = self._run(spark, secs, taus=(100, 400))
+        # rate-normalized Allan deviation falls for white arrivals as
+        # tau grows: avar scales ~tau (Poisson), so avar/tau² falls
+        a100 = got[100]["allan_var"] / 100**2
+        a400 = got[400]["allan_var"] / 400**2
+        assert a400 < a100
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from repurpose_spark.operators.drift import allan_variance
+
+        df = spark.createDataFrame([("k",)], "k string")
+        with _pt.raises(ValueError, match="taus"):
+            allan_variance(df, ["k"], taus=())
