@@ -2820,6 +2820,59 @@ def q_ev_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("tau", F.col("tau").cast("long"))
 
 
+
+def q_ev_interarrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival CV² per event_type (operators/drift.py::
+    interarrival_cv) — the bucket-free arrival-process alarm (CV² = 1
+    Poisson, > 1 clumped, < 1 metronomic) completing the PSI / Fano /
+    Allan family without a width parameter.  Integer-second gaps from
+    one window sort; CV² folds to exact int64 numerator/denominator
+    and ONE division — EXACT oracle."""
+    from repurpose_spark.operators.drift import interarrival_cv
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_cv(
+        ev, ["event_type"], ts_col="ts", tie_cols=("event_id",)
+    )
+
+
+def q_ev_equidepth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartile profile of integer cents per event_type
+    (operators/downsample.py::equidepth_profile): rank-balanced NTILE
+    tiles under the (cents, ts, event_id) total order, each reporting
+    exact count/min/max/sum — the interpolation-free dual of the
+    fixed-edge histogram.  EXACT oracle: SQL-standard NTILE agrees
+    tile-for-tile under a total order."""
+    from repurpose_spark.operators.downsample import equidepth_profile
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    return equidepth_profile(
+        rows, ["event_type"], "cents", tie_cols=("ts", "event_id"), k=4
+    )
+
+
+def q_ev_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of integer cents per event_type
+    (operators/drift.py::benford_profile) — the fabricated-data /
+    unit-mixup check: digit via the decimal string's first character
+    (no float log10 — its 1-ulp edges at powers of ten would make the
+    bucket engine-dependent), counts int64, share one correctly-
+    rounded division.  EXACT oracle."""
+    from repurpose_spark.operators.drift import benford_profile
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return benford_profile(rows, ["event_type"], "cents")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2908,6 +2961,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_systematic_sample": q_doc_systematic_sample,
         "doc_source_kl": q_doc_source_kl,
         "ev_allan_variance": q_ev_allan_variance,
+        "ev_interarrival_cv": q_ev_interarrival_cv,
+        "ev_equidepth_profile": q_ev_equidepth_profile,
+        "ev_benford": q_ev_benford,
     }
 
 
@@ -4277,6 +4333,64 @@ FROM moments
 """,
         # the oracle is the NAIVE theta-join the operator exists to
         # avoid — bucketing must be invisible in the result multiset
+        "ev_interarrival_cv": """
+WITH p AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS sec, ts, event_id
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         sec - LAG(sec) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS g
+  FROM p
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n_gaps, SUM(g) AS s1, SUM(g * g) AS s2
+  FROM g WHERE g IS NOT NULL GROUP BY 1
+)
+SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(s1 AS BIGINT) AS sum_gap_s, CAST(s2 AS BIGINT) AS sum_gap_sq,
+       CASE WHEN n_gaps > 1 AND s1 > 0 THEN
+         CAST(n_gaps * s2 - s1 * s1 AS DOUBLE) / CAST(s1 * s1 AS DOUBLE)
+       END AS cv2
+FROM a
+""",
+        "ev_equidepth_profile": """
+WITH p AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         ts, event_id
+  FROM events
+),
+t AS (
+  SELECT event_type, cents,
+         NTILE(4) OVER (PARTITION BY event_type
+                        ORDER BY cents, ts, event_id) AS tile
+  FROM p
+)
+SELECT event_type, tile, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(cents) AS min_v, MAX(cents) AS max_v,
+       CAST(SUM(cents) AS BIGINT) AS sum_v
+FROM t GROUP BY 1, 2
+""",
+        "ev_benford": """
+WITH p AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT event_type,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM p WHERE cents > 0
+),
+c AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       CAST(n AS DOUBLE)
+       / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+FROM c
+""",
         "ev_allan_variance": """
 WITH pts AS (
   SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events

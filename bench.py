@@ -84,6 +84,9 @@ HEADLINE = [
     "doc_systematic_sample",
     "doc_source_kl",
     "ev_allan_variance",
+    "ev_interarrival_cv",
+    "ev_equidepth_profile",
+    "ev_benford",
 ]
 
 

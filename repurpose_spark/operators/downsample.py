@@ -749,3 +749,41 @@ def haar_energy(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+def equidepth_profile(
+    df: DataFrame,
+    key_cols: list,
+    value_col: str,
+    tie_cols: list | tuple = (),
+    k: int = 4,
+) -> DataFrame:
+    """Equi-depth (NTILE) profile per key: split each key's rows into
+    ``k`` rank-balanced tiles under a caller-supplied TOTAL order and
+    report each tile's count / min / max / sum — the data-profiling
+    summary an optimizer or quality dashboard wants (exact value
+    ranges holding equal row mass), dual to the fixed-edge histogram
+    in :mod:`drift` (equal-width bins, varying mass).
+
+    Rank-based tiling means NO interpolation and NO float thresholds:
+    with a total order (ties broken by ``tie_cols``) the tile
+    assignment is the SQL-standard NTILE — the first ``n mod k``
+    tiles get the extra row — so every output cell is an exact int64
+    and both engines agree byte-for-byte, certified EXACT.
+
+    One shuffle on the keys, ONE window sort shared by NTILE, one
+    partial+final aggregate."""
+    key_cols = list(key_cols)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(*key_cols).orderBy(F.col(value_col).asc(), *tie_cols)
+    tiled = df.select(
+        *key_cols,
+        F.col(value_col).alias("_v"),
+        F.ntile(k).over(w).alias("tile"),
+    )
+    return tiled.groupBy(*key_cols, "tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+        F.sum("_v").alias("sum_v"),
+    )

@@ -246,3 +246,76 @@ def allan_variance(
     return a.select(
         *key_cols, "tau", "n_buckets", "diff_sq_sum", avar.alias("allan_var")
     )
+
+def interarrival_cv(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    tie_cols: list | tuple = (),
+) -> DataFrame:
+    """Squared coefficient of variation of inter-arrival gaps per key —
+    the fourth arrival-process lens (PSI: what, Fano: bucket burst,
+    Allan: which timescale; this one is bucket-free): CV² = 1 for a
+    Poisson stream, > 1 clumped, < 1 metronomic — and unlike the
+    bucketed alarms it needs no width choice at all.
+
+    One window sort by (ts, ties) produces the integer-second gaps;
+    CV² folds to (n·Σg² − (Σg)²)/(Σg)² — exact int64 numerator and
+    denominator, ONE correctly-rounded IEEE division → byte-stable,
+    certified EXACT.  Keys with < 2 gaps or zero total span yield
+    NULL.  Returns (keys…, n_gaps, sum_gap_s, sum_gap_sq, cv2)."""
+    key_cols = list(key_cols)
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tie_cols)
+    g = sec - F.lag(sec).over(w)
+    gaps = df.select(*key_cols, g.alias("_g")).where(F.col("_g").isNotNull())
+    a = gaps.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_g").alias("sum_gap_s"),
+        F.sum(F.col("_g") * F.col("_g")).alias("sum_gap_sq"),
+    )
+    n = F.col("n_gaps")
+    s1 = F.col("sum_gap_s")
+    cv2 = F.when(
+        (n > 1) & (s1 > 0),
+        (n * F.col("sum_gap_sq") - s1 * s1).cast("double")
+        / (s1 * s1).cast("double"),
+    )
+    return a.select(*key_cols, "n_gaps", "sum_gap_s", "sum_gap_sq", cv2.alias("cv2"))
+
+
+def benford_profile(
+    df: DataFrame,
+    key_cols: list,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit profile per key — the classic
+    fabricated-data / unit-mixup audit: organically-scaled positive
+    quantities follow Benford's law (P(d) = log₁₀(1 + 1/d)); a flat
+    or spiked digit histogram flags synthetic padding, clipped
+    sensors, or a magnitude bug.
+
+    The digit is extracted as the first character of the integer's
+    decimal string — pure integer/string ops, NO float log10 (whose
+    1-ulp edges at exact powers of ten would make the bucket itself
+    engine-dependent).  Non-positive values are excluded by
+    definition.  Returns (keys…, digit, n, share): counts int64,
+    ``share`` ONE IEEE division of exact int64s — byte-stable,
+    certified EXACT.  One partial+final aggregate + a per-key total
+    broadcast back; nothing corpus-sized reshuffles."""
+    key_cols = list(key_cols)
+    v = F.col(value_col).cast("long")
+    d = F.substring(v.cast("string"), 1, 1).cast("int")
+    pos = df.where(v > 0).select(*key_cols, d.alias("digit"))
+    counts = pos.groupBy(*key_cols, "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_tot = Window.partitionBy(*key_cols)
+    return counts.select(
+        *key_cols,
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_tot).cast("double")).alias(
+            "share"
+        ),
+    )

@@ -520,3 +520,26 @@ def test_haar_energy_tail_drop_and_partition_invariance(spark):
         )
     )
     assert repartitioned == got
+
+
+class TestEquidepthProfile:
+    def test_ntile_balance_and_stats(self, spark):
+        from repurpose_spark.operators.downsample import equidepth_profile
+
+        rows = [("k", i, v) for i, v in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6])]
+        df = spark.createDataFrame(rows, "k string, rid long, v long")
+        out = equidepth_profile(df, ["k"], "v", tie_cols=("rid",), k=4)
+        got = {r["tile"]: r.asDict() for r in out.collect()}
+        # n=9, k=4: tile sizes 3,2,2,2 over sorted [1..9]
+        assert [got[t]["n"] for t in (1, 2, 3, 4)] == [3, 2, 2, 2]
+        assert (got[1]["min_v"], got[1]["max_v"], got[1]["sum_v"]) == (1, 3, 6)
+        assert (got[4]["min_v"], got[4]["max_v"]) == (8, 9)
+
+    def test_k_validation(self, spark):
+        import pytest as _pt
+
+        from repurpose_spark.operators.downsample import equidepth_profile
+
+        df = spark.createDataFrame([("k", 1, 1)], "k string, rid long, v long")
+        with _pt.raises(ValueError, match="k must"):
+            equidepth_profile(df, ["k"], "v", k=0)

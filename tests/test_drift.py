@@ -223,3 +223,59 @@ class TestAllanVariance:
         df = spark.createDataFrame([("k",)], "k string")
         with _pt.raises(ValueError, match="taus"):
             allan_variance(df, ["k"], taus=())
+
+
+class TestInterarrivalCV:
+    def _run(self, spark, secs):
+        import datetime as dt
+
+        from repurpose_spark.operators.drift import interarrival_cv
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("k", i, base + dt.timedelta(seconds=int(s)))
+                for i, s in enumerate(secs)]
+        df = spark.createDataFrame(rows, "k string, eid long, ts timestamp")
+        out = interarrival_cv(df, ["k"], tie_cols=("eid",))
+        return out.collect()[0].asDict()
+
+    def test_metronomic_is_zero(self, spark):
+        got = self._run(spark, [0, 10, 20, 30])
+        assert got["n_gaps"] == 3
+        assert got["cv2"] == 0.0
+
+    def test_hand_value(self, spark):
+        # gaps [1, 3]: cv2 = (2*(1+9) - 16)/16 = 4/16
+        got = self._run(spark, [0, 1, 4])
+        assert (got["sum_gap_s"], got["sum_gap_sq"]) == (4, 10)
+        assert got["cv2"] == 0.25
+
+    def test_single_gap_null(self, spark):
+        got = self._run(spark, [0, 5])
+        assert got["n_gaps"] == 1 and got["cv2"] is None
+
+
+class TestBenfordProfile:
+    def test_digit_extraction_and_share(self, spark):
+        from repurpose_spark.operators.drift import benford_profile
+
+        vals = [1, 19, 100, 2, 25, 999, 0, -7]  # 0 and -7 excluded
+        df = spark.createDataFrame(
+            [("k", v) for v in vals], "k string, v long"
+        )
+        got = {r["digit"]: (r["n"], r["share"])
+               for r in benford_profile(df, ["k"], "v").collect()}
+        assert got[1] == (3, 3 / 6)
+        assert got[2] == (2, 2 / 6)
+        assert got[9] == (1, 1 / 6)
+        assert set(got) == {1, 2, 9}
+
+    def test_power_of_ten_edge(self, spark):
+        # 10^k values land on digit 1 exactly (the float-log10 trap
+        # this operator avoids by construction)
+        from repurpose_spark.operators.drift import benford_profile
+
+        df = spark.createDataFrame(
+            [("k", 10), ("k", 100), ("k", 1000)], "k string, v long"
+        )
+        got = benford_profile(df, ["k"], "v").collect()
+        assert len(got) == 1 and got[0]["digit"] == 1 and got[0]["n"] == 3
