@@ -2873,6 +2873,22 @@ def q_ev_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(rows, ["event_type"], "cents")
 
 
+
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV rate per source against the corpus top-500 vocabulary
+    (operators/cooccur.py::oov_rate) — the tokenizer-coverage monitor:
+    a source drifting away from the fitted vocabulary (new language,
+    template flood, mojibake) shows up as a rising OOV share before
+    quality scores move.  Vocabulary = top-k under the (count desc,
+    word) total order via TakeOrderedAndProject (distributed partial
+    top-k, never a one-task vocab sort), membership via broadcast
+    left join; counts int64 + ONE division — EXACT oracle."""
+    from repurpose_spark.operators.cooccur import oov_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate(d, by=("source",), vocab_k=500)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2964,6 +2980,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_interarrival_cv": q_ev_interarrival_cv,
         "ev_equidepth_profile": q_ev_equidepth_profile,
         "ev_benford": q_ev_benford,
+        "doc_oov_rate": q_doc_oov_rate,
     }
 
 
@@ -4529,6 +4546,28 @@ k AS (
 SELECT source, doc_id, n_tok,
        CAST(start AS BIGINT) AS start, CAST(grid_k AS BIGINT) AS grid_k
 FROM k WHERE grid_k * 500 < start + n_tok
+""",
+        "doc_oov_rate": """
+WITH w AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+  FROM documents
+),
+ww AS (SELECT source, word FROM w WHERE word != ''),
+c AS (SELECT word, COUNT(*) AS n FROM ww GROUP BY 1),
+v AS (
+  SELECT word FROM c ORDER BY n DESC, word LIMIT 500
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)
+       END AS oov_rate
+FROM ww LEFT JOIN v ON ww.word = v.word
+GROUP BY 1
 """,
         "ev_interval_coverage": """
 WITH iv AS (

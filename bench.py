@@ -87,6 +87,7 @@ HEADLINE = [
     "ev_interarrival_cv",
     "ev_equidepth_profile",
     "ev_benford",
+    "doc_oov_rate",
 ]
 
 

@@ -473,3 +473,56 @@ def unigram_kl(
             F.sum(term).alias("kl_nats"),
         )
     )
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    by: list | tuple = ("source",),
+    vocab_k: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per corpus slice against the corpus-wide
+    top-``vocab_k`` vocabulary — the tokenizer-coverage monitor: a
+    source whose OOV share jumps is drifting away from the vocabulary
+    the downstream tokenizer was fit on (new language, new template,
+    mojibake flood).
+
+    The reference vocabulary is DETERMINISTIC: the ``vocab_k`` most
+    frequent corpus words under the (count desc, word asc) total
+    order — so the whole query is integer counts plus ONE
+    correctly-rounded division and certifies EXACT.
+
+    Plan: one corpus tokenize feeding BOTH sides of a common
+    subexpression — the global vocab count (ranked, limited to a
+    broadcast-sized frame) and the per-slice token stream — joined
+    with a broadcast LEFT join (corpus never reshuffles for
+    membership); one partial+final aggregate.  Returns
+    (by…, n_tokens, n_oov, oov_rate)."""
+    from repurpose_spark.plans.parallelism import ensure_parallelism
+
+    by = list(by)
+    if vocab_k < 1:
+        raise ValueError(f"vocab_k must be >= 1, got {vocab_k}")
+    df = ensure_parallelism(df)
+    words = df.select(*by, F.explode(_tokens(df, text_col)).alias("w"))
+    counts = words.groupBy("w").agg(F.count("*").alias("n"))
+    # orderBy().limit() plans as TakeOrderedAndProject — a distributed
+    # partial top-k, never a one-task sort of the full vocabulary (a
+    # 100-TB corpus has a 10⁸-word vocab; a global row_number window
+    # would funnel it through one partition)
+    vocab = (
+        counts.orderBy(F.desc("n"), F.asc("w"))
+        .limit(int(vocab_k))
+        .select("w", F.lit(1).alias("_in"))
+    )
+    tagged = words.join(F.broadcast(vocab), "w", "left")
+    a = tagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+    )
+    return a.select(*by, "n_tokens", "n_oov", rate.alias("oov_rate"))

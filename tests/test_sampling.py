@@ -310,3 +310,41 @@ class TestUnigramKL:
         # pair would give exactly 0: additive smoothing is a fixed
         # point at the uniform distribution.)
         assert 0 < got[("a", "b")] < 0.5
+
+
+class TestOovRate:
+    def test_hand_case(self, spark):
+        from repurpose_spark.operators.cooccur import oov_rate
+
+        docs = [
+            ("a", "x x x y"),   # x:3 y:1
+            ("b", "x z z q"),   # z:2 q:1
+        ]
+        df = spark.createDataFrame(docs, "source string, text string")
+        # vocab_k=2 → top-2 by (count desc, word): x(4), z(2)
+        got = {r["source"]: r.asDict()
+               for r in oov_rate(df, vocab_k=2).collect()}
+        assert (got["a"]["n_tokens"], got["a"]["n_oov"]) == (4, 1)  # y
+        assert got["a"]["oov_rate"] == 0.25
+        assert (got["b"]["n_tokens"], got["b"]["n_oov"]) == (4, 1)  # q
+        assert got["b"]["oov_rate"] == 0.25
+
+    def test_count_tie_breaks_by_word(self, spark):
+        from repurpose_spark.operators.cooccur import oov_rate
+
+        # all words count 1: vocab_k=1 must pick the alphabetically
+        # first ('a'), deterministically
+        df = spark.createDataFrame(
+            [("s", "b a c")], "source string, text string"
+        )
+        got = oov_rate(df, vocab_k=1).collect()[0]
+        assert got["n_oov"] == 2
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from repurpose_spark.operators.cooccur import oov_rate
+
+        df = spark.createDataFrame([("s", "x")], "source string, text string")
+        with _pt.raises(ValueError, match="vocab_k"):
+            oov_rate(df, vocab_k=0)
