@@ -2889,6 +2889,106 @@ def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(d, by=("source",), vocab_k=500)
 
 
+def q_ev_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length islands of each user's event-type stream
+    (operators/states.py::state_runs) — gaps-and-islands RLE: maximal
+    runs of an unchanged state with start/end/length, the categorical
+    compression tier and "how long do sessions stay in state X"
+    monitor (reference analog: consumers of the per-cell ordered
+    series img2ts.py builds).  Run ids and counts are exact int64
+    under the (ts, event_id) total order; one hash exchange on
+    user_id, one sort, and the run aggregate reuses the partitioning
+    (subset-clustering) — EXACT oracle."""
+    from repurpose_spark.operators.states import state_runs
+
+    ev = _t(spark, sf_dir, "events")
+    return state_runs(
+        ev, ["user_id"], ts_col="ts", state_col="event_type",
+        tie_cols=("event_id",),
+    )
+
+
+def q_ev_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types across user
+    sequences (operators/states.py::transition_matrix) — the
+    behavioral fingerprint: counts and row-normalized probabilities of
+    event_type → next event_type, the template/bot detector (scripted
+    agents have near-degenerate rows) and the first-order perplexity
+    baseline for any sequence model.  Counts int64, ``p`` ONE IEEE
+    division; the corpus exchanges once on user_id, the matrix
+    aggregate moves only |states|²-sized partials — EXACT oracle."""
+    from repurpose_spark.operators.states import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, ["user_id"], ts_col="ts", state_col="event_type",
+        tie_cols=("event_id",),
+    )
+
+
+def q_ev_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley online drift alarm per event_type
+    (operators/drift.py::page_hinkley) over the gap-filled hourly
+    count grid — the SEQUENTIAL complement of ev_changepoint's offline
+    two-window scan: at which tick would a live monitor calibrated on
+    the first 24 h (slack δ=1 event/h, threshold λ=50) have FIRST
+    fired?  The denominator-clearing trick keeps every running
+    quantity int64 (running sums/mins of integers are evaluation-
+    order-proof), so the alarm tick itself is byte-stable — EXACT
+    oracle, including the NULL never-fired keys."""
+    from repurpose_spark.operators.drift import page_hinkley
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    )
+    return page_hinkley(
+        dense, ["event_type"], ts_col="tick", value_col="n_events",
+        calib=24, delta=1, lam=50,
+    )
+
+
+def q_ev_seasonal_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive vs naive-1 forecast skill (MASE) per event_type
+    (operators/downsample.py::seasonal_naive_skill) on the gap-filled
+    hourly count grid with a 24 h season — the model-selection gate in
+    front of ev_holt / ev_seasonal_decompose: mase < 1 ⇒ the daily
+    pattern beats persistence, fit something seasonal.  Both MAE
+    numerators are exact int64 sums of row-lag deltas on the dense
+    grid; mase is ONE division of exact int64 cross-products — EXACT
+    oracle."""
+    from repurpose_spark.operators.downsample import seasonal_naive_skill
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    )
+    return seasonal_naive_skill(
+        dense, ["event_type"], ts_col="tick", value_col="n_events",
+        period=24,
+    )
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional 10-doc sample per source
+    (operators/sampling.py::weighted_priority_sample) — priority
+    sampling (Duffield/Lund/Thorup): rank by u/n_chars with u a 20-bit
+    uniform from md5(doc_id‖seed), keep each source's 10 smallest —
+    "sample the review queue by token mass, reproducibly", the
+    weighted sibling of doc_sample_bottomk.  Same never-shuffle-the-
+    corpus plan (local bottom-k heaps → survivor rank → broadcast
+    semi-join); the rank key is ONE IEEE division of exact int64s —
+    EXACT oracle (DuckDB parses the identical hex prefix and ranks the
+    identical doubles)."""
+    from repurpose_spark.operators.sampling import weighted_priority_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_priority_sample(
+        d, ["source"], 10, id_col="doc_id", weight_col="n_chars",
+        seed="r5w",
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -2981,6 +3081,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_equidepth_profile": q_ev_equidepth_profile,
         "ev_benford": q_ev_benford,
         "doc_oov_rate": q_doc_oov_rate,
+        "ev_state_runs": q_ev_state_runs,
+        "ev_markov": q_ev_markov,
+        "ev_page_hinkley": q_ev_page_hinkley,
+        "ev_seasonal_skill": q_ev_seasonal_skill,
+        "doc_weighted_sample": q_doc_weighted_sample,
     }
 
 
@@ -6542,5 +6647,165 @@ SELECT f.d0 AS cohort_day, a.d - f.d0 AS day_offset,
 FROM acts a JOIN f USING (u)
 WHERE a.d - f.d0 <= 7
 GROUP BY 1, 2
+""",
+        # gaps-and-islands: identical lag→change→running-sum grouping
+        "ev_state_runs": """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+r AS (
+  SELECT user_id, ts, event_type,
+         SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM s
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM r GROUP BY 1, 2, 3
+""",
+        # transition counts exact; p one division of exact int64s
+        "ev_markov": """
+WITH p AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events
+),
+c AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+       CAST(n AS DOUBLE) /
+       CAST(CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT)
+            AS DOUBLE) AS p
+FROM c
+""",
+        # denominator-cleared PH: every running quantity int64 — the
+        # alarm tick compares identical integers in both engines
+        "ev_page_hinkley": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+),
+rn AS (
+  SELECT event_type, tick, n_events,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tick) AS rn
+  FROM dense
+),
+cal AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn <= 24 THEN n_events END) AS BIGINT) AS sc,
+         CAST(SUM(CASE WHEN rn <= 24 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM rn GROUP BY 1
+),
+e AS (
+  SELECT r.event_type, r.tick, c.d, c.sc,
+         c.d * r.n_events - c.sc - c.d * 1 AS e
+  FROM rn r JOIN cal c USING (event_type)
+  WHERE r.rn > 24
+),
+p AS (
+  SELECT event_type, tick, d, sc,
+         CAST(SUM(e) OVER (PARTITION BY event_type ORDER BY tick
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM e
+),
+q AS (
+  SELECT event_type, tick, d, sc, p,
+         p - CAST(MIN(p) OVER (PARTITION BY event_type ORDER BY tick
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ph
+  FROM p
+)
+SELECT event_type,
+       MIN(d) AS calib_n,
+       MIN(sc) AS calib_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(MAX(ph) AS BIGINT) AS max_ph_scaled,
+       CAST(MAX(ph) AS DOUBLE) / CAST(MIN(d) AS DOUBLE) AS max_ph,
+       MIN(CASE WHEN ph > d * 50 THEN tick END) AS first_alarm_ts
+FROM q GROUP BY 1
+""",
+        # both MAE numerators exact int64; mase one division of exact
+        # cross-products
+        "ev_seasonal_skill": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+),
+d AS (
+  SELECT event_type,
+         abs(n_events - LAG(n_events, 1)
+               OVER (PARTITION BY event_type ORDER BY tick)) AS a1,
+         abs(n_events - LAG(n_events, 24)
+               OVER (PARTITION BY event_type ORDER BY tick)) AS a24
+  FROM dense
+),
+a AS (
+  SELECT event_type,
+         CAST(COUNT(a1) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(a1), 0) AS BIGINT) AS s1,
+         CAST(COUNT(a24) AS BIGINT) AS n24,
+         CAST(COALESCE(SUM(a24), 0) AS BIGINT) AS s24
+  FROM d GROUP BY 1
+)
+SELECT event_type, n1 AS n1, s1 AS sae_naive1,
+       n24 AS n_seasonal, s24 AS sae_seasonal,
+       CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+         AS mae_naive1,
+       CASE WHEN n24 > 0 THEN CAST(s24 AS DOUBLE) / CAST(n24 AS DOUBLE) END
+         AS mae_seasonal,
+       CASE WHEN n24 > 0 AND s1 > 0 THEN
+         CAST(s24 * n1 AS DOUBLE) / CAST(s1 * n24 AS DOUBLE) END AS mase
+FROM a
+""",
+        # identical md5 hex prefix → identical 20-bit u → identical
+        # one-division rank key in both engines
+        "doc_weighted_sample": """
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || substr(md5(doc_id || chr(31) || 'r5w'), 1, 5))
+              AS BIGINT) + 1 AS u
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(u AS DOUBLE) / CAST(n_chars AS DOUBLE), doc_id
+         ) AS rn
+  FROM t
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
 """,
     }

@@ -787,3 +787,67 @@ def equidepth_profile(
         F.max("_v").alias("max_v"),
         F.sum("_v").alias("sum_v"),
     )
+
+
+def seasonal_naive_skill(
+    dense: DataFrame,
+    key_cols: list,
+    ts_col: str = "tick",
+    value_col: str = "v",
+    period: int = 24,
+) -> DataFrame:
+    """Seasonal-naive forecast skill (MASE-style) per key over a DENSE
+    regular grid — the standard "is there exploitable seasonality"
+    triage BEFORE fitting any model: compare the season-ago predictor
+    ŷ_t = y_{t−period} against the naive-1 predictor ŷ_t = y_{t−1} by
+    mean absolute error.  ``mase < 1`` ⇒ the seasonal pattern beats
+    persistence (worth a seasonal model); ``≈ 1`` ⇒ a plain smoother
+    suffices (the decision gate in the M4-competition sense between
+    ev_holt and ev_seasonal_decompose).
+
+    Inputs must be a dense grid of exact integers (gap-fill the rollup
+    tier first — same contract as ``mean_shift``), so the deltas ride
+    row-lag windows, both MAE numerators are exact int64 sums, and
+    ``mase = (sae_seasonal·n1) / (sae_naive1·nS)`` is ONE correctly-
+    rounded IEEE division of exact int64 products — byte-stable,
+    certified EXACT.  Headroom: cent-scale totals × series length keep
+    the cross products ≪ 2⁶³.  One hash exchange on the key, one sort;
+    both lags and the final aggregate share them.
+
+    Returns (keys…, n1, sae_naive1, n_seasonal, sae_seasonal,
+    mae_naive1, mae_seasonal, mase); keys shorter than ``period``+1
+    ticks yield NULL mase (no seasonal pairs to score).
+    """
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    v = F.col(value_col).cast("long")
+    d1 = v - F.lag(v, 1).over(w)
+    dS = v - F.lag(v, int(period)).over(w)
+    diffs = dense.select(
+        *key_cols, F.abs(d1).alias("_a1"), F.abs(dS).alias("_aS")
+    )
+    a = diffs.groupBy(*key_cols).agg(
+        F.count("_a1").alias("n1"),
+        F.coalesce(F.sum("_a1"), F.lit(0)).alias("sae_naive1"),
+        F.count("_aS").alias("n_seasonal"),
+        F.coalesce(F.sum("_aS"), F.lit(0)).alias("sae_seasonal"),
+    )
+    n1, s1 = F.col("n1"), F.col("sae_naive1")
+    nS, sS = F.col("n_seasonal"), F.col("sae_seasonal")
+    return a.select(
+        *key_cols,
+        "n1",
+        "sae_naive1",
+        "n_seasonal",
+        "sae_seasonal",
+        F.when(n1 > 0, s1.cast("double") / n1.cast("double")).alias(
+            "mae_naive1"
+        ),
+        F.when(nS > 0, sS.cast("double") / nS.cast("double")).alias(
+            "mae_seasonal"
+        ),
+        F.when(
+            (nS > 0) & (s1 > 0),
+            (sS * n1).cast("double") / (s1 * nS).cast("double"),
+        ).alias("mase"),
+    )

@@ -319,3 +319,111 @@ def benford_profile(
             "share"
         ),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    value_col: str = "v",
+    calib: int = 24,
+    delta: int = 0,
+    lam: int = 0,
+    tie_cols: list | tuple = (),
+) -> DataFrame:
+    """Page–Hinkley online upward-drift alarm per key — the SEQUENTIAL
+    drift detector completing the family (PSI: distribution per slice,
+    mean_shift: offline two-window scan; this one answers "at which
+    tick would a live monitor have FIRST fired").
+
+    Classic PH tracks m_t = Σ(x_i − x̄ − δ) and alarms when
+    m_t − min_{j≤t} m_j > λ.  The running-mean variant is float-
+    recursive; this implementation pins the baseline x̄ to the mean of
+    the key's first ``calib`` ticks (the calibration window a live
+    monitor would burn in) and clears every denominator by scaling
+    through d = |calibration rows|: with integer inputs,
+
+        e_i  = d·x_i − S_c − d·δ          (int64, exact)
+        P_t  = Σ e_i  (running),  M_t = min P  (running)
+        alarm at the first tick with  P_t − M_t > d·λ.
+
+    Every quantity is int64 — running sums/mins of integers are
+    order-of-evaluation-proof (no float tree-vs-sequential rounding),
+    so the alarm tick and peak statistic are byte-stable across
+    engines: certified EXACT.  Overflow headroom: |e| ≤ 2·calib·max|x|
+    and P accumulates over the series length — int64 holds through
+    calib 24 × cent-scaled hourly totals × centuries of ticks.
+
+    One hash exchange on the key feeds all passes: the calibration
+    sums ride an unordered whole-partition window, the prefix P/M the
+    ordered window (one sort, reused through the post-calibration
+    filter), and the final per-key aggregate reuses the partitioning.
+    Returns (keys…, calib_n, calib_sum, n_scored, max_ph_scaled,
+    max_ph, first_alarm_ts):  ``max_ph = max_ph_scaled / d`` is the
+    one IEEE division; ``first_alarm_ts`` NULL when the alarm never
+    fires.  Keys with ≤ ``calib`` ticks have nothing to score and are
+    omitted (a live monitor still inside burn-in reports nothing).
+    """
+    key_cols = list(key_cols)
+    wo = Window.partitionBy(*key_cols).orderBy(ts_col, *tie_cols)
+    wp = Window.partitionBy(*key_cols)
+    v = F.col(value_col).cast("long")
+    rows = (
+        df.select(*key_cols, ts_col, *tie_cols, v.alias("_v"))
+        .withColumn("_rn", F.row_number().over(wo))
+        .withColumn(
+            "_sc",
+            F.sum(F.when(F.col("_rn") <= calib, F.col("_v"))).over(wp),
+        )
+        .withColumn(
+            "_d",
+            F.sum(
+                F.when(F.col("_rn") <= calib, F.lit(1)).otherwise(F.lit(0))
+            ).over(wp),
+        )
+    )
+    scored = (
+        rows.where(F.col("_rn") > calib)
+        .withColumn(
+            "_e",
+            F.col("_d") * F.col("_v")
+            - F.col("_sc")
+            - F.col("_d") * F.lit(int(delta)),
+        )
+        .withColumn(
+            "_p",
+            F.sum("_e").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "_m",
+            F.min("_p").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_ph", F.col("_p") - F.col("_m"))
+    )
+    agg = scored.groupBy(*key_cols).agg(
+        F.first("_d").alias("calib_n"),
+        F.first("_sc").alias("calib_sum"),
+        F.count(F.lit(1)).alias("n_scored"),
+        F.max("_ph").alias("max_ph_scaled"),
+        F.min(
+            F.when(
+                F.col("_ph") > F.col("_d") * F.lit(int(lam)), F.col(ts_col)
+            )
+        ).alias("first_alarm_ts"),
+    )
+    return agg.select(
+        *key_cols,
+        "calib_n",
+        "calib_sum",
+        "n_scored",
+        "max_ph_scaled",
+        (
+            F.col("max_ph_scaled").cast("double")
+            / F.col("calib_n").cast("double")
+        ).alias("max_ph"),
+        "first_alarm_ts",
+    )

@@ -57,7 +57,17 @@ def sample_bottom_k(
     tag = df.select(
         *key_cols, F.col(id_col), sample_hash_expr(id_col, seed).alias("_h")
     )
+    return _rank_bottom_k(df, tag, key_cols, k, id_col)
 
+
+def _rank_bottom_k(
+    df: DataFrame, tag: DataFrame, key_cols: list, k: int, id_col: str
+) -> DataFrame:
+    """Shared never-shuffle-the-corpus bottom-k core: ``tag`` holds
+    (keys…, id, _h); keep each group's k rows with the smallest
+    (_h, id) and semi-join the winners back onto ``df``.  Local
+    per-partition heaps (mapInPandas, exact by the top-k superset
+    property) → survivors-only global rank → broadcast semi-join."""
     schema = tag.schema
     gcols, hcol, icol = key_cols, "_h", id_col
 
@@ -157,3 +167,62 @@ def systematic_sample(
         F.col("_start").alias("start"),
         k.alias("grid_k"),
     )
+
+
+def priority_key_expr(
+    id_col: str, weight_col: str, seed: str
+) -> "F.Column":
+    """The weighted rank key: u / w ascending, with u a 20-bit integer
+    in [1, 2²⁰] parsed from the first 5 hex chars of ``md5(id ⟂
+    seed)``.  Ascending u/w is the same total order as descending
+    priority w/u (Duffield–Lund–Thorup priority sampling) — ONE
+    correctly-rounded IEEE division of exact int64s per row, so any
+    SQL engine hashing the same ids ranks identically byte-for-byte."""
+    u = (
+        F.conv(
+            F.substring(sample_hash_expr(id_col, seed), 1, 5), 16, 10
+        ).cast("long")
+        + 1
+    )
+    return u.cast("double") / F.col(weight_col).cast("double")
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_cols: list,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weight-proportional k-row sample per group —
+    priority sampling (Duffield/Lund/Thorup, JACM 2007): rank each row
+    by u/w with u a content-derived uniform from md5(id‖seed) and keep
+    the k smallest per group.  Inclusion probability rises with weight
+    (a 5k-token doc outranks a 1k one at the same u), the selection is
+    content-stable across runs/partitionings like
+    :func:`sample_bottom_k`, and WITHOUT-replacement semantics come
+    free (each id appears once).  The weighted counterpart of
+    bottom-k's uniform sample and the unordered counterpart of
+    ``systematic_sample``'s PPS grid — "sample a review queue by token
+    mass, reproducibly".
+
+    Rows with NULL or non-positive weight are excluded by definition.
+    Same plan as bottom-k: the corpus is never shuffled — map-side
+    (key, id, u/w) projection, per-partition bottom-k heaps, a
+    survivors-only global rank, winners broadcast back as a semi-join.
+    Ties (identical u/w) break by id.  Returns original rows, all
+    columns.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key_cols = list(key_cols)
+    eligible = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    tag = eligible.select(
+        *key_cols,
+        F.col(id_col),
+        priority_key_expr(id_col, weight_col, seed).alias("_h"),
+    )
+    return _rank_bottom_k(df, tag, key_cols, k, id_col)
