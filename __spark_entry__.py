@@ -2989,6 +2989,49 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift of the cent distribution per
+    event_type between consecutive observed days
+    (operators/drift.py::ks_drift) — the BIN-FREE complement of
+    ev_drift_psi: D = max|F_prev − F_cur| over the merged support, so
+    location shifts, variance changes, and new modes all register with
+    no bin-edge or smoothing choice.  One corpus-sized count aggregate;
+    everything after is support-sized (pair join on the tiny slice
+    axis, one window sort per day-pair).  CDF steps are exact int64
+    cumulations with two IEEE divisions per support point; the max of
+    identical doubles is engine-independent — EXACT oracle."""
+    from repurpose_spark.operators.drift import ks_drift
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("slice"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ks_drift(rows, ["event_type"], slice_col="slice",
+                    value_col="cents")
+
+
+def q_ev_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution
+    (operators/funnel.py::last_touch): for every purchase, the user's
+    most recent strictly-prior click and whether it falls inside a
+    7-day window — the dual of ev_funnel's first-touch ordering
+    ("which click gets credit for this purchase").  The latest prior
+    touch is a running MAX of conditionally-projected timestamps over
+    strictly-preceding rows (MAX skips NULLs by SQL semantics — no
+    IGNORE NULLS dialect divergence); gap exact integer seconds,
+    attribution an integer predicate — EXACT oracle including the
+    NULL no-prior-touch rows.  One exchange on user_id, one sort."""
+    from repurpose_spark.operators.funnel import last_touch
+
+    ev = _t(spark, sf_dir, "events")
+    return last_touch(
+        ev, conv_type="purchase", touch_type="click",
+        horizon_s=7 * 86400, tie_cols=("event_id",),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -3086,6 +3129,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_page_hinkley": q_ev_page_hinkley,
         "ev_seasonal_skill": q_ev_seasonal_skill,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "ev_ks_drift": q_ev_ks_drift,
+        "ev_last_touch": q_ev_last_touch,
     }
 
 
@@ -6807,5 +6852,70 @@ r AS (
   FROM t
 )
 SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
+""",
+        # merged-support step CDFs: exact int64 cumulations, two IEEE
+        # divisions per support point, max of identical doubles
+        "ev_ks_drift": """
+WITH c AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS slice,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+sl AS (
+  SELECT event_type, slice,
+         LAG(slice) OVER (PARTITION BY event_type ORDER BY slice) AS prev
+  FROM (SELECT DISTINCT event_type, slice FROM c)
+),
+pr AS (SELECT * FROM sl WHERE prev IS NOT NULL),
+u AS (
+  SELECT c.event_type, p.slice AS pair, c.cents,
+         CAST(0 AS BIGINT) AS cp, c.n AS cc
+  FROM c JOIN pr p ON c.event_type = p.event_type AND c.slice = p.slice
+  UNION ALL
+  SELECT c.event_type, p.slice AS pair, c.cents, c.n AS cp,
+         CAST(0 AS BIGINT) AS cc
+  FROM c JOIN pr p ON c.event_type = p.event_type AND c.slice = p.prev
+),
+g AS (
+  SELECT event_type, pair, cents,
+         CAST(SUM(cp) AS BIGINT) AS cp, CAST(SUM(cc) AS BIGINT) AS cc
+  FROM u GROUP BY 1, 2, 3
+),
+st AS (
+  SELECT event_type, pair,
+         CAST(SUM(cp) OVER wo AS BIGINT) AS cum_p,
+         CAST(SUM(cc) OVER wo AS BIGINT) AS cum_c,
+         CAST(SUM(cp) OVER wp AS BIGINT) AS np,
+         CAST(SUM(cc) OVER wp AS BIGINT) AS nc
+  FROM g
+  WINDOW wo AS (PARTITION BY event_type, pair ORDER BY cents
+                ROWS UNBOUNDED PRECEDING),
+         wp AS (PARTITION BY event_type, pair)
+)
+SELECT event_type, pair AS slice,
+       MIN(np) AS n_prev, MIN(nc) AS n_cur,
+       MAX(abs(CAST(cum_p AS DOUBLE) / CAST(np AS DOUBLE)
+               - CAST(cum_c AS DOUBLE) / CAST(nc AS DOUBLE))) AS ks
+FROM st GROUP BY 1, 2
+""",
+        # running MAX of conditional timestamps over strictly-preceding
+        # rows = latest prior touch; gap exact integer seconds
+        "ev_last_touch": """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch_ts
+  FROM events
+)
+SELECT user_id, ts, event_id, last_touch_ts,
+       CAST(epoch_us(ts) // 1000000
+            - epoch_us(last_touch_ts) // 1000000 AS BIGINT) AS gap_s,
+       COALESCE(epoch_us(ts) // 1000000
+                - epoch_us(last_touch_ts) // 1000000 <= 604800, FALSE)
+         AS attributed
+FROM s WHERE event_type = 'purchase'
 """,
     }

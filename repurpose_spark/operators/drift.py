@@ -427,3 +427,94 @@ def page_hinkley(
         ).alias("max_ph"),
         "first_alarm_ts",
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    key_cols: list,
+    slice_col: str = "slice",
+    value_col: str = "v",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per key between consecutive
+    observed slices — the BIN-FREE member of the distribution-drift
+    family: PSI needs bin edges (and a smoothing constant); KS compares
+    the empirical CDFs directly, D = max_x |F_prev(x) − F_cur(x)|, so a
+    pure location shift, a variance change, or a new mode all register
+    without any width choice.
+
+    Shape: ONE corpus-sized count aggregate (keys × slices × distinct
+    values partials, map-side combined); everything after is
+    support-sized — the slice axis (tiny) takes a lag to pair each
+    slice with its PREVIOUS OBSERVED slice (PSI's convention), each
+    pair's two supports union via the pair join, and one window sort
+    per (key, pair) over the merged support cumulates both sides'
+    counts.  Step-CDF values at every union point are cum/total —
+    exact int64 counts, TWO correctly-rounded IEEE divisions per
+    support point, and the max of identical doubles is engine-
+    independent: certified EXACT.
+
+    Returns (keys…, slice, n_prev, n_cur, ks): one row per slice that
+    has a predecessor; ``slice`` labels the CURRENT side of the pair.
+    """
+    key_cols = list(key_cols)
+    c = df.groupBy(*key_cols, slice_col, value_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    ws = Window.partitionBy(*key_cols).orderBy(slice_col)
+    slices = (
+        c.select(*key_cols, slice_col)
+        .distinct()
+        .withColumn("_prev", F.lag(slice_col).over(ws))
+        .where(F.col("_prev").isNotNull())
+    )
+    cur = c.join(
+        F.broadcast(slices), on=key_cols + [slice_col], how="inner"
+    ).select(
+        *key_cols,
+        F.col(slice_col).alias("_pair"),
+        value_col,
+        F.lit(0).alias("_cp"),
+        F.col("_n").alias("_cc"),
+    )
+    prev = (
+        c.withColumnRenamed(slice_col, "_prev")
+        .join(
+            F.broadcast(slices.select(*key_cols, slice_col, "_prev")),
+            on=key_cols + ["_prev"],
+            how="inner",
+        )
+        .select(
+            *key_cols,
+            F.col(slice_col).alias("_pair"),
+            value_col,
+            F.col("_n").alias("_cp"),
+            F.lit(0).alias("_cc"),
+        )
+    )
+    merged = (
+        cur.unionByName(prev)
+        .groupBy(*key_cols, "_pair", value_col)
+        .agg(F.sum("_cp").alias("_cp"), F.sum("_cc").alias("_cc"))
+    )
+    wp = Window.partitionBy(*key_cols, "_pair")
+    wo = wp.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = (
+        merged.withColumn("_cum_p", F.sum("_cp").over(wo))
+        .withColumn("_cum_c", F.sum("_cc").over(wo))
+        .withColumn("_np", F.sum("_cp").over(wp))
+        .withColumn("_nc", F.sum("_cc").over(wp))
+        .withColumn(
+            "_d",
+            F.abs(
+                F.col("_cum_p").cast("double") / F.col("_np").cast("double")
+                - F.col("_cum_c").cast("double") / F.col("_nc").cast("double")
+            ),
+        )
+    )
+    return stepped.groupBy(*key_cols, "_pair").agg(
+        F.first("_np").alias("n_prev"),
+        F.first("_nc").alias("n_cur"),
+        F.max("_d").alias("ks"),
+    ).withColumnRenamed("_pair", slice_col)

@@ -95,3 +95,61 @@ def retention_cohorts(
     return tagged.groupBy("cohort_day", "day_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+def last_touch(
+    df: DataFrame,
+    conv_type: str,
+    touch_type: str,
+    horizon_s: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_cols: list | tuple = (),
+) -> DataFrame:
+    """Last-touch conversion attribution: for every ``conv_type`` event,
+    the user's most recent STRICTLY-PRIOR ``touch_type`` event and
+    whether it falls inside the attribution window — the dual of
+    ``funnel_counts``' first-touch ordering and the classic marketing /
+    abuse-forensics question ("which click gets credit for this
+    purchase", "what did this account do right before the error").
+
+    One window per user: the running ``MAX`` of touch timestamps over
+    strictly-preceding rows IS the latest prior touch (the stream is
+    ts-ordered, and MAX skips the non-touch rows' NULLs by SQL
+    semantics — no IGNORE NULLS dialect divergence between engines).
+    Gap is exact integer seconds; attribution is an integer predicate —
+    byte-stable, certified EXACT, including the NULL rows for
+    conversions with no prior touch.  ONE corpus exchange on the user
+    key, one sort; the conversion filter prunes after the window.
+
+    Returns (user_col, ts, tie…, last_touch_ts, gap_s, attributed):
+    one row per conversion event; ``attributed`` false when no touch
+    precedes it or the latest one is older than ``horizon_s``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, *tie_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ts = F.max(
+        F.when(F.col(type_col) == touch_type, F.col(ts_col))
+    ).over(w)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.col("last_touch_ts")
+    )
+    return (
+        df.select(user_col, ts_col, type_col, *tie_cols)
+        .withColumn("last_touch_ts", touch_ts)
+        .where(F.col(type_col) == conv_type)
+        .withColumn("gap_s", gap)
+        .withColumn(
+            "attributed",
+            F.coalesce(F.col("gap_s") <= F.lit(int(horizon_s)), F.lit(False)),
+        )
+        .select(
+            user_col, ts_col, *tie_cols, "last_touch_ts", "gap_s", "attributed"
+        )
+    )

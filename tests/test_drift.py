@@ -279,3 +279,65 @@ class TestBenfordProfile:
         )
         got = benford_profile(df, ["k"], "v").collect()
         assert len(got) == 1 and got[0]["digit"] == 1 and got[0]["n"] == 3
+
+
+class TestKsDrift:
+    def test_identical_slices_zero(self, spark):
+        from repurpose_spark.operators.drift import ks_drift
+
+        rows = [("k", d, v) for d in (1, 2) for v in (10, 20, 20, 30)]
+        df = spark.createDataFrame(rows, "k string, slice long, v long")
+        out = ks_drift(df, ["k"], slice_col="slice", value_col="v").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["slice"], r["n_prev"], r["n_cur"], r["ks"]) == (2, 4, 4, 0.0)
+
+    def test_hand_shift(self, spark):
+        from repurpose_spark.operators.drift import ks_drift
+
+        # prev: {1,2}, cur: {2,3} → D at x=1: |1/2−0|=0.5; x=2: |1−1/2|=0.5;
+        # x=3: 0 → ks = 0.5
+        rows = [("k", 1, 1), ("k", 1, 2), ("k", 2, 2), ("k", 2, 3)]
+        df = spark.createDataFrame(rows, "k string, slice long, v long")
+        r = ks_drift(df, ["k"], slice_col="slice", value_col="v").collect()[0]
+        assert r["ks"] == 0.5
+
+    def test_disjoint_supports_full_separation(self, spark):
+        from repurpose_spark.operators.drift import ks_drift
+
+        rows = [("k", 1, v) for v in (1, 2, 3)] + [("k", 2, v) for v in (10, 11)]
+        df = spark.createDataFrame(rows, "k string, slice long, v long")
+        r = ks_drift(df, ["k"], slice_col="slice", value_col="v").collect()[0]
+        assert r["ks"] == 1.0 and (r["n_prev"], r["n_cur"]) == (3, 2)
+
+    def test_consecutive_observed_pairs_and_brute_force(self, spark):
+        from repurpose_spark.operators.drift import ks_drift
+
+        import random
+        rng = random.Random(410)
+        data = {}  # (k, slice) -> values; slice 5 is skipped for k=a
+        rows = []
+        for k, slices in (("a", [1, 2, 4]), ("b", [1, 2])):
+            for s in slices:
+                vals = [rng.randrange(0, 30) for _ in range(40)]
+                data[(k, s)] = vals
+                rows += [(k, s, v) for v in vals]
+        df = spark.createDataFrame(rows, "k string, slice long, v long")
+        out = {(r["k"], r["slice"]): r["ks"]
+               for r in ks_drift(df, ["k"], slice_col="slice",
+                                 value_col="v").collect()}
+        # pairs follow OBSERVED predecessors: (a,2)←1, (a,4)←2, (b,2)←1
+        assert set(out) == {("a", 2), ("a", 4), ("b", 2)}
+
+        def brute(pv, cv):
+            sup = sorted(set(pv) | set(cv))
+            best = 0.0
+            for x in sup:
+                fp = sum(1 for t in pv if t <= x) / len(pv)
+                fc = sum(1 for t in cv if t <= x) / len(cv)
+                best = max(best, abs(fp - fc))
+            return best
+
+        assert out[("a", 2)] == brute(data[("a", 1)], data[("a", 2)])
+        assert out[("a", 4)] == brute(data[("a", 2)], data[("a", 4)])
+        assert out[("b", 2)] == brute(data[("b", 1)], data[("b", 2)])

@@ -82,3 +82,64 @@ def test_retention_cohorts_hand_values(spark):
     # max_offset prunes the tail
     pruned = retention_cohorts(ev, max_offset=1).collect()
     assert all(r["day_offset"] <= 1 for r in pruned)
+
+
+class TestLastTouch:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+
+    def test_hand_attribution(self, spark):
+        import datetime as dt
+        from repurpose_spark.operators.funnel import last_touch
+
+        t0 = dt.datetime(2024, 1, 1)
+        h = dt.timedelta(hours=1)
+        rows = [
+            (1, t0 + 0 * h, 1, "click"),
+            (1, t0 + 1 * h, 2, "view"),
+            (1, t0 + 2 * h, 3, "click"),
+            (1, t0 + 3 * h, 4, "purchase"),   # ← click at t0+2h, gap 3600
+            (2, t0 + 0 * h, 5, "purchase"),   # no prior touch
+            (3, t0 + 0 * h, 6, "click"),
+            (3, t0 + 100 * h, 7, "purchase"),  # gap 100h > 48h horizon
+        ]
+        out = {r["user_id"]: r for r in last_touch(
+            self._df(spark, rows), "purchase", "click",
+            horizon_s=48 * 3600, tie_cols=("event_id",),
+        ).collect()}
+        assert out[1]["last_touch_ts"] == t0 + 2 * h
+        assert out[1]["gap_s"] == 3600 and out[1]["attributed"] is True
+        assert out[2]["last_touch_ts"] is None
+        assert out[2]["gap_s"] is None and out[2]["attributed"] is False
+        assert out[3]["gap_s"] == 100 * 3600 and out[3]["attributed"] is False
+
+    def test_strictly_prior_same_timestamp(self, spark):
+        import datetime as dt
+        from repurpose_spark.operators.funnel import last_touch
+
+        t0 = dt.datetime(2024, 1, 1)
+        # click shares the purchase's timestamp but has a SMALLER tie id
+        # → it IS strictly prior in the (ts, event_id) total order
+        rows = [(1, t0, 1, "click"), (1, t0, 2, "purchase")]
+        r = last_touch(
+            self._df(spark, rows), "purchase", "click",
+            horizon_s=60, tie_cols=("event_id",),
+        ).collect()[0]
+        assert r["last_touch_ts"] == t0 and r["gap_s"] == 0
+        assert r["attributed"] is True
+
+    def test_latest_of_many_touches_wins(self, spark):
+        import datetime as dt
+        from repurpose_spark.operators.funnel import last_touch
+
+        t0 = dt.datetime(2024, 1, 1)
+        m = dt.timedelta(minutes=1)
+        rows = [(1, t0 + i * m, i, "click") for i in range(5)]
+        rows.append((1, t0 + 10 * m, 99, "purchase"))
+        r = last_touch(
+            self._df(spark, rows), "purchase", "click",
+            horizon_s=3600, tie_cols=("event_id",),
+        ).collect()[0]
+        assert r["last_touch_ts"] == t0 + 4 * m and r["gap_s"] == 360
