@@ -3032,6 +3032,32 @@ def q_ev_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend significance test
+    (operators/robust.py::mann_kendall) of each event_type's daily
+    cent-total series — the non-parametric IS-there-a-trend companion
+    the Theil–Sen slope (ev_theil_sen, same daily frame) is always
+    paired with: sign statistic S, tie-corrected Var·18, and the
+    continuity-corrected z.  EXACT: S and Var·18 are exact int64; z is
+    division → sqrt → division on identical inputs (sqrt IS correctly
+    rounded, unlike ln) — DuckDB replays the O(n²) sign sum as a
+    self-join, bounded by the daily tier."""
+    from repurpose_spark.operators.robust import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    pts = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        F.col("cents").alias("v"),
+    )
+    return mann_kendall(pts, ["event_type"], ts_col="t", value_col="v")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -3131,6 +3157,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": q_doc_weighted_sample,
         "ev_ks_drift": q_ev_ks_drift,
         "ev_last_touch": q_ev_last_touch,
+        "ev_mann_kendall": q_ev_mann_kendall,
     }
 
 
@@ -6917,5 +6944,50 @@ SELECT user_id, ts, event_id, last_touch_ts,
                 - epoch_us(last_touch_ts) // 1000000 <= 604800, FALSE)
          AS attributed
 FROM s WHERE event_type = 'purchase'
+""",
+        # S and Var·18 exact int64 (tie-corrected); z replays the same
+        # /18 → sqrt → divide op order — sqrt is correctly rounded IEEE
+        "ev_mann_kendall": """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS t,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+sgns AS (
+  SELECT a.event_type,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.t > a.t
+),
+ss AS (
+  SELECT event_type, CAST(COALESCE(SUM(sg), 0) AS BIGINT) AS s
+  FROM sgns GROUP BY 1
+),
+tg AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS tt
+  FROM daily GROUP BY 1, 2
+),
+vv AS (
+  SELECT event_type,
+         CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie18,
+         CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM tg GROUP BY 1
+),
+nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1)
+SELECT nn.event_type, nn.n AS n_pts,
+       COALESCE(ss.s, 0) AS s,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - vv.tie18 AS BIGINT) AS var18,
+       CASE
+         WHEN nn.n * (nn.n - 1) * (2 * nn.n + 5) - vv.tie18 <= 0 THEN NULL
+         WHEN ss.s = 0 THEN 0.0
+         ELSE CAST(ss.s - CASE WHEN ss.s > 0 THEN 1 ELSE -1 END AS DOUBLE)
+              / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - vv.tie18
+                          AS DOUBLE) / 18.0)
+       END AS z
+FROM nn
+JOIN vv ON vv.event_type = nn.event_type
+LEFT JOIN ss ON ss.event_type = nn.event_type
 """,
     }

@@ -88,6 +88,14 @@ HEADLINE = [
     "ev_equidepth_profile",
     "ev_benford",
     "doc_oov_rate",
+    "ev_state_runs",
+    "ev_markov",
+    "ev_page_hinkley",
+    "ev_seasonal_skill",
+    "doc_weighted_sample",
+    "ev_ks_drift",
+    "ev_last_touch",
+    "ev_mann_kendall",
 ]
 
 

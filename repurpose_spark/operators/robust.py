@@ -680,3 +680,71 @@ def max_drawdown(
         F.max("_cum").alias("peak_v"),
         F.max(F.col("_peak") - F.col("_cum")).alias("max_drawdown"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "t",
+    value_col: str = "v",
+    max_points: int = 4096,
+) -> DataFrame:
+    """Mann–Kendall trend test (Mann 1945 / Kendall 1975) — the
+    non-parametric IS-there-a-trend significance companion of
+    :func:`theil_sen`'s HOW-steep estimate (the pair hydrology and
+    climate monitoring always run together): S = Σ_{i<j} sgn(v_j − v_i)
+    over the time-ordered series, variance with the tie correction
+    Var·18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5), and the
+    continuity-corrected normal score z = (S ∓ 1)/√Var.
+
+    EXACT certification: inputs must be exact integers (tier cents /
+    counts), so S and Var·18 are exact int64; z is division → sqrt →
+    division, all correctly-rounded IEEE ops on identical inputs —
+    byte-stable (sqrt IS correctly rounded, unlike ln/exp).  The
+    DuckDB twin replays the O(n²) sign sum as a self-join and the same
+    three float ops.
+
+    Scale shape: same bounded-series contract as theil_sen — O(n²)
+    pairs per series on a ROLLUP tier (daily: n ≈ 365 → 66k sign pairs
+    in one numpy outer-difference), never raw points; > ``max_points``
+    raises.  One hash exchange on the series keys, one Arrow batch per
+    series.  Returns (keys…, n_pts, s, var18, z): z NULL when Var = 0
+    (n < 2 or all values tied), 0.0 when S = 0.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_cols = list(key_cols)
+    sel = df.select(*key_cols, ts_col, value_col)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*key_cols).schema.fields
+    )
+    schema = key_fields + ", n_pts bigint, s bigint, var18 bigint, z double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_points:
+            raise ValueError(
+                "mann_kendall: series of {} points exceeds max_points={} — "
+                "run on a rollup tier, not raw points".format(n, max_points)
+            )
+        order = np.argsort(pdf[ts_col].to_numpy(dtype=np.int64), kind="stable")
+        v = pdf[value_col].to_numpy(dtype=np.int64)[order]
+        i, j = np.triu_indices(n, 1)
+        s = int(np.sign(v[j] - v[i]).sum())
+        _, tie = np.unique(v, return_counts=True)
+        t = tie.astype(np.int64)
+        var18 = int(n * (n - 1) * (2 * n + 5) - (t * (t - 1) * (2 * t + 5)).sum())
+        row = {k: pdf[k].iloc[0] for k in key_cols}
+        if var18 <= 0:
+            z = None
+        elif s == 0:
+            z = 0.0
+        else:
+            # identical op order to the SQL twin: /18 → sqrt → divide
+            z = float((s - 1 if s > 0 else s + 1) / np.sqrt(var18 / 18.0))
+        row.update(n_pts=n, s=s, var18=var18, z=z)
+        return pd.DataFrame([row])
+
+    return sel.groupBy(*key_cols).applyInPandas(fn, schema=schema)

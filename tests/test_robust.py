@@ -590,3 +590,56 @@ class TestMaxDrawdown:
         got = self._run(spark, [-5, -4, -3])
         assert got["peak_v"] == -5
         assert got["max_drawdown"] == 7
+
+
+class TestMannKendall:
+    def _run(self, spark, series, **kw):
+        from repurpose_spark.operators.robust import mann_kendall
+
+        rows = [("k", t, v) for t, v in enumerate(series)]
+        df = spark.createDataFrame(rows, "k string, t long, v long")
+        return mann_kendall(df, ["k"], ts_col="t", value_col="v", **kw).collect()[0]
+
+    def test_strictly_increasing(self, spark):
+        import math
+
+        n = 10
+        r = self._run(spark, list(range(n)))
+        assert r["s"] == n * (n - 1) // 2 == 45
+        var18 = n * (n - 1) * (2 * n + 5) - n * 1 * 0 * 7  # no ties
+        assert r["var18"] == n * (n - 1) * (2 * n + 5)
+        assert r["z"] == (45 - 1) / math.sqrt(r["var18"] / 18.0)
+
+    def test_all_tied_null_z(self, spark):
+        r = self._run(spark, [7] * 6)
+        assert r["s"] == 0 and r["var18"] == 0 and r["z"] is None
+
+    def test_balanced_zero_z(self, spark):
+        # v = [0,1,0,1,...]: S sums to a small value; force S=0 with a
+        # palindrome-ish shape instead: [1,2,1] → pairs (1,2)+,(1,1)0,(2,1)- → 0
+        r = self._run(spark, [1, 2, 1])
+        assert r["s"] == 0 and r["z"] == 0.0
+
+    def test_random_brute_force_with_ties(self, spark):
+        import math
+        import random
+
+        rng = random.Random(411)
+        v = [rng.randrange(0, 8) for _ in range(60)]  # heavy ties
+        r = self._run(spark, v)
+        s = sum(
+            (0 < v[j] - v[i]) - (v[j] - v[i] < 0)
+            for i in range(60) for j in range(i + 1, 60)
+        )
+        from collections import Counter
+        tie18 = sum(t * (t - 1) * (2 * t + 5) for t in Counter(v).values())
+        var18 = 60 * 59 * 125 - tie18
+        assert (r["s"], r["var18"]) == (s, var18)
+        want = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0) if s else 0.0
+        assert r["z"] == want
+
+    def test_max_points_guard(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="max_points"):
+            self._run(spark, list(range(30)), max_points=10)
