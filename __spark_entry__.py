@@ -3058,6 +3058,24 @@ def q_ev_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall(pts, ["event_type"], ts_col="t", value_col="v")
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty share per document
+    (operators/dedup.py::novelty_rate) — the incremental-crawl metric
+    dup_spans can't give: each word 8-gram is novel only in the doc
+    holding its corpus-wide minimum doc_id (ingest order), and each
+    doc's score is its novel share among its DISTINCT grams — re-crawls
+    and template floods rank near 0, fresh text near 1.  Two inherent
+    corpus-sized shuffles (gram arbiter window, doc aggregate), string
+    gram keys so the oracle certifies the algorithm with no hash-parity
+    assumption.  Counts int64 + ONE division — EXACT oracle."""
+    from repurpose_spark.operators.dedup import novelty_rate
+
+    d = _wide(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.trim(F.col("text")).alias("text")
+    )
+    return novelty_rate(d, id_col="doc_id", text_col="text", window=8)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -3158,6 +3176,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_ks_drift": q_ev_ks_drift,
         "ev_last_touch": q_ev_last_touch,
         "ev_mann_kendall": q_ev_mann_kendall,
+        "doc_novelty": q_doc_novelty,
     }
 
 
@@ -6989,5 +7008,28 @@ SELECT nn.event_type, nn.n AS n_pts,
 FROM nn
 JOIN vv ON vv.event_type = nn.event_type
 LEFT JOIN ss ON ss.event_type = nn.event_type
+""",
+        # same word-window construction as dup_spans; MIN(doc_id) per
+        # gram is the novelty arbiter; counts int64 + one division
+        "doc_novelty": """
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x != '') AS wl
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(wl[u.j + 1 : u.j + 8], ' ') AS gram
+  FROM wl, unnest(generate_series(0, len(wl) - 8)) u(j)
+  WHERE len(wl) >= 8
+),
+f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM g JOIN f USING (gram) GROUP BY 1
 """,
     }

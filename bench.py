@@ -96,6 +96,7 @@ HEADLINE = [
     "ev_ks_drift",
     "ev_last_touch",
     "ev_mann_kendall",
+    "doc_novelty",
 ]
 
 

@@ -790,3 +790,62 @@ def edit_distance_pairs(
         )
     )
     return out
+
+
+def novelty_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """First-occurrence novelty per document — the incremental-crawl
+    dual of :func:`duplicate_spans`: a word n-gram is NOVEL in the doc
+    holding its minimum ``id_col`` corpus-wide (ingest order), and each
+    doc's novelty is its share of novel grams among its DISTINCT
+    grams.  "How much genuinely new content does this shard add" —
+    near 1 for fresh text, near 0 for a re-crawl or template flood;
+    the per-doc companion of source_overlap's pairwise matrix, ranked
+    exactly where dup_spans only flags span membership.
+
+    Same word-window construction as duplicate_spans (and the same
+    string-vs-xxhash64 key note: the string key keeps the DuckDB twin
+    hash-parity-free; swapping in a fingerprint changes one
+    expression).  Two corpus-sized equi-shuffles, both inherent to
+    exact first-occurrence attribution: gram (whole-partition MIN
+    window — the arbiter), then doc (the final aggregate).  Counts
+    int64, novelty ONE IEEE division — EXACT.  Docs shorter than
+    ``window`` words have no grams and are omitted (the oracle mirrors
+    the same filter).  Returns (doc_id, n_grams, n_novel, novelty).
+    """
+    from pyspark.sql import Window as W
+
+    words = F.split(F.col(text_col), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(words, lambda w: w != "").alias("w"),
+    )
+    grams = base.where(F.size("w") >= window).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - window),
+                    lambda j: F.array_join(F.slice("w", j + 1, window), " "),
+                )
+            )
+        ).alias("gram"),
+    )
+    first = F.min("doc_id").over(W.partitionBy("gram"))
+    flagged = grams.withColumn("_novel", (F.col("doc_id") == first))
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("_novel"), 1).otherwise(0)).alias("n_novel"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+        ).alias("novelty"),
+    )

@@ -365,3 +365,40 @@ def test_edit_distance_length_gap_prune_is_exact(spark):
     # gap = 200 > 0.2 * max_len (320) → pruned; and indeed true
     # edit_sim = 1 - 200/320 = 0.375 < 0.8, so the prune lost nothing
     assert out.count() == 0
+
+
+class TestNoveltyRate:
+    def _run(self, spark, docs, window=3):
+        from repurpose_spark.operators.dedup import novelty_rate
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {r["doc_id"]: r for r in novelty_rate(
+            df, id_col="doc_id", text_col="text", window=window
+        ).collect()}
+
+    def test_fresh_vs_recrawl(self, spark):
+        out = self._run(spark, [
+            (1, "a b c d"),           # grams: "a b c", "b c d" — all novel
+            (2, "a b c d"),           # exact re-crawl: nothing novel
+            (3, "x y z a b c"),       # "x y z","y z a","z a b" novel, "a b c" not
+        ])
+        assert (out[1]["n_grams"], out[1]["n_novel"]) == (2, 2)
+        assert out[1]["novelty"] == 1.0
+        assert (out[2]["n_grams"], out[2]["n_novel"]) == (2, 0)
+        assert out[2]["novelty"] == 0.0
+        assert (out[3]["n_grams"], out[3]["n_novel"]) == (4, 3)
+        assert out[3]["novelty"] == 0.75
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        # "a b a b a" grams: "a b a","b a b","a b a" → distinct = 2, both novel
+        out = self._run(spark, [(1, "a b a b a")])
+        assert (out[1]["n_grams"], out[1]["n_novel"]) == (2, 2)
+
+    def test_short_doc_omitted(self, spark):
+        out = self._run(spark, [(1, "a b"), (2, "a b c")])
+        assert set(out) == {2}
+
+    def test_order_decides_attribution(self, spark):
+        # same gram in docs 5 and 2: novelty belongs to MIN doc_id
+        out = self._run(spark, [(5, "p q r"), (2, "p q r")])
+        assert out[2]["n_novel"] == 1 and out[5]["n_novel"] == 0
