@@ -3076,6 +3076,25 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_rate(d, id_col="doc_id", text_col="text", window=8)
 
 
+def q_ev_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability / SLA rollup per event_type
+    (operators/states.py::availability) over the gap-filled hourly grid
+    — the composition showcase: gap_fill densifies the tier, state_runs
+    finds the outage islands (up = any event that hour), one aggregate
+    answers the SLA report (uptime share, outage count, worst outage
+    length and start — earliest-wins among ties by exact total order).
+    Counts int64, availability ONE division; the worst-outage start
+    joins back on the RUN frame (tiny) — EXACT oracle incl. the
+    no-outage NULL columns."""
+    from repurpose_spark.operators.states import availability
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    ).withColumn("up", F.col("n_events") > 0)
+    return availability(dense, ["event_type"], ts_col="tick", up_col="up")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -3177,6 +3196,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_last_touch": q_ev_last_touch,
         "ev_mann_kendall": q_ev_mann_kendall,
         "doc_novelty": q_doc_novelty,
+        "ev_availability": q_ev_availability,
     }
 
 
@@ -7031,5 +7051,63 @@ SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
        CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
 FROM g JOIN f USING (gram) GROUP BY 1
+""",
+        # gap-filled grid -> boolean islands -> SLA aggregate; worst
+        # outage start = MIN start among max-length down runs
+        "ev_availability": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS tick, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+axis AS (
+  SELECT unnest(generate_series((SELECT MIN(tick) FROM hourly),
+                                (SELECT MAX(tick) FROM hourly),
+                                INTERVAL 1 HOUR)) AS tick
+),
+keys AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (
+  SELECT k.event_type, CAST(a.tick AS TIMESTAMP) AS tick,
+         (COALESCE(h.n_events, 0) > 0) AS up
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN hourly h ON h.event_type = k.event_type AND h.tick = a.tick
+),
+st AS (
+  SELECT event_type, tick, up,
+         LAG(up) OVER (PARTITION BY event_type ORDER BY tick) AS prev
+  FROM dense
+),
+r AS (
+  SELECT event_type, tick, up,
+         SUM(CASE WHEN prev IS NULL OR prev <> up THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY tick
+                 ROWS UNBOUNDED PRECEDING) AS rid
+  FROM st
+),
+runs AS (
+  SELECT event_type, rid, up, CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(tick) AS start_ts
+  FROM r GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT) AS n_ticks,
+         CAST(COALESCE(SUM(CASE WHEN up THEN n END), 0) AS BIGINT) AS n_up,
+         CAST(COALESCE(SUM(CASE WHEN NOT up THEN n END), 0) AS BIGINT)
+           AS n_down,
+         CAST(COALESCE(SUM(CASE WHEN NOT up THEN 1 END), 0) AS BIGINT)
+           AS n_outages,
+         CAST(MAX(CASE WHEN NOT up THEN n END) AS BIGINT) AS longest_down
+  FROM runs GROUP BY 1
+),
+ws AS (
+  SELECT event_type, n AS wn, MIN(start_ts) AS ws
+  FROM runs WHERE NOT up GROUP BY 1, 2
+)
+SELECT a.event_type, a.n_ticks, a.n_up, a.n_down,
+       CAST(a.n_up AS DOUBLE) / CAST(a.n_ticks AS DOUBLE) AS availability,
+       a.n_outages, a.longest_down, w.ws AS longest_down_start
+FROM agg a
+LEFT JOIN ws w
+  ON w.event_type = a.event_type AND w.wn = a.longest_down
 """,
     }

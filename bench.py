@@ -97,6 +97,7 @@ HEADLINE = [
     "ev_last_touch",
     "ev_mann_kendall",
     "doc_novelty",
+    "ev_availability",
 ]
 
 

@@ -124,3 +124,72 @@ def transition_matrix(
             F.col("n").cast("double") / F.sum("n").over(w_row).cast("double")
         ).alias("p"),
     )
+
+
+def availability(
+    dense: DataFrame,
+    key_cols: list,
+    ts_col: str = "tick",
+    up_col: str = "up",
+) -> DataFrame:
+    """Availability / SLA rollup per key over a DENSE regular grid —
+    the composition showcase: ``gap_fill`` densifies the tier,
+    ``up_col`` (boolean) marks live ticks, :func:`state_runs` finds the
+    outage islands, and one aggregate per key answers the four
+    questions an SLA report asks: how many ticks were up, what share,
+    how many distinct outages, and how long (and when) was the worst
+    one.
+
+    Everything is exact: tick counts and run lengths int64,
+    availability ONE IEEE division, and the worst outage's start is
+    the MIN start among down-runs of maximal length (earliest-wins tie
+    rule — an arg-max by a total order, not a float compare).  Plan:
+    state_runs' one corpus exchange + sort; the SLA aggregate and the
+    worst-outage semi-aggregate ride the run frame (runs ≤ ticks, and
+    outage runs are far fewer).
+
+    Returns (keys…, n_ticks, n_up, n_down, availability, n_outages,
+    longest_down, longest_down_start); keys that never go down report
+    0 / NULL for the outage columns.
+    """
+    key_cols = list(key_cols)
+    runs = state_runs(
+        dense, key_cols, ts_col=ts_col, state_col=up_col
+    )
+    down = F.when(~F.col(up_col), F.col("n"))
+    agg = runs.groupBy(*key_cols).agg(
+        F.sum("n").alias("n_ticks"),
+        F.coalesce(F.sum(F.when(F.col(up_col), F.col("n"))), F.lit(0)).alias(
+            "n_up"
+        ),
+        F.coalesce(F.sum(down), F.lit(0)).alias("n_down"),
+        F.coalesce(
+            F.sum(F.when(~F.col(up_col), F.lit(1))), F.lit(0)
+        ).alias("n_outages"),
+        F.max(down).alias("longest_down"),
+    )
+    worst_start = (
+        runs.where(~F.col(up_col))
+        .groupBy(*key_cols, "n")
+        .agg(F.min("start_ts").alias("_ws"))
+        .withColumnRenamed("n", "_wn")
+    )
+    # join on keys AND longest_down = run length of the worst run
+    out = agg.alias("a").join(
+        F.broadcast(worst_start).alias("w"),
+        on=[F.col(f"a.{k}") == F.col(f"w.{k}") for k in key_cols]
+        + [F.col("a.longest_down") == F.col("w._wn")],
+        how="left",
+    ).select(
+        *[F.col(f"a.{k}") for k in key_cols],
+        "a.n_ticks",
+        "a.n_up",
+        "a.n_down",
+        (
+            F.col("a.n_up").cast("double") / F.col("a.n_ticks").cast("double")
+        ).alias("availability"),
+        "a.n_outages",
+        "a.longest_down",
+        F.col("w._ws").alias("longest_down_start"),
+    )
+    return out

@@ -340,3 +340,42 @@ class TestWeightedPrioritySample:
             ).collect()
             picks.append(sorted((r["source"], r["doc_id"]) for r in out))
         assert picks[0] == picks[1]
+
+
+# --------------------------------------------------------- availability
+
+
+class TestAvailability:
+    def _run(self, spark, flags):
+        from repurpose_spark.operators.states import availability
+
+        rows = [("k", _ts(0) + dt.timedelta(hours=i), bool(f))
+                for i, f in enumerate(flags)]
+        df = spark.createDataFrame(rows, "k string, tick timestamp, up boolean")
+        return availability(df, ["k"], ts_col="tick", up_col="up").collect()[0]
+
+    def test_hand_sla(self, spark):
+        # up: 1 1 0 0 0 1 0 1 → 8 ticks, 4 up, 2 outages, worst 3 @ t=2h
+        r = self._run(spark, [1, 1, 0, 0, 0, 1, 0, 1])
+        assert (r["n_ticks"], r["n_up"], r["n_down"]) == (8, 4, 4)
+        assert r["availability"] == 0.5
+        assert (r["n_outages"], r["longest_down"]) == (2, 3)
+        assert r["longest_down_start"] == _ts(2)
+
+    def test_never_down(self, spark):
+        r = self._run(spark, [1, 1, 1])
+        assert (r["n_down"], r["n_outages"]) == (0, 0)
+        assert r["longest_down"] is None and r["longest_down_start"] is None
+        assert r["availability"] == 1.0
+
+    def test_tied_worst_earliest_wins(self, spark):
+        # outages of length 2 at t=1 and t=5 → earliest start reported
+        r = self._run(spark, [1, 0, 0, 1, 1, 0, 0, 1])
+        assert r["longest_down"] == 2
+        assert r["longest_down_start"] == _ts(1)
+
+    def test_single_row_never_duplicated_by_join(self, spark):
+        # two distinct down-run LENGTHS, worst joined exactly once
+        r = self._run(spark, [0, 0, 0, 1, 0])
+        assert r["n_outages"] == 2 and r["longest_down"] == 3
+        assert r["longest_down_start"] == _ts(0)
