@@ -3095,6 +3095,62 @@ def q_ev_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return availability(dense, ["event_type"], ts_col="tick", up_col="up")
 
 
+def q_ev_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Page–Hinkley drift alarm
+    (streaming/stateful.py::stateful_page_hinkley), value-certified
+    against the batch operator: the dense hourly grid drains through an
+    AvailableNow readStream in TWO strictly time-ordered files
+    (maxFilesPerTrigger=1, so the five-integer per-key state genuinely
+    crosses a micro-batch boundary) plus the far-future sentinel; the
+    watermark flush emits one final row per key that must equal
+    ev_page_hinkley byte-for-byte — integer state makes the
+    streaming/batch equivalence EXACT, so this shares the batch DuckDB
+    oracle (the doc_stream_minhash_probe pattern)."""
+    from datetime import datetime
+
+    from repurpose_spark.streaming.stateful import stateful_page_hinkley
+
+    h = _ev_hourly(spark, sf_dir).select("event_type", "tick", "n_events")
+    dense = gap_fill(
+        h, "hour", key_cols=["event_type"], fill_values={"n_events": 0}
+    ).select("event_type", "tick", F.col("n_events").cast("long").alias("v"))
+    lo, hi = dense.agg(F.min("tick"), F.max("tick")).collect()[0]
+    mid = lo + (hi - lo) / 2
+
+    def write_src(src):
+        import time as _time
+
+        dense.where(F.col("tick") <= F.lit(mid)).orderBy(
+            "tick"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.05)  # second file must sort after the first (mtime)
+        dense.where(F.col("tick") > F.lit(mid)).orderBy(
+            "tick"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def build(src):
+        ticks = (
+            spark.readStream.schema("event_type string, tick timestamp, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return stateful_page_hinkley(
+            ticks, calib=24, delta=1, lam=50, watermark="1 hour"
+        )
+
+    return _drain_stream(
+        spark,
+        write_src,
+        ("__sentinel__", datetime(2030, 1, 1), 0),
+        "event_type string, tick timestamp, v long",
+        build,
+        lambda df: df.where(F.col("event_type") != "__sentinel__").select(
+            "event_type", "calib_n", "calib_sum", "n_scored",
+            "max_ph_scaled", "max_ph", "first_alarm_ts",
+        ),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -3197,6 +3253,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_mann_kendall": q_ev_mann_kendall,
         "doc_novelty": q_doc_novelty,
         "ev_availability": q_ev_availability,
+        "ev_stream_page_hinkley": q_ev_stream_page_hinkley,
     }
 
 
@@ -3785,6 +3842,9 @@ def _oracle_sql_static() -> dict[str, str]:
     # exactly (pairs are independent of the micro-batch split), so the
     # two queries share one oracle
     d["doc_stream_minhash_probe"] = d["doc_minhash_incremental"]
+    # integer state makes the streaming PH final rows equal the batch
+    # operator exactly — the two queries share one oracle
+    d["ev_stream_page_hinkley"] = d["ev_page_hinkley"]
     return d
 
 

@@ -210,3 +210,107 @@ def stateful_quantile_tier(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --------------------------------------------------- Page-Hinkley state
+PH_OUT_SCHEMA = (
+    "event_type string, calib_n long, calib_sum long, n_scored long, "
+    "max_ph_scaled long, max_ph double, first_alarm_ts timestamp"
+)
+PH_STATE_SCHEMA = (
+    "rn long, sc long, p long, m long, scored long, max_ph long, "
+    "first_alarm long"
+)
+
+
+def _ph_fn(calib: int, delta: int, lam: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        event_type = key[0]
+        if state.hasTimedOut:
+            rn, sc, p, m, scored, max_ph, first_alarm = state.get
+            state.remove()
+            if rn <= calib:
+                return  # burn-in never finished: batch omits the key too
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "calib_n": [calib],
+                    "calib_sum": [sc],
+                    "n_scored": [rn - calib],
+                    "max_ph_scaled": [max_ph],
+                    "max_ph": [max_ph / calib],
+                    "first_alarm_ts": [
+                        pd.Timestamp(first_alarm, unit="us")
+                        if first_alarm >= 0
+                        else pd.NaT
+                    ],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("tick")
+        ts_us = (rows["tick"].astype("int64") // 1000).to_numpy()
+        vs = rows["v"].to_numpy()
+        if state.exists:
+            rn, sc, p, m, scored, max_ph, first_alarm = state.get
+        else:
+            rn, sc, p, m, scored, max_ph, first_alarm = 0, 0, 0, 0, 0, 0, -1
+        for t, v in zip(ts_us, vs):
+            rn += 1
+            v = int(v)
+            if rn <= calib:
+                sc += v
+                continue
+            p += calib * v - sc - calib * delta
+            m = p if not scored else min(m, p)
+            scored = 1
+            ph = p - m
+            max_ph = max(max_ph, ph)
+            if first_alarm < 0 and ph > calib * lam:
+                first_alarm = int(t)
+        state.update((rn, sc, p, m, scored, max_ph, first_alarm))
+        state.setTimeoutTimestamp(
+            max(int(ts_us[-1]) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return fn
+
+
+def stateful_page_hinkley(
+    ticks: DataFrame,
+    calib: int = 24,
+    delta: int = 0,
+    lam: int = 0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch Page–Hinkley alarm
+    (operators/drift.py::page_hinkley): the per-key state IS the five
+    integers the batch recursion carries (burn-in count + sum, prefix
+    sum P, prefix min M, peak PH, first-alarm tick) — a live monitor
+    updates micro-batch by micro-batch without re-reading history,
+    which is the entire point of an ONLINE drift detector.  Input is a
+    tick stream (event_type, tick, v) delivered time-ordered per key
+    (the module's ingest contract: cross-file disorder must stay under
+    the watermark; in-batch rows are sorted by the handler).
+
+    Integer state makes the streaming/batch equivalence EXACT, not
+    approximate: the drained final row per key is byte-identical to the
+    batch operator on the same input — certified by the SAME DuckDB
+    oracle (the doc_stream_minhash_probe pattern).  Emits once per key
+    when the watermark passes its last tick (append mode, exactly
+    once); keys still inside burn-in emit nothing, matching the batch
+    omission rule."""
+    return (
+        ticks.withWatermark("tick", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _ph_fn(int(calib), int(delta), int(lam)),
+            PH_OUT_SCHEMA,
+            PH_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -511,3 +511,72 @@ def test_streaming_minhash_probe_matches_batch_and_resumes(spark, tmp_path):
     assert (
         new_rows.select(F.min("ingest_batch")).first()[0] >= n_batches_1
     )  # fresh epoch, not a reprocess
+
+
+def test_streaming_page_hinkley_equals_batch(spark, tmp_path):
+    """Integer state ⇒ the drained streaming PH final rows equal the
+    batch operator byte-for-byte on the same tick stream, with the
+    state crossing a real micro-batch boundary (two time-ordered files,
+    maxFilesPerTrigger=1)."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from repurpose_spark.operators.drift import page_hinkley
+    from repurpose_spark.streaming.incremental import run_available_now
+    from repurpose_spark.streaming.stateful import stateful_page_hinkley
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # k1: quiet 10s then a jump (alarm); k2: quiet forever (no alarm);
+    # k3: only 4 ticks (inside burn-in -> omitted by both)
+    for i in range(20):
+        rows.append(("k1", t0 + dt.timedelta(hours=i), 10 if i < 12 else 40))
+        rows.append(("k2", t0 + dt.timedelta(hours=i), 10))
+    for i in range(4):
+        rows.append(("k3", t0 + dt.timedelta(hours=i), 10))
+    df = spark.createDataFrame(rows, "event_type string, tick timestamp, v long")
+
+    src = str(tmp_path / "in")
+    half = t0 + dt.timedelta(hours=9)
+    df.where(F.col("tick") <= F.lit(half)).orderBy("tick").coalesce(1) \
+        .write.mode("append").parquet(src)
+    time.sleep(1.05)
+    df.where(F.col("tick") > F.lit(half)).orderBy("tick").coalesce(1) \
+        .write.mode("append").parquet(src)
+    time.sleep(1.05)
+    spark.createDataFrame(
+        [("__sentinel__", dt.datetime(2030, 1, 1), 0)],
+        "event_type string, tick timestamp, v long",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    ticks = (
+        spark.readStream.schema("event_type string, tick timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = stateful_page_hinkley(ticks, calib=6, delta=0, lam=15,
+                                   watermark="1 hour")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(stream, out, ckpt)
+    got = {
+        r["event_type"]: r
+        for r in spark.read.parquet(out)
+        .where(F.col("event_type") != "__sentinel__")
+        .collect()
+    }
+    want = {
+        r["event_type"]: r
+        for r in page_hinkley(
+            df, ["event_type"], ts_col="tick", value_col="v",
+            calib=6, delta=0, lam=15,
+        ).collect()
+    }
+    assert set(got) == set(want) == {"k1", "k2"}  # k3 omitted by both
+    for k in want:
+        for c in ("calib_n", "calib_sum", "n_scored", "max_ph_scaled",
+                  "max_ph", "first_alarm_ts"):
+            assert got[k][c] == want[k][c], (k, c)
+    assert want["k1"]["first_alarm_ts"] is not None
+    assert want["k2"]["first_alarm_ts"] is None
