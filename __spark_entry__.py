@@ -3151,6 +3151,27 @@ def q_ev_stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket admission replay per user
+    (operators/rates.py::rate_limit_admission) — which events a 1-token
+    bucket refilling 1 token/hour (unit = 1/3600 token: cap 3600,
+    refill 1/s, cost 3600) would have admitted: the traffic-policing /
+    abuse-forensics view of the events stream.  Rejection feedback
+    (only admitted events consume) makes the recursion irreducibly
+    sequential — one of the two deliberately sequential operators —
+    but ALL state is int64, so unlike the EWMA family the oracle is
+    EXACT, not error-bound: DuckDB replays the identical integer
+    recursion in a recursive CTE and every admission bit and bucket
+    level matches byte-for-byte."""
+    from repurpose_spark.operators.rates import rate_limit_admission
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return rate_limit_admission(
+        ev, ["user_id"], ts_col="ts", cap=3600, refill_per_s=1,
+        cost=3600, tie_cols=("event_id",),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -3254,6 +3275,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "ev_availability": q_ev_availability,
         "ev_stream_page_hinkley": q_ev_stream_page_hinkley,
+        "ev_rate_limit": q_ev_rate_limit,
     }
 
 
@@ -7169,5 +7191,38 @@ SELECT a.event_type, a.n_ticks, a.n_up, a.n_down,
 FROM agg a
 LEFT JOIN ws w
   ON w.event_type = a.event_type AND w.wn = a.longest_down
+""",
+        # integer token-bucket recursion replayed exactly: LEAST-clamped
+        # refill, conditional consumption, per-event admission bits
+        "ev_rate_limit": """
+WITH RECURSIVE g AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         CAST(epoch_us(ts) // 1000000
+              - LAG(epoch_us(ts) // 1000000)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS gap
+  FROM events
+),
+rec AS (
+  SELECT user_id, ts, event_id, rn,
+         CAST(0 AS BIGINT) AS gap_s,
+         CAST(3600 AS BIGINT) AS bucket_before,
+         TRUE AS admitted,
+         CAST(0 AS BIGINT) AS bucket_after
+  FROM g WHERE rn = 1
+  UNION ALL
+  SELECT g.user_id, g.ts, g.event_id, g.rn,
+         g.gap,
+         LEAST(3600, rec.bucket_after + 1 * g.gap),
+         LEAST(3600, rec.bucket_after + 1 * g.gap) >= 3600,
+         CASE WHEN LEAST(3600, rec.bucket_after + 1 * g.gap) >= 3600
+              THEN LEAST(3600, rec.bucket_after + 1 * g.gap) - 3600
+              ELSE LEAST(3600, rec.bucket_after + 1 * g.gap) END
+  FROM rec JOIN g ON g.user_id = rec.user_id AND g.rn = rec.rn + 1
+)
+SELECT user_id, ts, event_id, gap_s, bucket_before, admitted, bucket_after
+FROM rec
 """,
     }

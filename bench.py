@@ -98,6 +98,7 @@ HEADLINE = [
     "ev_mann_kendall",
     "doc_novelty",
     "ev_availability",
+    "ev_rate_limit",
 ]
 
 # ev_stream_page_hinkley is certified in the extras gate but kept out of

@@ -167,3 +167,89 @@ def time_weighted_avg(
             "n_points",
         )
     )
+
+
+def rate_limit_admission(
+    df: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    cap: int = 3600,
+    refill_per_s: int = 1,
+    cost: int = 3600,
+    tie_cols: list | tuple = (),
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Token-bucket admission replay per key — "which events would a
+    limiter (capacity ``cap``, ``refill_per_s`` units/sec, ``cost``
+    units/event) have admitted", the traffic-policing / abuse-forensics
+    question asked of an event stream after the fact.  Work in
+    integer units scaled so the refill rate is integral (e.g. 1 token
+    per hour ⇒ unit = 1/3600 token, cap 3600, refill 1, cost 3600).
+
+    The bucket starts FULL; at each event (ordered by (ts, ties)):
+    ``before = min(cap, after_prev + refill·gap_s)``, admitted iff
+    ``before ≥ cost``, and ONLY admitted events consume.  That
+    rejection feedback makes the recursion irreducibly sequential —
+    no prefix-sum closed form exists (unlike CUSUM/PH, the two-sided
+    clamp + conditional consumption breaks associativity) — so this is
+    one of the two deliberately sequential operators (with the EWMA
+    family), run per key in one Arrow batch with a plain int loop.
+    Sequence-bounded by contract: rate limiting is per PRINCIPAL
+    (user/API key), whose event counts are bounded by behavior, and
+    ``max_points`` guards the contract like theil_sen.
+
+    All state is int64, so the per-event admission decisions and
+    bucket levels are EXACT — DuckDB certifies them byte-for-byte by
+    replaying the same integer recursion in a recursive CTE.  Returns
+    one row per event: (keys…, ts, ties…, gap_s, bucket_before,
+    admitted, bucket_after).
+    """
+    import pandas as pd
+
+    key_cols = list(key_cols)
+    tie_cols = list(tie_cols)
+    sel = df.select(*key_cols, ts_col, *tie_cols)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sel.schema.fields
+    )
+    schema = (
+        key_fields
+        + ", gap_s bigint, bucket_before bigint, admitted boolean, "
+        + "bucket_after bigint"
+    )
+    cap_i, refill_i, cost_i = int(cap), int(refill_per_s), int(cost)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_points:
+            raise ValueError(
+                "rate_limit_admission: series of {} events exceeds "
+                "max_points={} — key by principal, not by shard".format(
+                    n, max_points
+                )
+            )
+        pdf = pdf.sort_values([ts_col, *tie_cols], kind="stable")
+        secs = (pdf[ts_col].astype("int64") // 1_000_000_000).tolist()
+        gaps, befores, admits, afters = [], [], [], []
+        b = cap_i
+        prev = None
+        for s in secs:
+            g = 0 if prev is None else s - prev
+            prev = s
+            b = min(cap_i, b + refill_i * g)
+            ok = b >= cost_i
+            gaps.append(g)
+            befores.append(b)
+            admits.append(ok)
+            if ok:
+                b -= cost_i
+            afters.append(b)
+        out = pdf.copy()
+        out["gap_s"] = gaps
+        out["bucket_before"] = befores
+        out["admitted"] = admits
+        out["bucket_after"] = afters
+        return out
+
+    return sel.groupBy(*key_cols).applyInPandas(fn, schema=schema)

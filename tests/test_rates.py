@@ -131,3 +131,64 @@ def test_twa_int_scale_survives_int64_overflow_scale(spark):
     # exact: (2e7..6e7 ramp over 12h averages 2·big) then (6e7)·11h
     want = (2 * big * 12 + 3 * big * 11) / 23
     assert out.twa > 0 and abs(out.twa - want) / want < 1e-12
+
+
+class TestRateLimitAdmission:
+    def _run(self, spark, secs, **kw):
+        import datetime as dt
+
+        from repurpose_spark.operators.rates import rate_limit_admission
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("u", t0 + dt.timedelta(seconds=s), i)
+                for i, s in enumerate(secs)]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, eid long")
+        out = rate_limit_admission(
+            df, ["k"], ts_col="ts", tie_cols=("eid",), **kw
+        ).collect()
+        return sorted(out, key=lambda r: r["eid"])
+
+    def test_hand_burst_rejected(self, spark):
+        # cap 10, refill 1/s, cost 10: burst at t=0,1,2 → only first
+        # admitted; t=12 has refilled 10 → admitted again
+        out = self._run(spark, [0, 1, 2, 12], cap=10, refill_per_s=1, cost=10)
+        assert [r["admitted"] for r in out] == [True, False, False, True]
+        assert [r["bucket_before"] for r in out] == [10, 1, 2, 10]
+        assert [r["bucket_after"] for r in out] == [0, 1, 2, 0]
+        assert [r["gap_s"] for r in out] == [0, 1, 1, 10]
+
+    def test_cap_clamps_long_idle(self, spark):
+        # a week of idle still refills only to cap
+        out = self._run(spark, [0, 604800], cap=7, refill_per_s=3, cost=5)
+        assert out[1]["bucket_before"] == 7
+
+    def test_rejected_events_do_not_consume(self, spark):
+        # cost > cap: nothing ever admitted, bucket rides the clamp
+        out = self._run(spark, [0, 100], cap=3, refill_per_s=1, cost=5)
+        assert [r["admitted"] for r in out] == [False, False]
+        assert [r["bucket_after"] for r in out] == [3, 3]
+
+    def test_random_brute_force(self, spark):
+        import random
+
+        rng = random.Random(412)
+        secs = sorted(rng.sample(range(0, 5000), 60))
+        cap, refill, cost = 40, 2, 25
+        out = self._run(spark, secs, cap=cap, refill_per_s=refill, cost=cost)
+        b, prev = cap, None
+        for r, s in zip(out, secs):
+            g = 0 if prev is None else s - prev
+            prev = s
+            b = min(cap, b + refill * g)
+            ok = b >= cost
+            assert (r["gap_s"], r["bucket_before"], r["admitted"]) == (g, b, ok)
+            if ok:
+                b -= cost
+            assert r["bucket_after"] == b
+
+    def test_max_points_guard(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="max_points"):
+            self._run(spark, list(range(30)), cap=5, refill_per_s=1,
+                      cost=5, max_points=10)
