@@ -3172,6 +3172,24 @@ def q_ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_int8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding storage tier
+    (operators/similarity.py::int8_quantize_embeddings): per-dimension
+    corpus-bound scalar quantization to 255 levels with the summed
+    squared reconstruction error per vector — the 4×-smaller vector
+    storage tier and its migration quality report.  One partial+final
+    2·64-scalar bounds aggregate (bounded driver literal), then a
+    map-side-only codes pass — nothing shuffles at any scale.  Codes
+    EXACT; the sse is the same ordered IEEE fold in both engines
+    (float32→float64 widening exact, nonneg-term 0.0-init ≡
+    first-element-init) — EXACT oracle (DuckDB list comprehension
+    replays the identical expressions)."""
+    from repurpose_spark.operators.similarity import int8_quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return int8_quantize_embeddings(emb, dim=64)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -3276,6 +3294,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_availability": q_ev_availability,
         "ev_stream_page_hinkley": q_ev_stream_page_hinkley,
         "ev_rate_limit": q_ev_rate_limit,
+        "emb_int8_roundtrip": q_emb_int8_roundtrip,
     }
 
 
@@ -3858,6 +3877,35 @@ def extra_oracle_sql() -> dict[str, str]:
     return {k: v for k, v in _oracle_sql_static().items() if k in keep}
 
 
+def _emb_int8_oracle(dim: int = 64) -> str:
+    """Programmatic 64-dim SQL twin of int8_quantize_embeddings (the
+    doc_simhash_pairs 64-vote pattern): identical bounds, code, and
+    reconstruction expressions per dimension, SSE via list_reduce
+    (first-element init ≡ the engine's 0.0 init for nonneg terms)."""
+    # every operand cast to DOUBLE explicitly: DuckDB's FLOAT−FLOAT
+    # stays single-precision, while Spark widens float32 operands to
+    # float64 — without the casts the sse drifts in the 9th digit
+    mins = ", ".join(f"MIN(embedding[{i}])" for i in range(1, dim + 1))
+    maxs = ", ".join(f"MAX(embedding[{i}])" for i in range(1, dim + 1))
+    lo, hi, x = ("CAST(b.mn[i] AS DOUBLE)", "CAST(b.mx[i] AS DOUBLE)",
+                 "CAST(e.embedding[i] AS DOUBLE)")
+    code = (f"CASE WHEN {hi} = {lo} THEN 0 "
+            f"ELSE CAST(round(({x} - {lo}) * 255.0 "
+            f"/ ({hi} - {lo})) AS INT) END")
+    recon = f"({lo} + CAST({code} AS DOUBLE) * ({hi} - {lo}) / 255.0)"
+    diff = f"({x} - {recon})"
+    return f"""
+WITH b AS (
+  SELECT [{mins}] AS mn, [{maxs}] AS mx FROM embeddings
+)
+SELECT e.vec_id,
+       [{code} FOR i IN range(1, {dim + 1})] AS codes,
+       list_reduce([{diff} * {diff} FOR i IN range(1, {dim + 1})],
+                   (a, x) -> a + x) AS sse
+FROM embeddings e, b
+"""
+
+
 def _oracle_sql_static() -> dict[str, str]:
     d = _oracle_sql_static_literal()
     # the streaming probe's drained sink equals the one-shot batch probe
@@ -3867,6 +3915,7 @@ def _oracle_sql_static() -> dict[str, str]:
     # integer state makes the streaming PH final rows equal the batch
     # operator exactly — the two queries share one oracle
     d["ev_stream_page_hinkley"] = d["ev_page_hinkley"]
+    d["emb_int8_roundtrip"] = _emb_int8_oracle(64)
     return d
 
 

@@ -99,6 +99,7 @@ HEADLINE = [
     "doc_novelty",
     "ev_availability",
     "ev_rate_limit",
+    "emb_int8_roundtrip",
 ]
 
 # ev_stream_page_hinkley is certified in the extras gate but kept out of

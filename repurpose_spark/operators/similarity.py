@@ -549,3 +549,72 @@ def knn_label_vote(
         "n_votes",
         (F.col("m.nlab") == F.col("lab")).alias("is_correct"),
     )
+
+
+def int8_quantize_embeddings(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column — the storage
+    tier for vector corpora (4× smaller than float32 before any
+    container compression, and uniform int codes delta-compress
+    further): per-dimension corpus min/max bounds, 255 uniform levels,
+    ``code = round((x − mn)·255/(mx − mn))``, reconstruction
+    ``x̂ = mn + code·(mx − mn)/255``.  The embedding sibling of the
+    netCDF scale/offset packing in ``functions/quantize.py`` (same
+    bounded-error contract, per-dimension instead of per-variable).
+
+    The bounds pass is ONE partial+final aggregate of 2·dim scalar
+    min/maxes (no explode — the 64-dim row stays a row) collected to
+    the driver as a 2·dim-value literal: a bounded aggregate by the
+    repo's `.collect()` rule, and the codes pass is then map-side only
+    — nothing shuffles at any scale.  Determinism: every arithmetic
+    step is a correctly-rounded IEEE op on identical inputs in
+    identical order (float32 → float64 widening is exact; the SSE is
+    an ORDERED left fold, the PSI contract), so codes AND the
+    reconstruction error are engine-reproducible.  Constant dimensions
+    (mx = mn) code to 0 and reconstruct to mn exactly.
+
+    Returns (id_col, codes array<int>, sse double) — sse the summed
+    squared reconstruction error per vector, the quality metric a
+    storage-tier migration reports.
+    """
+    v = F.col(vec_col)
+    aggs = [F.min(v[i]).alias(f"_mn{i}") for i in range(dim)] + [
+        F.max(v[i]).alias(f"_mx{i}") for i in range(dim)
+    ]
+    row = emb.agg(*aggs).collect()[0]
+    mn = [float(row[f"_mn{i}"]) for i in range(dim)]
+    mx = [float(row[f"_mx{i}"]) for i in range(dim)]
+    mn_arr = F.array(*[F.lit(x) for x in mn])
+    mx_arr = F.array(*[F.lit(x) for x in mx])
+
+    def _at(arr, i):
+        return F.element_at(arr, i + 1)
+
+    def code_expr(i):
+        lo, hi, x = _at(mn_arr, i), _at(mx_arr, i), _at(v, i)
+        return (
+            F.when(hi == lo, F.lit(0))
+            .otherwise(F.round((x - lo) * F.lit(255.0) / (hi - lo)))
+            .cast("int")
+        )
+
+    def recon_expr(i):
+        lo, hi = _at(mn_arr, i), _at(mx_arr, i)
+        return lo + code_expr(i).cast("double") * (hi - lo) / F.lit(255.0)
+
+    idxs = F.sequence(F.lit(0), F.lit(dim - 1))
+    codes = F.transform(idxs, code_expr)
+    sse = F.aggregate(
+        F.transform(
+            idxs, lambda i: (_at(v, i) - recon_expr(i)) * (_at(v, i) - recon_expr(i))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        F.col(id_col), codes.alias("codes"), sse.alias("sse")
+    )

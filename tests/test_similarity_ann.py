@@ -207,3 +207,54 @@ def test_materialized_index_one_file_per_bucket(spark, emb, tmp_path):
     for d in dirs:
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1
+
+
+class TestInt8Quantize:
+    def test_matches_numpy_brute_force(self, spark):
+        import numpy as np
+
+        from repurpose_spark.operators.similarity import (
+            int8_quantize_embeddings,
+        )
+
+        rng = np.random.default_rng(413)
+        dim = 6
+        vecs = rng.normal(size=(40, dim)).astype(np.float32)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r for r in
+               int8_quantize_embeddings(df, dim=dim).collect()}
+        mn = vecs.min(axis=0).astype(np.float64)
+        mx = vecs.max(axis=0).astype(np.float64)
+        for i in range(40):
+            x = vecs[i].astype(np.float64)
+            codes = np.floor((x - mn) * 255.0 / (mx - mn) + 0.5).astype(int)
+            assert list(got[i]["codes"]) == list(codes), i
+            recon = mn + codes * (mx - mn) / 255.0
+            sse = float(((x - recon) ** 2).sum())
+            assert got[i]["sse"] == pytest.approx(sse, rel=1e-12)
+
+    def test_constant_dim_codes_zero(self, spark):
+        from repurpose_spark.operators.similarity import (
+            int8_quantize_embeddings,
+        )
+
+        rows = [(1, [1.5, 2.0]), (2, [1.5, 4.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r for r in
+               int8_quantize_embeddings(df, dim=2).collect()}
+        assert got[1]["codes"][0] == 0 and got[2]["codes"][0] == 0
+        # constant dim reconstructs exactly -> contributes 0 error
+        assert got[1]["codes"][1] == 0 and got[2]["codes"][1] == 255
+
+    def test_extremes_land_on_0_and_255(self, spark):
+        from repurpose_spark.operators.similarity import (
+            int8_quantize_embeddings,
+        )
+
+        rows = [(i, [float(i)]) for i in range(11)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r["codes"][0] for r in
+               int8_quantize_embeddings(df, dim=1).collect()}
+        assert got[0] == 0 and got[10] == 255
+        assert all(0 <= c <= 255 for c in got.values())
