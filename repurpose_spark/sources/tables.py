@@ -404,6 +404,140 @@ class Warehouse:
         os.replace(tmp, self._meta(table))
         return {"expired": n_expired, "kept": keep_last}
 
+    def merge_into(
+        self,
+        updates: DataFrame,
+        table: str,
+        key_cols: list,
+        partition_by: list,
+        keys_partition_stable: bool = True,
+    ) -> dict:
+        """Iceberg-style ``MERGE INTO`` (upsert): rows in ``updates``
+        REPLACE the target rows sharing their ``key_cols`` and INSERT
+        where no match exists — the late-correction primitive a
+        retention pipeline needs when a source re-delivers fixed data
+        (the row-level sibling of finalize's partition-level
+        continuous-aggregate refresh).
+
+        Parquet-twin plan, cell-pruned like an incremental finalize:
+        the touched partition values come from ``updates`` (a bounded
+        ``.collect()`` — one row per touched partition), ONLY those
+        partitions are read back (partition-pruned scan), survivors =
+        current ⟂ updates (LEFT ANTI on the merge key, broadcast when
+        updates are small) union the updates, and the rewrite is a
+        dynamic partition overwrite committing a partition-scoped DELTA
+        manifest — untouched partitions' files are never read, written,
+        or listed.  Iceberg branch: native ``MERGE INTO`` SQL
+        (cluster-only, same paper-verified status as the other
+        branches).
+
+        ``keys_partition_stable=True`` (default) declares the partition
+        value a pure function of the merge key (this engine's layout:
+        cell_id = hash(doc_id)), so an update can never strand a stale
+        row in another partition.  Set False when that contract does
+        not hold: correctness then requires scanning the WHOLE table
+        for stale key locations — the documented cost Iceberg's own
+        merge pays without a key index.
+
+        Returns {n_updated, n_inserted, n_partitions}; the snapshot's
+        lineage row records the same.  Raises if the table is missing
+        (merge into nothing is a bug, not an insert)."""
+        if not self.exists(table):
+            raise ValueError(f"merge_into: table {table!r} does not exist")
+        key_cols = list(key_cols)
+        if self.use_iceberg:
+            updates.createOrReplaceTempView("_merge_src")
+            on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+            self.spark.sql(
+                f"MERGE INTO {self._ident(table)} t USING _merge_src s "
+                f"ON {on} WHEN MATCHED THEN UPDATE SET * "
+                f"WHEN NOT MATCHED THEN INSERT *"
+            )
+            self._commit(table, "merge_into", {})
+            return {}
+        from pyspark.sql import functions as F
+
+        touched = [
+            r.asDict() for r in updates.select(*partition_by).distinct().collect()
+        ]
+        if keys_partition_stable:
+            cur = self.read(table)
+            pred = None
+            for row in touched:
+                clause = None
+                for k in partition_by:
+                    c = F.col(k) == F.lit(row[k])
+                    clause = c if clause is None else (clause & c)
+                pred = clause if pred is None else (pred | clause)
+            cur = cur.where(pred)
+        else:
+            cur = self.read(table)
+            touched = [
+                r.asDict()
+                for r in cur.join(
+                    updates.select(*key_cols).distinct(), on=key_cols,
+                    how="left_semi",
+                )
+                .select(*partition_by)
+                .distinct()
+                .collect()
+            ] + touched
+            touched = [dict(t) for t in {tuple(sorted(d.items())) for d in touched}]
+        n_before = cur.count()
+        survivors = cur.join(
+            F.broadcast(updates.select(*key_cols).distinct()),
+            on=key_cols,
+            how="left_anti",
+        )
+        n_surv = survivors.count()
+        n_upd = n_before - n_surv
+        n_ins = updates.count() - n_upd
+        merged = survivors.select(*updates.columns).unionByName(updates)
+        # dynamic partition overwrite rewrites ONLY partitions present in
+        # the output — a touched partition whose last row was merged AWAY
+        # (a key move under keys_partition_stable=False) would keep its
+        # stale files.  Delete emptied touched partitions up front; the
+        # delta manifest then lists them as (correctly) file-less.
+        present = {
+            tuple(r[k] for k in partition_by)
+            for r in merged.select(*partition_by).distinct().collect()
+        }
+        emptied = [
+            row
+            for row in touched
+            if tuple(row[k] for k in partition_by) not in present
+        ]
+        if emptied:
+            # merged is a LAZY plan over the table's current files — sever
+            # the lineage before deleting directories it reads from, or
+            # the overwrite job re-scans a path that no longer exists
+            merged = merged.localCheckpoint(eager=True)
+            for row in emptied:
+                shutil.rmtree(
+                    os.path.join(
+                        self.path(table),
+                        *[f"{k}={row[k]}" for k in partition_by],
+                    ),
+                    ignore_errors=True,
+                )
+        self.overwrite_partitions(
+            merged,
+            table,
+            partition_by,
+            metrics={
+                "n_updated": n_upd,
+                "n_inserted": n_ins,
+                "n_partitions": len(touched),
+                "merge": True,
+            },
+            touched_partitions=touched,
+        )
+        return {
+            "n_updated": n_upd,
+            "n_inserted": n_ins,
+            "n_partitions": len(touched),
+        }
+
     def drop(self, table: str) -> None:
         shutil.rmtree(os.path.join(self.root, table), ignore_errors=True)
 
