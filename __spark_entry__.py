@@ -3190,6 +3190,23 @@ def q_emb_int8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_quantize_embeddings(emb, dim=64)
 
 
+def q_doc_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric quote-inclusion pairs by the overlap coefficient
+    |A∩B|/min(|A|,|B|) (operators/dedup.py::overlap_coeff_pairs) — the
+    detector for a short doc quoted verbatim inside a long one, which
+    Jaccard structurally caps at |A|/|B|; candidates reuse the
+    minhash_pairs banded md5 LSH (same shuffle discipline), the
+    verification kernel swaps Jaccard for the Szymkiewicz–Simpson
+    coefficient.  EXACT oracle: DuckDB replays candidates AND the
+    overlap verification with the identical md5 signature family."""
+    from repurpose_spark.operators.dedup import overlap_coeff_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return overlap_coeff_pairs(
+        d, k=4, bands=2, shingle_n=8, threshold=0.5, step=2, use_md5=True
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -3295,6 +3312,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_stream_page_hinkley": q_ev_stream_page_hinkley,
         "ev_rate_limit": q_ev_rate_limit,
         "emb_int8_roundtrip": q_emb_int8_roundtrip,
+        "doc_overlap_pairs": q_doc_overlap_pairs,
     }
 
 
@@ -7273,5 +7291,40 @@ rec AS (
 )
 SELECT user_id, ts, event_id, gap_s, bucket_before, admitted, bucket_after
 FROM rec
+""",
+        # minhash_pairs' md5 candidate construction, overlap-coefficient
+        # verification kernel
+        "doc_overlap_pairs": """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([text[i:i+7]
+                        for i in generate_series(1, greatest(length(text)-7, 1), 2)])
+           AS s
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(s, x -> md5('0' || x))) AS sig0,
+         list_min(list_transform(s, x -> md5('1' || x))) AS sig1,
+         list_min(list_transform(s, x -> md5('2' || x))) AS sig2,
+         list_min(list_transform(s, x -> md5('3' || x))) AS sig3
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+        OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(x.s, y.s))::DOUBLE /
+         greatest(least(len(x.s), len(y.s)), 1) AS oc
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(oc, 4) AS overlap FROM v WHERE oc >= 0.5
 """,
     }

@@ -100,6 +100,7 @@ HEADLINE = [
     "ev_availability",
     "ev_rate_limit",
     "emb_int8_roundtrip",
+    "doc_overlap_pairs",
 ]
 
 # ev_stream_page_hinkley is certified in the extras gate but kept out of

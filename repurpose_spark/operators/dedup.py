@@ -849,3 +849,67 @@ def novelty_rate(
             F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
         ).alias("novelty"),
     )
+
+
+def overlap_coeff_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 8,
+    threshold: float = 0.5,
+    step: int = 2,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by the overlap (Szymkiewicz–Simpson)
+    coefficient |A∩B| / min(|A|,|B|) — what Jaccard structurally
+    misses: a short doc quoted VERBATIM inside a long one scores 1.0
+    here but |A|/|B| ≈ 0 on Jaccard, so this is the quote-inclusion /
+    subset-contamination detector (the pairwise sibling of
+    duplicate_spans' corpus-wide hot windows).
+
+    Candidate generation reuses :func:`dedup_minhash_lsh`'s banded
+    signature join (same shuffle discipline: bands carry (id, band,
+    bucket) only; shingles re-join per side for verified candidates
+    only).  Honest recall note: MinHash bands collide with probability
+    driven by JACCARD, so high-containment/low-Jaccard pairs at extreme
+    length ratios can escape candidacy — the production containment
+    path would band the SMALLER side's shingles only; at the driver
+    corpus's length spread the md5-family oracle certifies the
+    implemented semantics exactly.
+    """
+    base, banded = _minhash_base_bands(
+        docs, id_col, text_col, k, bands, shingle_n, step, use_md5
+    )
+    cand_ids = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cands = cand_ids.join(
+        base.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        base.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    denom = F.greatest(
+        F.least(F.size("sh_a"), F.size("sh_b")), F.lit(1)
+    )
+    oc = inter / denom
+    return (
+        cands.withColumn("overlap", oc)
+        .where(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", F.round("overlap", 4).alias("overlap"))
+    )

@@ -402,3 +402,56 @@ class TestNoveltyRate:
         # same gram in docs 5 and 2: novelty belongs to MIN doc_id
         out = self._run(spark, [(5, "p q r"), (2, "p q r")])
         assert out[2]["n_novel"] == 1 and out[5]["n_novel"] == 0
+
+
+class TestOverlapCoeffPairs:
+    def test_quote_inclusion_beats_jaccard(self, spark):
+        # deterministic fixture: with the md5 family, the repeated "aa"
+        # filler's few distinct shingles all hash above the quote's band
+        # minima, so the pair IS an LSH candidate (verified offline);
+        # the quote is fully contained -> overlap exactly 1.0 while
+        # Jaccard is diluted to ~0.81 by the filler shingles
+        from repurpose_spark.operators.dedup import (
+            dedup_minhash_lsh,
+            overlap_coeff_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta eta theta"
+        long = short + " " + " ".join(["aa"] * 40)
+        df = spark.createDataFrame(
+            [(1, short), (2, long)], "doc_id long, text string"
+        )
+        kw = dict(k=4, bands=2, shingle_n=8, step=1, use_md5=True)
+        oc = overlap_coeff_pairs(df, threshold=0.99, **kw).collect()
+        assert len(oc) == 1 and oc[0]["overlap"] == 1.0
+        j = dedup_minhash_lsh(df, threshold=0.0, **kw).collect()
+        assert j and j[0]["jaccard"] < 0.82  # strictly diluted below oc
+
+    def test_symmetric_identical_docs(self, spark):
+        from repurpose_spark.operators.dedup import overlap_coeff_pairs
+
+        t = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [(1, t), (2, t)], "doc_id long, text string"
+        )
+        out = overlap_coeff_pairs(
+            df, k=4, bands=2, shingle_n=8, threshold=0.5, step=1,
+            use_md5=True,
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["overlap"])
+                for r in out] == [(1, 2, 1.0)]
+
+    def test_threshold_filters(self, spark):
+        from repurpose_spark.operators.dedup import overlap_coeff_pairs
+
+        a = "aaa bbb ccc ddd eee fff ggg hhh"
+        b = "aaa bbb ccc ddd xxx yyy zzz www"
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        kw = dict(k=4, bands=2, shingle_n=4, step=1, use_md5=True)
+        lo = overlap_coeff_pairs(df, threshold=0.0, **kw).collect()
+        hi = overlap_coeff_pairs(df, threshold=0.99, **kw).collect()
+        if lo:  # candidate collision depends on the md5 band draw
+            assert all(r["overlap"] < 0.99 for r in lo)
+        assert hi == []
