@@ -3207,6 +3207,33 @@ def q_doc_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-level KEEP decision
+    (operators/graph.py::canonical_per_component) — the step the
+    pair/component views stop short of: per near-dup connected
+    component, keep the highest-quality doc (ties to min doc_id), with
+    the member count whose n−1 is the removal tally.  Composes
+    doc_neardup_components' min-label propagation with the
+    quality_score expression; the canonical window runs on the
+    doc-sized component frame.  EXACT oracle: the recursive-CTE
+    closure + the quality replay + the same (q desc, doc_id) window."""
+    from repurpose_spark.functions.text import quality_score
+    from repurpose_spark.operators.graph import (
+        canonical_per_component,
+        connected_components,
+    )
+
+    d = _wide(_t(spark, sf_dir, "documents"))
+    pairs = dedup_minhash_lsh(
+        d, k=4, bands=2, shingle_n=8, threshold=0.3, step=2, use_md5=True
+    )
+    comp = connected_components(pairs, vertices=d)
+    labeled = comp.join(
+        d.select("doc_id", quality_score("text").alias("q")), "doc_id"
+    )
+    return canonical_per_component(labeled, "q")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries subsumed by a queries() green row (see the note there) —
     excluded from the driver's 50-entry certification window but still
@@ -3313,6 +3340,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rate_limit": q_ev_rate_limit,
         "emb_int8_roundtrip": q_emb_int8_roundtrip,
         "doc_overlap_pairs": q_doc_overlap_pairs,
+        "doc_canonical": q_doc_canonical,
     }
 
 
@@ -7326,5 +7354,81 @@ v AS (
   JOIN sh y ON y.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, round(oc, 4) AS overlap FROM v WHERE oc >= 0.5
+""",
+        # components closure + quality replay + the same (q desc, id)
+        # keep window
+        "doc_canonical": r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([text[i:i+7]
+                        for i in generate_series(1, greatest(length(text)-7, 1), 2)])
+           AS s
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(s, x -> md5('0' || x))) AS sig0,
+         list_min(list_transform(s, x -> md5('1' || x))) AS sig1,
+         list_min(list_transform(s, x -> md5('2' || x))) AS sig2,
+         list_min(list_transform(s, x -> md5('3' || x))) AS sig3
+  FROM sh
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.doc_id < b.doc_id
+   AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+        OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+),
+v AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+  WHERE len(list_intersect(x.s, y.s))::DOUBLE /
+        greatest(len(list_distinct(list_concat(x.s, y.s))), 1) >= 0.3
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM v
+  UNION
+  SELECT doc_b, doc_a FROM v
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.comp FROM e JOIN reach r ON e.b = r.id
+),
+lab AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+f AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS toks,
+         (length(text) -
+          length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+           / greatest(length(text), 1)::DOUBLE AS punct
+  FROM documents
+),
+qs AS (
+  SELECT doc_id,
+         floor((0.4 * least(length(text) / 200.0, 1.0)
+                + 0.3 * (1 - least(punct * 4, 1.0))
+                + 0.3 * least((CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, x -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it',
+                       'that','for','on','with','as','was','were','be','this'],
+                      x))) / len(toks)::DOUBLE END) * 3, 1.0))
+               * 10000 + 0.5 + 1e-9) / 10000 AS q
+  FROM f
+),
+j AS (
+  SELECT l.component, l.doc_id, qs.q,
+         row_number() OVER (PARTITION BY l.component
+                            ORDER BY qs.q DESC, l.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY l.component) AS n_members
+  FROM lab l JOIN qs ON qs.doc_id = l.doc_id
+)
+SELECT component, doc_id AS keep_doc, q,
+       CAST(n_members AS BIGINT) AS n_members
+FROM j WHERE rn = 1
 """,
     }

@@ -101,6 +101,7 @@ HEADLINE = [
     "ev_rate_limit",
     "emb_int8_roundtrip",
     "doc_overlap_pairs",
+    "doc_canonical",
 ]
 
 # ev_stream_page_hinkley is certified in the extras gate but kept out of

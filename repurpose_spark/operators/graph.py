@@ -117,3 +117,41 @@ def connected_components(
     return labels.select(
         F.col("id").alias(id_col), F.col("comp").alias("component")
     )
+
+
+def canonical_per_component(
+    labeled: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """The KEEP decision near-dup clustering exists to make: per
+    connected component, the single canonical representative — highest
+    ``score_col``, ties to the smallest ``id_col`` (a deterministic
+    total order, so identical score doubles pick the same winner in
+    any engine).  "Dedup the corpus, keep the best-quality copy of
+    each cluster" is the last step of the Lee et al. 2022 / C4 recipe
+    that the pair/component views stop short of.
+
+    One window on the component key (components frame = one row per
+    doc, far smaller than the pair set it came from): row_number under
+    (score desc, id) + the membership count ride a single partition.
+    Returns (comp_col, keep_doc, score_col, n_members) — dropping
+    everything else in a component IS the dedup action, so n_members−1
+    is the per-cluster removal count.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(comp_col)
+    wo = w.orderBy(F.desc(score_col), id_col)
+    return (
+        labeled.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            comp_col,
+            F.col(id_col).alias("keep_doc"),
+            score_col,
+            "n_members",
+        )
+    )

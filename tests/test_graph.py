@@ -71,3 +71,27 @@ def test_components_match_union_find_property(spark):
         expect = union_find(n, edges)
         got = _comps(spark, edges or [], verts=range(n))
         assert got == expect, f"trial {trial}: n={n} edges={edges}"
+
+
+class TestCanonicalPerComponent:
+    def test_keep_best_quality_tie_min_id(self, spark):
+        from repurpose_spark.operators.graph import canonical_per_component
+
+        rows = [
+            (1, 10, 0.5), (2, 10, 0.9), (3, 10, 0.9),   # tie at 0.9 -> id 2
+            (4, 40, 0.1),                                  # singleton
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, component long, q double")
+        got = {r["component"]: (r["keep_doc"], r["q"], r["n_members"])
+               for r in canonical_per_component(df, "q").collect()}
+        assert got == {10: (2, 0.9, 3), 40: (4, 0.1, 1)}
+
+    def test_removal_tally(self, spark):
+        from repurpose_spark.operators.graph import canonical_per_component
+
+        rows = [(i, i % 3, float(i)) for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, component long, q double")
+        out = canonical_per_component(df, "q").collect()
+        assert sum(r["n_members"] - 1 for r in out) == 12 - 3
+        # highest q per component wins
+        assert sorted(r["keep_doc"] for r in out) == [9, 10, 11]
