@@ -178,6 +178,7 @@ def rate_limit_admission(
     cost: int = 3600,
     tie_cols: list | tuple = (),
     max_points: int = 100_000,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Token-bucket admission replay per key — "which events would a
     limiter (capacity ``cap``, ``refill_per_s`` units/sec, ``cost``
@@ -193,10 +194,16 @@ def rate_limit_admission(
     no prefix-sum closed form exists (unlike CUSUM/PH, the two-sided
     clamp + conditional consumption breaks associativity) — so this is
     one of the two deliberately sequential operators (with the EWMA
-    family), run per key in one Arrow batch with a plain int loop.
-    Sequence-bounded by contract: rate limiting is per PRINCIPAL
-    (user/API key), whose event counts are bounded by behavior, and
-    ``max_points`` guards the contract like theil_sen.
+    family).  Sequence-bounded by contract: rate limiting is per
+    PRINCIPAL (user/API key), whose event counts are bounded by
+    behavior, and ``max_points`` guards the contract like theil_sen.
+
+    Plan shape: repartition on the key + in-partition sort by (key,
+    ts, ties), then ONE streaming ``mapInPandas`` pass per partition
+    that resets the four-integer state at key boundaries and carries
+    it across Arrow batches — one Python loop over the partition, not
+    one Arrow group per key (the per-group applyInPandas overhead at
+    ~1500 keys measured 2× the entire partition-pass wall).
 
     All state is int64, so the per-event admission decisions and
     bucket levels are EXACT — DuckDB certifies them byte-for-byte by
@@ -220,36 +227,48 @@ def rate_limit_admission(
     )
     cap_i, refill_i, cost_i = int(cap), int(refill_per_s), int(cost)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n > max_points:
-            raise ValueError(
-                "rate_limit_admission: series of {} events exceeds "
-                "max_points={} — key by principal, not by shard".format(
-                    n, max_points
-                )
-            )
-        pdf = pdf.sort_values([ts_col, *tie_cols], kind="stable")
-        secs = (pdf[ts_col].astype("int64") // 1_000_000_000).tolist()
-        gaps, befores, admits, afters = [], [], [], []
-        b = cap_i
-        prev = None
-        for s in secs:
-            g = 0 if prev is None else s - prev
-            prev = s
-            b = min(cap_i, b + refill_i * g)
-            ok = b >= cost_i
-            gaps.append(g)
-            befores.append(b)
-            admits.append(ok)
-            if ok:
-                b -= cost_i
-            afters.append(b)
-        out = pdf.copy()
-        out["gap_s"] = gaps
-        out["bucket_before"] = befores
-        out["admitted"] = admits
-        out["bucket_after"] = afters
-        return out
+    def fn(batches):
+        # partition-scoped state, carried across Arrow batches: rows
+        # arrive sorted by (keys, ts, ties), keys never span partitions
+        cur_key = object()
+        b = prev = npts = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            secs = (pdf[ts_col].astype("int64") // 1_000_000_000).tolist()
+            keys = list(zip(*(pdf[k].tolist() for k in key_cols)))
+            gaps, befores, admits, afters = [], [], [], []
+            for kt, s in zip(keys, secs):
+                if kt != cur_key:
+                    cur_key, b, prev, npts = kt, cap_i, None, 0
+                npts += 1
+                if npts > max_points:
+                    raise ValueError(
+                        "rate_limit_admission: series exceeds "
+                        "max_points={} — key by principal, not by "
+                        "shard".format(max_points)
+                    )
+                g = 0 if prev is None else s - prev
+                prev = s
+                b = min(cap_i, b + refill_i * g)
+                ok = b >= cost_i
+                gaps.append(g)
+                befores.append(b)
+                admits.append(ok)
+                if ok:
+                    b -= cost_i
+                afters.append(b)
+            out = pdf.copy()
+            out["gap_s"] = gaps
+            out["bucket_before"] = befores
+            out["admitted"] = admits
+            out["bucket_after"] = afters
+            yield out
 
-    return sel.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+    n_parts = num_partitions or sel.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ordered = sel.repartition(int(n_parts), *key_cols).sortWithinPartitions(
+        *key_cols, ts_col, *tie_cols
+    )
+    return ordered.mapInPandas(fn, schema=schema)
