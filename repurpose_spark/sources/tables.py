@@ -460,6 +460,10 @@ class Warehouse:
         touched = [
             r.asDict() for r in updates.select(*partition_by).distinct().collect()
         ]
+        if not touched:
+            # empty updates frame: a no-op merge, not a write (and the
+            # stable path's partition predicate would otherwise be empty)
+            return {"n_updated": 0, "n_inserted": 0, "n_partitions": 0}
         if keys_partition_stable:
             cur = self.read(table)
             pred = None

@@ -88,3 +88,12 @@ class TestMergeInto:
         assert m["n_updated"] == 1 and m["n_inserted"] == 0
         rows = _rows(wh.read("t"))
         assert (5, 0, 55) in rows and all(r[0] != 5 or r[1] == 0 for r in rows)
+
+    def test_empty_updates_noop(self, spark, wh):
+        upd = spark.createDataFrame(
+            [], "doc_id long, cell_id int, v long"
+        )
+        pre = wh.snapshot_ids("t")[-1]
+        m = wh.merge_into(upd, "t", ["doc_id"], ["cell_id"])
+        assert m == {"n_updated": 0, "n_inserted": 0, "n_partitions": 0}
+        assert wh.snapshot_ids("t")[-1] == pre  # no commit, no write
