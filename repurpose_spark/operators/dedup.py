@@ -69,9 +69,15 @@ def shingles(text_col: str, n: int = 8, step: int = 1):
 
 
 def ngram_jaccard(pairs: DataFrame, left: str = "sh_a", right: str = "sh_b"):
-    """Exact Jaccard on shingle arrays — the verification kernel."""
+    """Exact Jaccard on shingle arrays — the verification kernel.
+
+    Inputs are :func:`shingles` outputs (distinct by construction), so
+    ``|A∪B| = |A| + |B| − |A∩B|`` exactly — the union is derived from
+    sizes instead of materializing a second per-pair hash set via
+    ``array_union`` (guide §1.2 per-task work: at ~1M candidate pairs
+    the union build+materialize was half the verification kernel)."""
     inter = F.size(F.array_intersect(F.col(left), F.col(right)))
-    union = F.size(F.array_union(F.col(left), F.col(right)))
+    union = F.size(F.col(left)) + F.size(F.col(right)) - inter
     return inter / F.greatest(union, F.lit(1))
 
 
@@ -309,6 +315,60 @@ def _retire_cand_caches() -> None:
             pass
 
 
+def _persist_lsh_front(base, banded, with_base: bool = True):
+    """Persist the LSH front end for the duration of one self-join query
+    (guide §2.4: remove recomputation outright).  Without this the
+    shingle+signature pipeline runs once per band-join side and the
+    shingle projection twice more for the verify legs — four corpus
+    passes where one suffices.  MEMORY_AND_DISK (the persist default)
+    spills at scale; the retire registry bounds long-lived drivers.
+    ``banded``'s plan contains ``base``'s subtree, so caching both means
+    signatures are computed once from the cached shingles.
+    ``with_base=False`` skips the shingle cache for callers that verify
+    on raw text instead of shingle arrays (edit_distance_pairs)."""
+    _retire_cand_caches()
+    if with_base:
+        base = base.persist()
+    banded = banded.persist()
+    with _CAND_CACHE_LOCK:
+        if with_base:
+            _CAND_CACHE.append(base)
+        _CAND_CACHE.append(banded)
+    return base, banded
+
+
+def _band_self_join(banded):
+    """Candidate ids from the banded frame: (band, bucket) equi-self-join,
+    ordered ids, deduped — carries ONLY (id, band, bucket).
+
+    The trailing repartition re-spreads the deduped pair set: AQE
+    coalesces the dedup exchange by BYTES, and candidate ids are ~16 B a
+    row while every surviving row feeds a heavyweight verify kernel (set
+    intersection or banded edit DP, ~100 µs+ each) — measured at sf1.0
+    the verify stage ran on 8 post-coalesce tasks out of 32 cores (guide
+    §2.5, cheap-bytes/expensive-rows).  Deterministic hash keys, explicit
+    partition count (the session's shuffle parallelism) so AQE leaves it
+    alone; the extra exchange moves ids only."""
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n = int(
+        banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return cand.repartition(n, "doc_a", "doc_b")
+
+
 def minhash_probe_indexed(
     spark,
     index_path: str,
@@ -438,20 +498,8 @@ def dedup_minhash_lsh(
     base, banded = _minhash_base_bands(
         docs, id_col, text_col, k, bands, shingle_n, step, use_md5
     )
-    cand_ids = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    base, banded = _persist_lsh_front(base, banded, with_base=False)
+    cand_ids = _band_self_join(banded)
     cands = cand_ids.join(
         base.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
         "doc_a",
@@ -459,10 +507,26 @@ def dedup_minhash_lsh(
         base.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")),
         "doc_b",
     )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # single-element explode barrier: a predicate cannot be pushed below
+    # a Generate, so the per-pair set intersection is evaluated exactly
+    # ONCE (measured: the collapsed Filter+Project shape re-evaluated it
+    # per reference — 2x the verification kernel at ~1M candidates)
+    sized = cands.select(
+        "doc_a",
+        "doc_b",
+        F.size("sh_a").alias("_za"),
+        F.size("sh_b").alias("_zb"),
+        F.explode(F.array(inter)).alias("_i"),
+    )
+    # |A∪B| = |A| + |B| − |A∩B| exactly (shingle arrays are distinct),
+    # same formula as ngram_jaccard over the barriered intersection
+    j = F.col("_i") / F.greatest(
+        F.col("_za") + F.col("_zb") - F.col("_i"), F.lit(1)
+    )
     return (
-        cands.withColumn("jaccard", ngram_jaccard(cands))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        sized.where(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
     )
 
 
@@ -715,23 +779,11 @@ def edit_distance_pairs(
     only (id, band, bucket); text joins back by id for the surviving
     candidates only, so shuffle bytes stay O(candidates · avg_len).
     """
-    _, banded = _minhash_base_bands(
+    base, banded = _minhash_base_bands(
         docs, id_col, text_col, k, bands, shingle_n, step, use_md5
     )
-    cand_ids = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    _, banded = _persist_lsh_front(base, banded, with_base=False)
+    cand_ids = _band_self_join(banded)
     texts = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
@@ -759,13 +811,24 @@ def edit_distance_pairs(
         )
     )
     if max_dist == "auto":
-        import math
-
-        max_len = docs.agg(
-            F.max(F.length(text_col)).alias("m")
-        ).first()["m"]
-        max_dist = max(1, math.ceil((1.0 - min_sim) * (max_len or 0)))
-    if max_dist is None:
+        # per-PAIR exact-safe cap: the survival filter below keeps only
+        # dist <= (1-min_sim)·mx, an integer bound of floor((1-min_sim)
+        # ·mx) for this pair — so the banded DP can stop at that row
+        # budget instead of the corpus-wide ceil((1-min_sim)·max_len)
+        # (guide §1.2 per-task work: halves the DP band at typical
+        # lengths, and the corpus max-length pre-scan job disappears).
+        # levenshtein(l, r, t) returns -1 past the cap, which the
+        # edit_dist >= 0 filter drops — output-identical BY CONSTRUCTION
+        # for any cap >= the pair's own budget.
+        cands = cands.withColumn(
+            "__bud",
+            F.greatest(
+                F.floor((F.lit(1.0) - F.lit(min_sim)) * F.col("mx")),
+                F.lit(1),
+            ).cast("int"),
+        )
+        dist = F.expr("levenshtein(t_a, t_b, __bud)")
+    elif max_dist is None:
         dist = F.levenshtein("t_a", "t_b")
     else:
         dist = F.levenshtein("t_a", "t_b", max_dist)
@@ -882,20 +945,8 @@ def overlap_coeff_pairs(
     base, banded = _minhash_base_bands(
         docs, id_col, text_col, k, bands, shingle_n, step, use_md5
     )
-    cand_ids = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    base, banded = _persist_lsh_front(base, banded, with_base=False)
+    cand_ids = _band_self_join(banded)
     cands = cand_ids.join(
         base.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")),
         "doc_a",
@@ -904,12 +955,18 @@ def overlap_coeff_pairs(
         "doc_b",
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    denom = F.greatest(
-        F.least(F.size("sh_a"), F.size("sh_b")), F.lit(1)
+    # same single-evaluation explode barrier as dedup_minhash_lsh
+    sized = cands.select(
+        "doc_a",
+        "doc_b",
+        F.size("sh_a").alias("_za"),
+        F.size("sh_b").alias("_zb"),
+        F.explode(F.array(inter)).alias("_i"),
     )
-    oc = inter / denom
+    oc = F.col("_i") / F.greatest(
+        F.least(F.col("_za"), F.col("_zb")), F.lit(1)
+    )
     return (
-        cands.withColumn("overlap", oc)
-        .where(F.col("overlap") >= threshold)
-        .select("doc_a", "doc_b", F.round("overlap", 4).alias("overlap"))
+        sized.where(oc >= threshold)
+        .select("doc_a", "doc_b", F.round(oc, 4).alias("overlap"))
     )

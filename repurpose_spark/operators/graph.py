@@ -57,13 +57,13 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # propagate over EDGE ENDPOINTS only: an isolated vertex's label can
+    # never change (no edges touch it), so running the full vertex set
+    # through every round just re-shuffles constants.  Endpoints iterate
+    # (a pair-graph's endpoint set is far smaller than the corpus);
+    # isolated vertices are labelled comp = id by one left join at the
+    # end (guide §2.4: remove per-round shuffles outright).
     verts = edges.select(F.col("s").alias("id")).distinct()
-    if vertices is not None:
-        verts = (
-            vertices.select(F.col(id_col).alias("id"))
-            .union(verts)
-            .distinct()
-        )
     labels = verts.select("id", F.col("id").alias("comp")).localCheckpoint()
 
     for _ in range(max_iter):
@@ -87,6 +87,9 @@ def connected_components(
         # pointer jumping: replace every label with its label's label
         # (label(comp) <= comp always), collapsing chains exponentially —
         # O(log diameter) rounds instead of O(diameter) on long paths
+        # checkpointed: consumed by the convergence probe AND the next
+        # round (msgs join, union, compare) — without it the
+        # hop-self-join recomputes once per consumer
         new_labels = (
             hop.join(
                 hop.select(
@@ -100,6 +103,7 @@ def connected_components(
                 "id",
                 F.coalesce("comp2", "comp").alias("comp"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -114,6 +118,26 @@ def connected_components(
         labels = new_labels
         if not changed:
             break
+    else:
+        if changed:
+            import warnings
+
+            warnings.warn(
+                "connected_components: max_iter rounds elapsed without "
+                "convergence; labels may be under-merged",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    if vertices is not None:
+        # isolated vertices: comp = id, attached in one pass; endpoints
+        # missing from `vertices` stay labelled (same vertex set as the
+        # old endpoints ∪ vertices union)
+        allv = vertices.select(F.col(id_col).alias("id")).distinct()
+        labels = (
+            allv.join(labels, "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+            .unionByName(labels.join(allv, "id", "left_anti"))
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("comp").alias("component")
     )
