@@ -1436,8 +1436,6 @@ def q_ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a point's single bucket guarantees pair uniqueness without dedup.
     EXACT oracle: DuckDB runs the naive inequality join — the bucketing
     must be semantics-free."""
-    from repurpose_spark.operators.intervals import interval_join
-
     ev = _t(spark, sf_dir, "events")
     grp = (F.col("user_id") % 8).alias("grp")
     ivs = ev.where(F.col("event_type") == "error").select(
@@ -1451,12 +1449,20 @@ def q_ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    hits = interval_join(
+    # r06: the bucketed join materialized the full points×windows
+    # fan-out (12M rows at sf1.0) only to aggregate it away; the
+    # prefix-sum sweep computes the identical (count, sum) per interval
+    # from two probe rows per window — output-equal by construction
+    # (exact int64 running totals, [start, end) boundary semantics
+    # preserved by probe-before-point ordering), proven against the
+    # unchanged DuckDB oracle
+    from repurpose_spark.operators.intervals import interval_point_counts
+
+    return interval_point_counts(
         pts, ivs, on=["grp"], ts_col="ts",
-        start_col="start_ts", end_col="end_ts", bucket_seconds=3600,
-    )
-    return hits.groupBy("iid", "grp").agg(
-        F.count("*").alias("n_in"), F.sum("cents").alias("sum_cents")
+        start_col="start_ts", end_col="end_ts",
+        sum_col="cents", id_cols=["iid"],
+        count_alias="n_in", sum_alias="sum_cents",
     )
 
 

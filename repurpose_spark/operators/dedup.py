@@ -366,7 +366,12 @@ def _band_self_join(banded):
     n = int(
         banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    return cand.repartition(n, "doc_a", "doc_b")
+    # partition on a derived hash, NOT (doc_a, doc_b): that would be the
+    # dedup aggregate's own partitioning, the optimizer would drop the
+    # exchange as redundant, and AQE would coalesce the surviving one
+    # back down (observed: 10 tasks).  Deterministic full-entropy key,
+    # explicit count → survives optimization, immune to per-doc skew.
+    return cand.repartition(n, F.xxhash64("doc_a", "doc_b"))
 
 
 def minhash_probe_indexed(
@@ -832,9 +837,18 @@ def edit_distance_pairs(
         dist = F.levenshtein("t_a", "t_b")
     else:
         dist = F.levenshtein("t_a", "t_b", max_dist)
+    # single-element explode barrier (see dedup_minhash_lsh): edit_dist
+    # is referenced by two filter conjuncts and two output columns, and
+    # predicate pushdown re-inlines a projected expression per reference
+    # — without the barrier the DP kernel runs up to four times per pair
+    withd = cands.select(
+        "doc_a",
+        "doc_b",
+        "mx",
+        F.explode(F.array(dist.cast("long"))).alias("edit_dist"),
+    )
     out = (
-        cands.withColumn("edit_dist", dist.cast("long"))
-        .where(
+        withd.where(
             (F.col("edit_dist") >= 0)
             & (
                 F.col("edit_dist")

@@ -40,6 +40,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    small_graph_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every vertex; component = min id reachable.
 
@@ -48,9 +49,14 @@ def connected_components(
     (isolated vertices become their own singleton component); without
     it, only endpoints of edges are labelled.
     """
+    # materialize the verified pair set BEFORE symmetrizing: the two
+    # Union branches are otherwise two independent consumers of `pairs`,
+    # i.e. the caller's whole candidate+verify pipeline runs twice
+    # (measured 2x the verify kernel on doc_canonical); the pair set
+    # itself is component-frame-sized, so the checkpoint is cheap
     edges = pairs.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
-    )
+    ).localCheckpoint()
     edges = (
         edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
@@ -64,7 +70,79 @@ def connected_components(
     # isolated vertices are labelled comp = id by one left join at the
     # end (guide §2.4: remove per-round shuffles outright).
     verts = edges.select(F.col("s").alias("id")).distinct()
+
+    # small-graph fast path: verified near-dup edge sets are usually
+    # component-frame-sized; below `small_graph_max_edges` (a documented
+    # driver bound — 2M symmetric edges ≈ tens of MB) solve exactly with
+    # driver union-find instead of paying 3 Spark jobs per propagation
+    # round.  Identical output (component = min reachable id); the
+    # distributed pointer-jump loop below remains the scale path.
+    n_edges = edges.count()  # edges is checkpointed — this is a cheap job
+    if n_edges <= small_graph_max_edges:
+        labels = _driver_components(edges)
+    else:
+        labels = _looped_components(edges, verts, max_iter)
+    if vertices is not None:
+        # isolated vertices: comp = id, attached in one pass; endpoints
+        # missing from `vertices` stay labelled (same vertex set as the
+        # old endpoints ∪ vertices union)
+        allv = vertices.select(F.col(id_col).alias("id")).distinct()
+        labels = (
+            allv.join(labels, "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+            .unionByName(labels.join(allv, "id", "left_anti"))
+        )
+    return labels.select(
+        F.col("id").alias(id_col), F.col("comp").alias("component")
+    )
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a bounded, collected edge list; component
+    representative = min id (same total order Spark's min uses —
+    lexicographic for strings, numeric otherwise)."""
+    spark = edges.sparkSession
+    rows = edges.collect()  # bounded by small_graph_max_edges (caller)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["s"], r["d"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union toward the smaller representative so every root IS
+            # its component's min id when the loop ends
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    data = [(n, find(n)) for n in parent]
+    from pyspark.sql import types as T
+
+    s_field = edges.schema["s"]
+    schema = T.StructType(
+        [
+            T.StructField("id", s_field.dataType, s_field.nullable),
+            T.StructField("comp", s_field.dataType, s_field.nullable),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+def _looped_components(edges: DataFrame, verts: DataFrame, max_iter: int):
+    """Distributed min-label propagation with pointer jumping (the
+    O(log diameter)-round scale path)."""
     labels = verts.select("id", F.col("id").alias("comp")).localCheckpoint()
+    changed = 0
 
     for _ in range(max_iter):
         # neighbour messages: each edge ships its dst's current label to
@@ -128,19 +206,7 @@ def connected_components(
                 RuntimeWarning,
                 stacklevel=2,
             )
-    if vertices is not None:
-        # isolated vertices: comp = id, attached in one pass; endpoints
-        # missing from `vertices` stay labelled (same vertex set as the
-        # old endpoints ∪ vertices union)
-        allv = vertices.select(F.col(id_col).alias("id")).distinct()
-        labels = (
-            allv.join(labels, "id", "left")
-            .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
-            .unionByName(labels.join(allv, "id", "left_anti"))
-        )
-    return labels.select(
-        F.col("id").alias(id_col), F.col("comp").alias("component")
-    )
+    return labels
 
 
 def canonical_per_component(

@@ -119,6 +119,103 @@ def interval_join(
     keep_ivs = [ivs[c] for c in intervals.columns if c not in on]
     return joined.select(*keep_pts, *keep_ivs)
 
+def interval_point_counts(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: list,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    sum_col: str | None = None,
+    id_cols: list | None = None,
+    count_alias: str = "n_in",
+    sum_alias: str = "sum_v",
+) -> DataFrame:
+    """Per-interval point count (and sum) over ``[start, end)`` — the
+    prefix-sum sweep equivalent of ``interval_join(...).groupBy(id)
+    .agg(count(*), sum(col))`` for inner-join semantics (intervals with
+    zero points are omitted, exactly like the join).
+
+    Guide §8 shape: the bucketed join materializes the full
+    points×intervals fan-out (quadratic per key — measured 12M
+    intermediate rows for 1M events at sf1.0) only to collapse it
+    again.  The aggregate only needs ``F(end) − F(start)`` of the
+    per-key running point count/sum, so this sweeps once instead:
+    aggregate points per (key, ts), plant two probe rows per interval
+    (start, end), one window sort per key computes running totals, and
+    the per-interval difference is exact int64 arithmetic.  Cost is
+    O((points + intervals) log) with ONE shuffle on the keys, versus
+    the join's O(points × intervals-per-bucket) intermediate.
+
+    Probe rows order BEFORE point rows at equal timestamp, so a probe
+    at ``x`` sees exactly the points with ``ts < x`` — making the
+    difference count ``start ≤ ts < end`` inclusively/exclusively
+    identical to the join's refine predicate.  Parallelism is bounded
+    by the key cardinality (one window partition per key); for few,
+    huge keys the bucketed join may still win — keep both.
+    """
+    on = list(on)
+    id_cols = list(id_cols or [])
+    s = F.col(sum_col) if sum_col is not None else F.lit(0)
+    pts = points.groupBy(
+        *on, F.col(ts_col).alias("_t")
+    ).agg(
+        F.count(F.lit(1)).alias("_c"), F.sum(s).alias("_s")
+    ).select(
+        *on,
+        "_t",
+        F.lit(1).alias("_pr"),
+        "_c",
+        "_s",
+        F.lit(0).alias("_sign"),
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+          for c in id_cols],
+    )
+    valid = intervals.where(F.col(end_col) > F.col(start_col))
+
+    def probe(col, sign):
+        return valid.select(
+            *on,
+            F.col(col).alias("_t"),
+            F.lit(0).alias("_pr"),
+            F.lit(0).cast("long").alias("_c"),
+            F.lit(0).cast("long").alias("_s"),
+            F.lit(sign).alias("_sign"),
+            *id_cols,
+        )
+
+    allr = pts.unionByName(probe(start_col, -1)).unionByName(
+        probe(end_col, 1)
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy("_t", "_pr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = allr.select(
+        *on,
+        *id_cols,
+        "_sign",
+        "_pr",
+        (F.col("_sign") * F.sum("_c").over(w)).alias("_dc"),
+        (F.col("_sign") * F.sum("_s").over(w)).alias("_ds"),
+    ).where(F.col("_pr") == 0)
+    out = (
+        cum.groupBy(*id_cols, *on)
+        .agg(
+            F.coalesce(F.sum("_dc"), F.lit(0).cast("long")).alias(
+                count_alias
+            ),
+            F.sum("_ds").alias(sum_alias),
+        )
+        .where(F.col(count_alias) > 0)
+    )
+    return out
+
+
 def interval_union(
     intervals: DataFrame,
     *,

@@ -321,6 +321,11 @@ def embedding_near_dup_pairs(
     sig = ensure_parallelism(emb).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        # the vector's norm is pair-independent: computing it here (the
+        # identical sqrt-of-ordered-fold expression, so the value is
+        # bit-identical) turns the per-candidate verify from three
+        # interpreted array folds into one — guide §1.2 per-task work
+        _norm(F.col(vec_col)).alias("nrm"),
         lsh_signature(vec_col, dim, n_planes, seed).alias("sig"),
     )
     if max_bucket is not None:
@@ -340,9 +345,14 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("vec_a"),
             F.col("b.id").alias("vec_b"),
-            (
-                _dot(F.col("a.v"), F.col("b.v"))
-                / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+            # single-element explode barrier (see dedup_minhash_lsh):
+            # keeps the threshold filter from re-evaluating the
+            # interpreted dot-product fold a second time
+            F.explode(
+                F.array(
+                    _dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm"))
+                )
             ).alias("cosine"),
         )
     )
@@ -588,33 +598,71 @@ def int8_quantize_embeddings(
     row = emb.agg(*aggs).collect()[0]
     mn = [float(row[f"_mn{i}"]) for i in range(dim)]
     mx = [float(row[f"_mx{i}"]) for i in range(dim)]
-    mn_arr = F.array(*[F.lit(x) for x in mn])
-    mx_arr = F.array(*[F.lit(x) for x in mx])
 
-    def _at(arr, i):
-        return F.element_at(arr, i + 1)
+    # Codes pass: vectorized Arrow/numpy kernel (guide §4.2).  The
+    # former expression tree (per-element transform with the code
+    # re-derived inside the sse fold) ran interpreted — higher-order
+    # functions have no codegen — at ~200 µs/row.  Every step below is
+    # the same correctly-rounded IEEE float64 op in the same order, so
+    # codes and sse are bit-identical:
+    #   y  = ((x − lo) · 255.0) / (hi − lo)        [left-assoc as before]
+    #   c  = HALF_UP(y) = floor(y) + [y − floor(y) ≥ 0.5]   (y ≥ 0, and
+    #        y − floor(y) is exact in binary64, so this IS BigDecimal
+    #        HALF_UP on the exact value of y)
+    #   x̂  = lo + (c · (hi − lo)) / 255.0
+    #   sse = ordered left fold over (x − x̂)² from 0.0
+    import numpy as np  # noqa: F811 (module-level np is the same)
+    from pyspark.sql import types as T
 
-    def code_expr(i):
-        lo, hi, x = _at(mn_arr, i), _at(mx_arr, i), _at(v, i)
-        return (
-            F.when(hi == lo, F.lit(0))
-            .otherwise(F.round((x - lo) * F.lit(255.0) / (hi - lo)))
-            .cast("int")
-        )
-
-    def recon_expr(i):
-        lo, hi = _at(mn_arr, i), _at(mx_arr, i)
-        return lo + code_expr(i).cast("double") * (hi - lo) / F.lit(255.0)
-
-    idxs = F.sequence(F.lit(0), F.lit(dim - 1))
-    codes = F.transform(idxs, code_expr)
-    sse = F.aggregate(
-        F.transform(
-            idxs, lambda i: (_at(v, i) - recon_expr(i)) * (_at(v, i) - recon_expr(i))
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    mn_np = np.asarray(mn, dtype=np.float64)
+    mx_np = np.asarray(mx, dtype=np.float64)
+    id_field = emb.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("codes", T.ArrayType(T.IntegerType()), True),
+            T.StructField("sse", T.DoubleType(), True),
+        ]
     )
-    return emb.select(
-        F.col(id_col), codes.alias("codes"), sse.alias("sse")
+    dim_ = dim
+
+    def _quant(batches):
+        import pyarrow as pa
+
+        const = mx_np == mn_np
+        span = mx_np - mn_np
+        safe = np.where(const, 1.0, span)
+        for b in batches:
+            ids, vec = b.column(0), b.column(1)
+            n = len(b)
+            off = np.asarray(vec.offsets)
+            if n and (np.diff(off) < dim_).any():
+                raise ValueError(
+                    "int8_quantize_embeddings: vector shorter than dim"
+                )
+            vals = np.asarray(vec.values, dtype=np.float32)
+            idx = off[:-1, None] + np.arange(dim_)
+            x = vals[idx.reshape(-1)].astype(np.float64).reshape(n, dim_)
+            y = ((x - mn_np) * 255.0) / safe
+            c0 = np.floor(y)
+            c = (c0 + (y - c0 >= 0.5)).astype(np.int32)
+            c[:, const] = 0
+            recon = mn_np + (c.astype(np.float64) * span) / 255.0
+            d = x - recon
+            term = d * d
+            acc = np.zeros(n, dtype=np.float64)
+            for i in range(dim_):
+                acc = acc + term[:, i]
+            codes = pa.ListArray.from_arrays(
+                np.arange(0, (n + 1) * dim_, dim_, dtype=np.int32),
+                pa.array(c.reshape(-1), type=pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, codes, pa.array(acc, type=pa.float64())],
+                names=[id_col, "codes", "sse"],
+            )
+
+    # project to just the two needed columns before the Python boundary
+    return emb.select(F.col(id_col), v.alias(vec_col)).mapInArrow(
+        _quant, out_schema
     )
