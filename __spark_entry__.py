@@ -2561,11 +2561,18 @@ def q_ev_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ->> extraction with the identical cast."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.count(k).alias("n_with_k"),
-        F.sum(k).alias("sum_k"),
-        F.min(k).alias("min_k"),
-        F.max(k).alias("max_k"),
+    # r06: extract once in a child projection — embedding the extraction
+    # in each of the four aggregate expressions parsed the JSON bag four
+    # times per row (guide §1.2 per-task work); same values
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
     )
 
 

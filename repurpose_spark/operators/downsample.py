@@ -715,6 +715,11 @@ def haar_energy(
     odd = F.max(F.when(F.col("i") % 2 == 1, F.col("v")))
     outs = []
     for lvl in range(1, levels + 1):
+        # checkpointed: each level's pair frame feeds BOTH its energy
+        # row and the next level — without it every union branch
+        # re-derives the whole ancestor chain back through the initial
+        # window sort (levels× the corpus sort; guide §2.4), and the
+        # frames halve per level so the materialization is geometric
         paired = (
             cur.groupBy(*keys, F.shiftright("i", 1).alias("p"))
             .agg(
@@ -729,6 +734,7 @@ def haar_energy(
                 ((F.col("a") + F.col("b")) / 2).alias("v"),
                 ((F.col("a") - F.col("b")) / 2).alias("d"),
             )
+            .localCheckpoint()
         )
         ticks = F.round(F.col("d") * 10000).cast("long")
         outs.append(

@@ -457,9 +457,13 @@ def ks_drift(
     has a predecessor; ``slice`` labels the CURRENT side of the pair.
     """
     key_cols = list(key_cols)
+    # materialized once: the corpus-sized aggregate is consumed by THREE
+    # subtrees (slice axis, current leg, previous leg) — without the
+    # checkpoint each leg re-scans and re-aggregates the corpus (guide
+    # §2.4); the frame itself is support-sized
     c = df.groupBy(*key_cols, slice_col, value_col).agg(
         F.count(F.lit(1)).alias("_n")
-    )
+    ).localCheckpoint()
     ws = Window.partitionBy(*key_cols).orderBy(slice_col)
     slices = (
         c.select(*key_cols, slice_col)

@@ -685,26 +685,30 @@ class TierPipeline:
             else:
                 self.wh.write(df, table, partition_by=["cell_id"])
 
-        daily = apply_batch_hooks(
-            rollup_from_partials(hourly, "day"), self.postprocess
-        )
+        refresh_kind = "incremental" if incremental else "full"
+
         # metrics ride the write job itself (Observation) — never re-read
         # a tier just for its lineage row (the packed re-count would scan
         # every encoded blob again)
-        obs_d = Observation()
-        _write(
-            daily.observe(obs_d, F.count(F.lit(1)).alias("n")),
-            self.daily_table(),
-            order_cols=("doc_id", "tick"),
-        )
-        n_daily = obs_d.get["n"]
-        self.wh._commit(
-            self.daily_table(), "metrics",
-            {"n_rows": n_daily, "tier": "daily",
-             "refresh": "incremental" if incremental else "full"},
-        )
-        out = {"n_daily": n_daily}
-        if pack:
+        def _daily_job():
+            daily = apply_batch_hooks(
+                rollup_from_partials(hourly, "day"), self.postprocess
+            )
+            obs_d = Observation()
+            _write(
+                daily.observe(obs_d, F.count(F.lit(1)).alias("n")),
+                self.daily_table(),
+                order_cols=("doc_id", "tick"),
+            )
+            n_daily = obs_d.get["n"]
+            self.wh._commit(
+                self.daily_table(), "metrics",
+                {"n_rows": n_daily, "tier": "daily",
+                 "refresh": refresh_kind},
+            )
+            return n_daily
+
+        def _packed_job():
             packed = encode_series(
                 with_avg(hourly),
                 int_cols=["sum_v", "n_points"],
@@ -719,8 +723,24 @@ class TierPipeline:
             self.wh._commit(
                 self.packed_table(), "metrics",
                 {"n_rows": n_packed, "tier": "packed",
-                 "refresh": "incremental" if incremental else "full"},
+                 "refresh": refresh_kind},
             )
-            out["n_packed"] = n_packed
+            return n_packed
+
+        if pack:
+            # the two derived tiers are independent reads of the hourly
+            # partials writing DISTINCT tables (separate manifest dirs):
+            # overlap them so the second tier's scan back-fills the
+            # first's write tail (guide §2.6 — two jobs in flight is
+            # enough to fill stragglers without fighting for cores)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_daily = pool.submit(_daily_job)
+                f_packed = pool.submit(_packed_job)
+                out = {"n_daily": f_daily.result(),
+                       "n_packed": f_packed.result()}
+        else:
+            out = {"n_daily": _daily_job()}
         _commit_coverage()
         return out
