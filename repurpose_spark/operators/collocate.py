@@ -196,28 +196,43 @@ def collocate(
             src, ticks_us, tol_us, ts_us, src.columns
         )
 
-    # candidate 1: exact tick hit (delta 0); candidate 2: previous tick
-    exact = assigned.where(F.col("__max_le") == ts_us).select(
+    # candidate 1: exact tick hit (delta 0); candidate 2: previous tick.
+    # Both candidates are emitted in ONE pass (explode of a ≤2-element
+    # struct array) — the old two-filtered-branches union evaluated the
+    # whole `assigned` subtree, including the caller's upstream corpus
+    # aggregate, once per branch (guide §2.4).  Row multiset identical:
+    # each when() contributes exactly when its branch predicate held.
+    cand_arr = F.array(
+        F.when(
+            F.col("__max_le") == ts_us,
+            F.struct(
+                F.col("__max_le").alias("t"),
+                F.lit(0).cast("long").alias("d"),
+            ),
+        ),
+        F.when(
+            F.col("__max_lt").isNotNull()
+            & (ts_us - F.col("__max_lt") <= F.lit(tol_us)),
+            F.struct(
+                F.col("__max_lt").alias("t"),
+                (ts_us - F.col("__max_lt")).cast("long").alias("d"),
+            ),
+        ),
+    )
+    cands = assigned.select(
         *key_cols,
-        F.col("__max_le").alias("__tick_us"),
-        F.lit(0).cast("long").alias("__delta_us"),
         ts_us.alias("__obs_us"),
         *value_cols,
+        F.explode(
+            F.filter(cand_arr, lambda x: x.isNotNull())
+        ).alias("__c"),
+    ).select(
+        *key_cols,
+        F.col("__c.t").alias("__tick_us"),
+        F.col("__c.d").alias("__delta_us"),
+        F.col("__obs_us"),
+        *value_cols,
     )
-    prev = (
-        assigned.where(
-            F.col("__max_lt").isNotNull()
-            & (ts_us - F.col("__max_lt") <= F.lit(tol_us))
-        )
-        .select(
-            *key_cols,
-            F.col("__max_lt").alias("__tick_us"),
-            (ts_us - F.col("__max_lt")).cast("long").alias("__delta_us"),
-            ts_us.alias("__obs_us"),
-            *value_cols,
-        )
-    )
-    cands = exact.unionByName(prev)
 
     # first-per-slot dedup (limit=1 / "extras discarded"): min obs wins;
     # min(struct(obs_ts, ...)) is associative -> map-side partial agg.

@@ -487,6 +487,31 @@ class Warehouse:
                 .collect()
             ] + touched
             touched = [dict(t) for t in {tuple(sorted(d.items())) for d in touched}]
+            # scope the rewrite to the touched partitions (ADVICE r5
+            # medium): every row carrying a merge key lives in one of
+            # them by construction (the semi-join above found it), so
+            # filtering `cur` like the stable path keeps the dynamic
+            # overwrite partition-scoped and the delta manifest
+            # accurate — unscoped, the overwrite rewrote EVERY
+            # partition while the manifest listed only the touched
+            # ones, and replaying the merge's own snapshot read
+            # deleted files ("snapshot expired" immediately after).
+            pred = None
+            for row in touched:
+                clause = None
+                for k in partition_by:
+                    c = F.col(k) == F.lit(row[k])
+                    clause = c if clause is None else (clause & c)
+                pred = clause if pred is None else (pred | clause)
+            cur = cur.where(pred)
+        # duplicate merge keys would union verbatim into duplicate rows
+        # (and corrupt n_inserted) where the Iceberg branch's MERGE INTO
+        # raises a cardinality error — match that contract (ADVICE r5 low)
+        n_updates = updates.count()
+        if n_updates != updates.select(*key_cols).distinct().count():
+            raise ValueError(
+                "merge_into: duplicate merge keys in updates frame"
+            )
         n_before = cur.count()
         survivors = cur.join(
             F.broadcast(updates.select(*key_cols).distinct()),
@@ -495,7 +520,7 @@ class Warehouse:
         )
         n_surv = survivors.count()
         n_upd = n_before - n_surv
-        n_ins = updates.count() - n_upd
+        n_ins = n_updates - n_upd
         merged = survivors.select(*updates.columns).unionByName(updates)
         # dynamic partition overwrite rewrites ONLY partitions present in
         # the output — a touched partition whose last row was merged AWAY

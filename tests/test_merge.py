@@ -97,3 +97,39 @@ class TestMergeInto:
         m = wh.merge_into(upd, "t", ["doc_id"], ["cell_id"])
         assert m == {"n_updated": 0, "n_inserted": 0, "n_partitions": 0}
         assert wh.snapshot_ids("t")[-1] == pre  # no commit, no write
+
+    def test_unstable_merge_snapshot_readable_and_scoped(self, spark, wh):
+        # ADVICE r5 medium: unscoped, the non-stable merge rewrote EVERY
+        # partition while its delta manifest listed only the touched
+        # ones — reading the merge's own snapshot then raised
+        # "snapshot expired".  The rewrite is now partition-scoped:
+        # the snapshot replays, and untouched partitions' files keep
+        # their mtimes.
+        before = {
+            p: os.path.getmtime(p)
+            for p in glob.glob(wh.path("t") + "/cell_id=1/*.parquet")
+        }
+        assert before
+        upd = spark.createDataFrame(
+            [(5, 0, 55)], "doc_id long, cell_id int, v long"
+        )
+        wh.merge_into(
+            upd, "t", ["doc_id"], ["cell_id"], keys_partition_stable=False
+        )
+        latest = wh.snapshot_ids("t")[-1]
+        assert _rows(wh.read("t", snapshot_id=latest)) == _rows(wh.read("t"))
+        after = {
+            p: os.path.getmtime(p)
+            for p in glob.glob(wh.path("t") + "/cell_id=1/*.parquet")
+        }
+        assert after == before  # cell 1 untouched by the 2->0 key move
+
+    def test_duplicate_merge_keys_raise(self, spark, wh):
+        # ADVICE r5 low: duplicate keys silently inserted duplicate rows
+        # on the parquet twin while Iceberg's MERGE INTO raises — match
+        # the Iceberg cardinality contract
+        upd = spark.createDataFrame(
+            [(2, 0, 21), (2, 0, 22)], "doc_id long, cell_id int, v long"
+        )
+        with pytest.raises(ValueError, match="duplicate merge keys"):
+            wh.merge_into(upd, "t", ["doc_id"], ["cell_id"])
