@@ -341,15 +341,21 @@ def _band_self_join(banded):
     """Candidate ids from the banded frame: (band, bucket) equi-self-join,
     ordered ids, deduped — carries ONLY (id, band, bucket).
 
-    The trailing repartition re-spreads the deduped pair set: AQE
-    coalesces the dedup exchange by BYTES, and candidate ids are ~16 B a
-    row while every surviving row feeds a heavyweight verify kernel (set
-    intersection or banded edit DP, ~100 µs+ each) — measured at sf1.0
-    the verify stage ran on 8 post-coalesce tasks out of 32 cores (guide
-    §2.5, cheap-bytes/expensive-rows).  Deterministic hash keys, explicit
-    partition count (the session's shuffle parallelism) so AQE leaves it
-    alone; the extra exchange moves ids only."""
-    cand = (
+    The explicit repartition BEFORE the dedup does double duty: it
+    satisfies the dedup aggregate's required distribution (so no second
+    exchange is planned), and — being user-specified with an explicit
+    count — AQE does not coalesce it.  Without it the dedup exchange
+    coalesced by BYTES (candidate ids are ~16 B/row) while every
+    surviving row feeds a heavyweight verify kernel (set intersection
+    or banded edit DP, ~100 µs+ each): measured at sf1.0 the verify
+    stage ran on 8 post-coalesce tasks out of 32 cores (guide §2.5,
+    cheap-bytes/expensive-rows).  Raw (pre-dedup) pairs shuffle instead
+    of deduped ones, but band duplicates are <1% here and bounded by
+    the band count in general."""
+    n = int(
+        banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -361,17 +367,9 @@ def _band_self_join(banded):
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
         )
+        .repartition(n, F.col("doc_a"), F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    n = int(
-        banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    # partition on a derived hash, NOT (doc_a, doc_b): that would be the
-    # dedup aggregate's own partitioning, the optimizer would drop the
-    # exchange as redundant, and AQE would coalesce the surviving one
-    # back down (observed: 10 tasks).  Deterministic full-entropy key,
-    # explicit count → survives optimization, immune to per-doc skew.
-    return cand.repartition(n, F.xxhash64("doc_a", "doc_b"))
 
 
 def minhash_probe_indexed(
